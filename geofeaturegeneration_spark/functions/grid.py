@@ -1,0 +1,100 @@
+"""Grid / Cantor-pairing expressions.
+
+The reference computes these row-at-a-time in Python
+(``CommonCode.py:80-143``, applied via ``df.apply(axis=1)`` at e.g.
+``GenerateGeographicFeature.py:209`` and ``AttachFeature.py:277``) — its
+single biggest hot-path defect. Here every function returns a pure Spark
+Column expression, so the whole thing stays inside whole-stage codegen and
+costs one projection.
+
+Semantics matched exactly:
+
+* sign fold (``CommonCode.py:86-95``): ``x >= 0 → 2x`` else ``2|x| - 1``;
+  the reference added this fold after discovering negative ``loncol`` values
+  (bug ledger ``Record.md:11-23``).
+* Cantor pair (``CommonCode.py:97-100``): ``(fx+fy)(fx+fy+1)//2 + fy``.
+* inverse (``CommonCode.py:102-131``): ``w = floor((sqrt(8z+1)-1)/2)``,
+  ``t = w(w+1)/2``, ``y = z - t``, ``x = w - y``, then sign unfold.
+* affine cell assignment (``Test/GeoFeatureGenerationClass.py:243-253``,
+  θ=0 rect method): ``loncol = floor((lon - slon + deltalon/2) / deltalon)``.
+* cell centre (tbd ``grid_to_centre``, used at
+  ``GenerateGeographicFeature.py:237``): ``slon + loncol * deltalon``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _fold(c: Column) -> Column:
+    """Z → N sign fold: non-negative → 2x, negative → 2|x|-1."""
+    c = c.cast("long")
+    return F.when(c >= 0, c * 2).otherwise(-c * 2 - 1)
+
+
+def _unfold(c: Column) -> Column:
+    """Inverse of _fold: even → x/2, odd → -(x+1)/2."""
+    return F.when(c % 2 == 0, (c / 2).cast("long")).otherwise(
+        (-(c + 1) / 2).cast("long")
+    )
+
+
+def cantor_pair(x: Column, y: Column) -> Column:
+    """Sign-folded Cantor pairing (CommonCode.py:80-100) as a column expr.
+
+    For this engine's grids (|loncol| ≤ ~2150, |latcol| ≤ ~1180 per the
+    reference bounds) the result fits easily in int64; the expression is
+    int64-safe up to folded sums ~3e9.
+    """
+    fx, fy = _fold(x), _fold(y)
+    s = fx + fy
+    return ((s * (s + 1)) / 2).cast("long") + fy
+
+
+def cantor_unpair_x(z: Column) -> Column:
+    """First component of the Cantor inverse (CommonCode.py:102-131)."""
+    z = z.cast("long")
+    w = F.floor((F.sqrt(z * 8 + 1) - 1) / 2).cast("long")
+    t = ((w * (w + 1)) / 2).cast("long")
+    fy = z - t
+    fx = w - fy
+    return _unfold(fx)
+
+
+def cantor_unpair_y(z: Column) -> Column:
+    """Second component of the Cantor inverse."""
+    z = z.cast("long")
+    w = F.floor((F.sqrt(z * 8 + 1) - 1) / 2).cast("long")
+    t = ((w * (w + 1)) / 2).cast("long")
+    fy = z - t
+    return _unfold(fy)
+
+
+def gps_to_loncol(lon: Column, params: dict) -> Column:
+    """Affine lon → cell column (Test/GeoFeatureGenerationClass.py:243-253, θ=0)."""
+    return F.floor(
+        (lon - params["slon"] + params["deltalon"] / 2) / params["deltalon"]
+    ).cast("long")
+
+
+def gps_to_latcol(lat: Column, params: dict) -> Column:
+    return F.floor(
+        (lat - params["slat"] + params["deltalat"] / 2) / params["deltalat"]
+    ).cast("long")
+
+
+def grid_to_centre_lon(loncol: Column, params: dict) -> Column:
+    """Cell column → centre longitude (GenerateGeographicFeature.py:226-240)."""
+    return (loncol * params["deltalon"] + params["slon"]).cast("double")
+
+
+def grid_to_centre_lat(latcol: Column, params: dict) -> Column:
+    return (latcol * params["deltalat"] + params["slat"]).cast("double")
+
+
+def in_bounds(lon: Column, lat: Column, bounds) -> Column:
+    """Strict 4-way range predicate — MUST be strict ``<`` / ``>`` to match
+    tbd.clean_outofbounds (Test/GeoFeatureGenerationClass.py:339-340)."""
+    lon1, lat1, lon2, lat2 = bounds
+    return (lon > lon1) & (lon < lon2) & (lat > lat1) & (lat < lat2)

@@ -1,0 +1,30 @@
+from geofeaturegeneration_spark.operators.sessionize import (
+    sessionize_state_change,
+    sessionize_gap,
+    stay_move,
+)
+from geofeaturegeneration_spark.operators.asof import asof_join
+from geofeaturegeneration_spark.operators.windows import lag_lead_features, rolling_features
+from geofeaturegeneration_spark.operators.pivot import pivot_counts, interaction_matrix
+from geofeaturegeneration_spark.operators.vocab import build_vocab, encode_with_vocab
+from geofeaturegeneration_spark.operators.sequence import (
+    ordered_tokens,
+    pad_to_multiple,
+    chunk_sequences,
+)
+
+__all__ = [
+    "sessionize_state_change",
+    "sessionize_gap",
+    "stay_move",
+    "asof_join",
+    "lag_lead_features",
+    "rolling_features",
+    "pivot_counts",
+    "interaction_matrix",
+    "build_vocab",
+    "encode_with_vocab",
+    "ordered_tokens",
+    "pad_to_multiple",
+    "chunk_sequences",
+]

@@ -1,0 +1,195 @@
+"""Point-in-time (as-of) join.
+
+The reference only has the degenerate form — sequential self-adjacency via
+``shift(-1)`` after a (uid, time) sort (Test/GeoFeatureGenerationClass.py:407,
+443-453) plus a left equi-join for feature backfill (AttachFeature.py:464).
+The north rule generalizes this into a true as-of join: for every left
+(probe) row at time *t*, attach the latest right (reference) row of the same
+key with right_time <= t — **zero temporal leakage** by construction.
+
+Three physical strategies, one logical semantics:
+
+``strategy="union"`` (default) — union-tag + last(ignorenulls) running window:
+    1. project both sides to a common layout, tag right rows 0 / left rows 1,
+    2. single shuffle: partition by key, order by (time, tag) — the tag makes
+       a right row at exactly t sort BEFORE a probe at t, giving the
+       at-or-before (<=) rule at timestamp ties,
+    3. ``last(value, ignorenulls=True) over rowsBetween(unboundedPreceding,
+       currentRow)`` carries the most recent right values forward,
+    4. keep only probe rows.
+    One shuffle, no join node at all, whole-stage codegen. This is the scale
+    path: it never materializes a cross product and is skew-tolerant up to
+    single-key-per-task size.
+
+``strategy="salted"`` — same as union, but keys whose row count exceeds a
+    threshold are split into N salt sub-partitions: probe rows are hashed to
+    a salt, right rows are REPLICATED to every salt of their key. Each
+    (key, salt) window then computes the same answer independently — no
+    seam-stitching needed because every salt sees the full right history.
+    Right-side replication cost = n_salts × (hot right rows); the right side
+    of a backfill is normally the small side, which is exactly when salting
+    pays. Hot keys are detected with a cheap count aggregate (at cluster
+    scale: a sampled sketch).
+
+``strategy="merge_asof"`` — partition-local Arrow path: co-partition both
+    sides by key, run a vectorized pandas ``merge_asof`` per group via
+    ``applyInPandas`` (SNIPPETS.md grouped-map pattern). Same semantics,
+    useful when the carried value set is wide (many columns) and the window
+    approach would need one last() per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _union_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    lcols = [c for c in left.columns]
+    l_proj = left.select(
+        *lcols,
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_proj = right.select(
+        *on,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).select(*lcols, "_t", "_tag", *[f"_r_{c}" for c in value_cols])
+
+    unioned = l_proj.unionByName(r_proj)
+    w = (
+        W.partitionBy(*on)
+        .orderBy("_t", "_tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = unioned.withColumns(
+        {f"_r_{c}": F.last(f"_r_{c}", ignorenulls=True).over(w) for c in value_cols}
+    )
+    out = carried.filter(F.col("_tag") == 1).select(
+        *lcols, *[F.col(f"_r_{c}").alias(c) for c in value_cols]
+    )
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    strategy: str = "union",
+    hot_key_threshold: int = 250_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """For each left row, attach the latest right ``value_cols`` with
+    ``right[right_time] <= left[left_time]`` per ``on`` key (backward as-of,
+    inclusive). Left rows with no prior right row get nulls.
+
+    Output = all left columns + value_cols (caller aliases beforehand if a
+    value col collides with a left col).
+    """
+    for c in value_cols:
+        if c in left.columns:
+            raise ValueError(f"value col {c!r} collides with a left column; alias it")
+
+    if strategy == "union":
+        return _union_asof(left, right, on, left_time, right_time, value_cols)
+
+    if strategy == "salted":
+        # 1 cheap agg to find hot probe keys (cluster scale: sample first)
+        hot = (
+            left.groupBy(*on)
+            .count()
+            .filter(F.col("count") > hot_key_threshold)
+            .select(*on, F.lit(True).alias("_hot"))
+        )
+        l2 = left.join(F.broadcast(hot), on, "left").withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), n_salts),
+            ).otherwise(F.lit(0)),
+        ).drop("_hot")
+        # replicate right rows of hot keys to every salt; cold keys → salt 0
+        r2 = (
+            right.join(F.broadcast(hot), on, "left")
+            .withColumn(
+                "_salt_arr",
+                F.when(
+                    F.col("_hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(n_salts - 1)),
+                ).otherwise(F.array(F.lit(0))),
+            )
+            .withColumn("_salt", F.explode("_salt_arr"))
+            .drop("_salt_arr", "_hot")
+        )
+        # the salt participates as an extra equi-key: each (key, salt)
+        # sub-partition sees the FULL right history of its key, so every
+        # sub-window computes the exact global answer independently.
+        out = _union_asof(l2, r2, on + ["_salt"], left_time, right_time, value_cols)
+        return out.drop("_salt")
+
+    if strategy == "merge_asof":
+        return _merge_asof(left, right, on, left_time, right_time, value_cols)
+
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    import pandas as pd
+
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
+    r_sel = right.select(*on, F.col(right_time).alias("_rt"), *value_cols)
+    # cogroup co-partitions both sides with ONE shuffle each and hands the
+    # matching groups to a vectorized pandas fn (Arrow transfer).
+    lg = left.groupBy(*on)
+    rg = r_sel.groupBy(*on)
+
+    lt, rt = left_time, right_time
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        l_sorted = l_pdf.sort_values(lt, kind="mergesort")
+        if r_pdf.empty:
+            for c in value_cols:
+                l_sorted[c] = None
+            return l_sorted
+        r_sorted = (
+            r_pdf.sort_values("_rt", kind="mergesort")
+            .drop(columns=[c for c in on])
+        )
+        merged = pd.merge_asof(
+            l_sorted,
+            r_sorted,
+            left_on=lt,
+            right_on="_rt",
+            direction="backward",
+            allow_exact_matches=True,
+        ).drop(columns=["_rt"])
+        return merged
+
+    return lg.cogroup(rg).applyInPandas(merge, schema=out_schema)

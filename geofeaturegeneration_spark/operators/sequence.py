@@ -1,0 +1,116 @@
+"""Ordered sequence materialization, padding, and chunked export.
+
+Reference analogs (DP_GenerateTrajectory.py):
+* per-entity time-ordered token vector (``:81``),
+* pad with 0 to a multiple of ``seq_len`` = 100 (``:17``, ``:33-41``),
+* reshape into ``(n, seq_len)`` rows (``:82-93``).
+
+All pure SQL array expressions — ``collect_list(struct(t, v))`` +
+``array_sort`` + ``transform`` for ordered materialization,
+``array_repeat``/``concat`` for padding, ``sequence`` + ``slice`` for the
+reshape. No Python executes per row, and the per-row invariant of
+BASELINE.json (token arrays byte-equal to source) holds because tokens are
+only ever moved, never recomputed.
+
+Scale notes: a per-entity collect_list bounds state by the entity's own
+row count — the same bound the downstream (n, seq_len) tensor forces anyway.
+Entities too large for one task are the salted-asof problem, not this one
+(sequence export is only meaningful for entities that fit a training sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ordered_tokens(
+    df: DataFrame,
+    entity_cols: list[str],
+    order_col: str,
+    token_col: str,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Per entity: tokens in ``order_col`` order as one array.
+
+    collect_list's order is whatever the partition delivers, so we collect
+    (order, token) structs and array_sort — deterministic regardless of
+    shuffle nondeterminism.
+    """
+    return (
+        df.groupBy(*entity_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(token_col).alias("v")))
+            ).alias("_pairs")
+        )
+        .withColumn(out_col, F.transform("_pairs", lambda p: p["v"]))
+        .drop("_pairs")
+    )
+
+
+def pad_to_multiple(tokens: Column, seq_len: int, pad_value: int = 0) -> Column:
+    """Pad an array column with ``pad_value`` to the next multiple of
+    ``seq_len`` (DP_GenerateTrajectory.py:33-41). Empty arrays pad to one
+    full block, matching ``ceil`` semantics with a floor of 1 block."""
+    n = F.size(tokens)
+    blocks = F.greatest(F.ceil(n / seq_len).cast("int"), F.lit(1))
+    pad_len = blocks * seq_len - n
+    return F.concat(
+        tokens, F.array_repeat(F.lit(pad_value).cast("int"), pad_len)
+    )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    seq_len: int,
+    pad_value: int = 0,
+    chunk_col: str = "chunk",
+    idx_col: str = "chunk_idx",
+) -> DataFrame:
+    """Pad then explode into fixed-length rows — the (n, 100) reshape of
+    DP_GenerateTrajectory.py:82-93 as a long-form table:
+    one output row per chunk with a 0-based ``chunk_idx``."""
+    padded = pad_to_multiple(F.col(tokens_col), seq_len, pad_value)
+    n_chunks = (F.size(padded) / seq_len).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(padded, i * seq_len + 1, seq_len),
+    )
+    return (
+        df.withColumn("_chunks", chunks)
+        .select(
+            *[c for c in df.columns if c != tokens_col],
+            F.posexplode("_chunks").alias(idx_col, chunk_col),
+        )
+    )
+
+
+def reassemble_chunks(
+    df: DataFrame,
+    entity_cols: list[str],
+    idx_col: str = "chunk_idx",
+    chunk_col: str = "chunk",
+    out_col: str = "tokens",
+    n_col: str | None = None,
+) -> DataFrame:
+    """Inverse of chunk_sequences (used by the byte-equality round-trip
+    test): re-concatenate chunks in index order. If ``n_col`` names a column
+    carrying the original token count (the table's ``n_tok`` invariant),
+    the trailing padding is sliced off to recover the exact source array."""
+    joined = (
+        df.groupBy(*entity_cols, *( [n_col] if n_col else [] ))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(idx_col).alias("o"), F.col(chunk_col).alias("v")))
+            ).alias("_pairs")
+        )
+        .withColumn(out_col, F.flatten(F.transform("_pairs", lambda p: p["v"])))
+        .drop("_pairs")
+    )
+    if n_col is not None:
+        joined = joined.withColumn(
+            out_col, F.slice(F.col(out_col), 1, F.col(n_col))
+        )
+    return joined

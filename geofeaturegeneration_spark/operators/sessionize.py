@@ -1,0 +1,186 @@
+"""Sessionization operators.
+
+Spark-native restatement of ``tbd.traj_stay_move`` (vendored in the reference
+at Test/GeoFeatureGenerationClass.py:367-466, invoked at AttachFeature.py:766,
+DP_GenerateTrajectory.py:62). Two flavors:
+
+* **state-change sessionization** (the reference's rule): a new episode starts
+  whenever the *state* column (grid cell / token bucket) changes between
+  consecutive rows of the same entity — steps 1-9 of SURVEY.md §2.5.
+* **gap sessionization**: a new episode starts when the time gap from the
+  previous row exceeds a threshold (the classic web-session rule; the
+  Spark-batch analog of ``session_window``).
+
+Both are pure window-function compositions — one shuffle on the entity key,
+whole-stage codegen throughout, no Python. At cluster scale the shuffle is
+the only data movement; AQE handles moderate skew, and callers with
+pathological hot entities should pre-filter or use the salted as-of machinery
+(operators/asof.py) for the join stages that follow.
+
+Semantics matched exactly to the reference:
+* episode boundary flag: ``state != lag(state) OR entity change``
+  (Test/GeoFeatureGenerationClass.py:399-400) — first row of each entity
+  counts as a boundary (lag is null).
+* episode id: cumulative sum of boundary flags per entity
+  (Test/GeoFeatureGenerationClass.py:403).
+* one output row per episode = first row (keep='first' dedup,
+  Test/GeoFeatureGenerationClass.py:404-405).
+* ``etime = lead(stime)`` across episode firsts; the entity's **last episode
+  is dropped** because its end is unobserved
+  (Test/GeoFeatureGenerationClass.py:407-408).
+* ``duration = etime - stime`` seconds; keep ``duration >= threshold``
+  (``>=``, not ``>``: Test/GeoFeatureGenerationClass.py:410-412).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _boundary_flag(entity_cols: list[str], order_col: str, state_col: str | None):
+    w = W.partitionBy(*entity_cols).orderBy(order_col)
+    if state_col is None:
+        return None, w
+    prev = F.lag(F.col(state_col)).over(w)
+    # null lag (first row of entity) → boundary; pandas `shift()` produces NaN
+    # and `!=` NaN is True, matching coalesce-to-1 here.
+    flag = F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0)
+    return flag, w
+
+
+def sessionize_state_change(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    state_col: str,
+    min_duration_s: float | None = None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """State-change episodes ("stays").
+
+    Returns one row per episode with: entity cols, ``state_col`` (the constant
+    state of the run), ``stime`` (first row's time), ``etime`` (next episode's
+    start), ``duration_s``, ``n_rows`` (run length), ``stay_seq`` (1-based
+    per-entity episode index), plus first-row values of ``keep_cols``.
+
+    The entity's final episode is dropped (etime unobserved), and episodes
+    shorter than ``min_duration_s`` are filtered with ``>=`` — both per the
+    reference.
+    """
+    flag, w = _boundary_flag(entity_cols, time_col, state_col)
+    cum = W.partitionBy(*entity_cols).orderBy(time_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    marked = df.withColumn("_new", flag).withColumn(
+        "_sid", F.sum("_new").over(cum)
+    )
+
+    keep_cols = keep_cols or []
+    # min_by(c, time) = value of c on the episode's first row — deterministic,
+    # unlike first() inside a hash aggregate (state_col is constant within a
+    # run, but keep_cols need the true first-row value, keep='first' semantics
+    # of Test/GeoFeatureGenerationClass.py:404-405).
+    grp = marked.groupBy(*entity_cols, "_sid").agg(
+        F.min(time_col).alias("stime"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min_by(state_col, time_col).alias(state_col),
+        *[F.min_by(c, time_col).alias(c) for c in keep_cols],
+    )
+    w2 = W.partitionBy(*entity_cols).orderBy("stime")
+    out = (
+        grp.withColumn("etime", F.lead("stime").over(w2))
+        .withColumn("stay_seq", F.row_number().over(w2))
+        .filter(F.col("etime").isNotNull())
+        .withColumn(
+            "duration_s",
+            (F.unix_timestamp("etime") - F.unix_timestamp("stime")).cast("double"),
+        )
+        .drop("_sid")
+    )
+    if min_duration_s is not None:
+        out = out.filter(F.col("duration_s") >= F.lit(min_duration_s))
+    return out
+
+
+def sessionize_gap(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    gap_s: float,
+    agg_exprs: dict | None = None,
+) -> DataFrame:
+    """Gap-based sessions: boundary when time since previous row > gap_s.
+
+    Returns entity cols + ``session_id`` (1-based per entity), ``stime``,
+    ``etime`` (last row's time — observed, unlike state-change stays),
+    ``duration_s``, ``n_events``, plus any extra aggregates given as
+    ``{name: F.expr}``.
+    """
+    w = W.partitionBy(*entity_cols).orderBy(time_col)
+    prev_ts = F.lag(F.col(time_col)).over(w)
+    gap = F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(prev_ts)
+    flag = F.when(prev_ts.isNull() | (gap > gap_s), 1).otherwise(0)
+    cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = df.withColumn("_new", flag).withColumn(
+        "session_id", F.sum("_new").over(cum)
+    )
+    aggs = [
+        F.min(time_col).alias("stime"),
+        F.max(time_col).alias("etime"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    for name, expr in (agg_exprs or {}).items():
+        aggs.append(expr.alias(name))
+    return (
+        marked.groupBy(*entity_cols, "session_id")
+        .agg(*aggs)
+        .withColumn(
+            "duration_s",
+            (F.unix_timestamp("etime") - F.unix_timestamp("stime")).cast("double"),
+        )
+    )
+
+
+def stay_move(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    state_col: str,
+    min_duration_s: float,
+    keep_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Full stay+move derivation (Test/GeoFeatureGenerationClass.py:394-466).
+
+    Stays = state-change episodes with duration >= threshold. Moves = the
+    transitions between consecutive *kept* stays of an entity: one move row
+    per adjacent stay pair, carrying start (s-prefixed) and end (e-prefixed)
+    state/time. (The reference additionally splices in each user's raw
+    first/last points, Test/GeoFeatureGenerationClass.py:418-453; the
+    episode-to-episode core is this lead() — the splice is app-specific
+    because raw boundary points are not episodes.)
+    """
+    stays = sessionize_state_change(
+        df, entity_cols, time_col, state_col, min_duration_s, keep_cols
+    )
+    w = W.partitionBy(*entity_cols).orderBy("stime")
+    moves = (
+        stays.select(
+            *entity_cols,
+            F.col(state_col).alias(f"s_{state_col}"),
+            F.col("etime").alias("move_stime"),
+            F.lead(state_col).over(w).alias(f"e_{state_col}"),
+            F.lead("stime").over(w).alias("move_etime"),
+        )
+        .filter(F.col("move_etime").isNotNull())
+        .withColumn(
+            "duration_s",
+            (
+                F.unix_timestamp("move_etime") - F.unix_timestamp("move_stime")
+            ).cast("double"),
+        )
+        .withColumn(
+            "move_seq", F.row_number().over(W.partitionBy(*entity_cols).orderBy("move_stime"))
+        )
+    )
+    return stays, moves

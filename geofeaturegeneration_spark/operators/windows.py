@@ -1,0 +1,105 @@
+"""Per-entity lag/lead and rolling context windows.
+
+Implements the feature family the reference *designed* but left unimplemented
+(distance/time/speed vs previous stay — design note Record.md:40-50) plus the
+lag/lead adjacency it does use everywhere (shift(-1) at
+Test/GeoFeatureGenerationClass.py:407,443-453).
+
+Pure window expressions: one shuffle on the entity key serves every feature
+here (all windows share the same partitioning, so Catalyst reuses a single
+Exchange + Sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def lag_lead_features(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    value_cols: list[str],
+    lags: list[int] = (1,),
+    leads: list[int] = (1,),
+    with_deltas: bool = True,
+) -> DataFrame:
+    """Adds ``{col}_lag{k}`` / ``{col}_lead{k}`` and, when the source column
+    is numeric and ``with_deltas``, ``{col}_delta{k}`` = value - lag k.
+    Also adds ``gap_s_lag1``: seconds since the previous row."""
+    w = W.partitionBy(*entity_cols).orderBy(time_col)
+    new_cols: dict[str, Column] = {}
+    for c in value_cols:
+        for k in lags:
+            new_cols[f"{c}_lag{k}"] = F.lag(c, k).over(w)
+            if with_deltas:
+                new_cols[f"{c}_delta{k}"] = F.col(c) - F.lag(c, k).over(w)
+        for k in leads:
+            new_cols[f"{c}_lead{k}"] = F.lead(c, k).over(w)
+    new_cols["gap_s_lag1"] = (
+        F.unix_timestamp(F.col(time_col))
+        - F.unix_timestamp(F.lag(time_col).over(w))
+    ).cast("double")
+    return df.withColumns(new_cols)
+
+
+def rolling_features(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    value_col: str,
+    n_preceding: int = 3,
+    range_seconds: int | None = None,
+) -> DataFrame:
+    """Rolling aggregates over the entity's time-ordered history.
+
+    Row frame (default): avg / sum / min / max over the ``n_preceding``
+    previous rows plus the current one, and a running cumulative sum —
+    the stay-context feature of Record.md:40-50.
+
+    Range frame (``range_seconds``): same aggregates over a trailing
+    event-time window (rangeBetween on epoch seconds) — this is the frame
+    that survives irregular sampling at scale.
+    """
+    base = W.partitionBy(*entity_cols).orderBy(time_col)
+    if range_seconds is None:
+        frame = base.rowsBetween(-n_preceding, W.currentRow)
+    else:
+        base = W.partitionBy(*entity_cols).orderBy(
+            F.unix_timestamp(F.col(time_col)).cast("long")
+        )
+        frame = base.rangeBetween(-range_seconds, W.currentRow)
+    cum = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    v = F.col(value_col)
+    return df.withColumns(
+        {
+            f"{value_col}_roll_avg": F.avg(v).over(frame),
+            f"{value_col}_roll_sum": F.sum(v).over(frame),
+            f"{value_col}_roll_min": F.min(v).over(frame),
+            f"{value_col}_roll_max": F.max(v).over(frame),
+            f"{value_col}_cum_sum": F.sum(v).over(cum),
+            "row_idx": F.row_number().over(base),
+        }
+    )
+
+
+def sliding_subsequences(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    value_col: str,
+    seq_len: int = 3,
+) -> DataFrame:
+    """Contrastive-sample windows (Test.ipynb cell 85 ``generate_samples``):
+    for each row i with at least seq_len-1 predecessors, emit
+    ``query`` = values[i-seq_len+1 .. i] and ``pos`` = value at i+1.
+    Rows whose lookahead or lookback is incomplete are dropped, matching the
+    reference's range(len - seq_len - 1) loop bound."""
+    w = W.partitionBy(*entity_cols).orderBy(time_col)
+    frame = w.rowsBetween(-(seq_len - 1), W.currentRow)
+    return (
+        df.withColumn("query", F.collect_list(value_col).over(frame))
+        .withColumn("pos", F.lead(value_col).over(w))
+        .filter((F.size("query") == seq_len) & F.col("pos").isNotNull())
+    )

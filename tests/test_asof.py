@@ -1,0 +1,110 @@
+"""As-of join: all three physical strategies must agree with the naive
+row-by-row oracle (backward, inclusive), including:
+* timestamp ties (right row at exactly t IS visible — <= rule)
+* probes before any right row (nulls)
+* keys present on only one side
+* hot-key salting returns identical results
+* zero-temporal-leakage property: recomputing each probe from only the
+  right rows with ts <= probe ts gives the same answer (SURVEY.md §5.3)
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geofeaturegeneration_spark.operators.asof import asof_join
+from tests import oracle
+
+BASE = pd.Timestamp("2024-06-01 00:00:00")
+
+
+def _mk():
+    rng = np.random.default_rng(7)
+    # probes: 4 keys x many times; key "hot" gets 200 rows
+    probe_rows = []
+    for k, n in [("a", 25), ("b", 10), ("hot", 200), ("noref", 5)]:
+        ts = np.sort(rng.choice(np.arange(0, 100_000, 7), size=n, replace=False))
+        for i, t in enumerate(ts):
+            probe_rows.append((k, BASE + pd.Timedelta(seconds=int(t)), i))
+    left = pd.DataFrame(probe_rows, columns=["key", "pts", "probe_seq"])
+
+    ref_rows = []
+    for k, n in [("a", 8), ("b", 3), ("hot", 40), ("onlyright", 4)]:
+        ts = np.sort(rng.choice(np.arange(0, 100_000, 13), size=n, replace=False))
+        for t in ts:
+            ref_rows.append((k, BASE + pd.Timedelta(seconds=int(t)), float(t) / 10, f"s{t}"))
+    right = pd.DataFrame(ref_rows, columns=["key", "rts", "val", "tag"])
+
+    # force exact tie cases: right row at exactly a probe time
+    tie_t = left.iloc[0]["pts"]
+    right = pd.concat(
+        [right, pd.DataFrame([("a", tie_t, -1.0, "tie")], columns=right.columns)],
+        ignore_index=True,
+    )
+    return left, right
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    left, right = _mk()
+    return spark.createDataFrame(left), spark.createDataFrame(right), left, right
+
+
+def _expected(left, right):
+    exp = oracle.asof_join(left, right, ["key"], "pts", "rts", ["val", "tag"])
+    return exp.sort_values(["key", "pts", "probe_seq"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strategy", ["union", "salted", "merge_asof"])
+def test_asof_matches_oracle(data, strategy):
+    ldf, rdf, left, right = data
+    kwargs = {}
+    if strategy == "salted":
+        kwargs = dict(hot_key_threshold=50, n_salts=4)  # force "hot" to salt
+    got = (
+        asof_join(ldf, rdf, ["key"], "pts", "rts", ["val", "tag"], strategy=strategy, **kwargs)
+        .toPandas()
+        .sort_values(["key", "pts", "probe_seq"])
+        .reset_index(drop=True)
+    )
+    exp = _expected(left, right)
+    assert len(got) == len(exp)
+    assert got["val"].astype(float).equals(exp["val"].astype(float)) or np.allclose(
+        got["val"].astype(float), exp["val"].astype(float), equal_nan=True
+    )
+    assert list(got["tag"].fillna("<null>")) == list(exp["tag"].fillna("<null>"))
+
+
+def test_tie_is_visible(data):
+    ldf, rdf, left, right = data
+    got = asof_join(ldf, rdf, ["key"], "pts", "rts", ["val", "tag"]).toPandas()
+    tie_t = left.iloc[0]["pts"]
+    row = got[(got["key"] == "a") & (got["pts"] == tie_t)]
+    assert list(row["tag"]) == ["tie"]  # right row at exactly t won
+
+
+def test_no_leakage_property(data):
+    """For every probe, recompute from ONLY the right rows at-or-before its
+    timestamp; the engine's answer must match → no future row ever leaks."""
+    ldf, rdf, left, right = data
+    got = (
+        asof_join(ldf, rdf, ["key"], "pts", "rts", ["val", "tag"])
+        .toPandas()
+        .sort_values(["key", "pts", "probe_seq"])
+        .reset_index(drop=True)
+    )
+    for _, r in got.sample(n=40, random_state=1).iterrows():
+        prefix = right[(right["key"] == r["key"]) & (right["rts"] <= r["pts"])]
+        if prefix.empty:
+            assert pd.isna(r["val"])
+        else:
+            best = prefix.sort_values("rts").iloc[-1]
+            assert r["val"] == best["val"]
+
+
+def test_left_rowcount_preserved(data):
+    ldf, rdf, left, _ = data
+    for strategy in ["union", "salted", "merge_asof"]:
+        got = asof_join(ldf, rdf, ["key"], "pts", "rts", ["val", "tag"], strategy=strategy)
+        assert got.count() == len(left)

@@ -1,0 +1,97 @@
+"""Unit tests for the grid/Cantor expression library vs the pandas oracle.
+
+Edge cases from the reference's bug ledger: negative loncol/latcol
+(Record.md:11-23) and strict bounds inequalities
+(Test/GeoFeatureGenerationClass.py:339-340).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geofeaturegeneration_spark.config import GridConfig
+from geofeaturegeneration_spark.functions import grid as G
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def pairs_df(spark):
+    vals = [(x, y) for x in range(-25, 26, 7) for y in range(-25, 26, 7)]
+    vals += [(0, 0), (1, 0), (0, 1), (-1, -1), (2150, 1178), (-2150, -1178)]
+    return spark.createDataFrame(pd.DataFrame(vals, columns=["x", "y"]))
+
+
+def test_cantor_matches_oracle(pairs_df):
+    got = pairs_df.withColumn("z", G.cantor_pair(F.col("x"), F.col("y"))).toPandas()
+    for _, r in got.iterrows():
+        assert r["z"] == oracle.cantor_pair(int(r["x"]), int(r["y"])), r
+
+
+def test_cantor_roundtrip(pairs_df):
+    got = (
+        pairs_df.withColumn("z", G.cantor_pair(F.col("x"), F.col("y")))
+        .withColumn("x2", G.cantor_unpair_x(F.col("z")))
+        .withColumn("y2", G.cantor_unpair_y(F.col("z")))
+        .toPandas()
+    )
+    assert (got["x"] == got["x2"]).all()
+    assert (got["y"] == got["y2"]).all()
+
+
+def test_cantor_injective(pairs_df):
+    got = pairs_df.withColumn("z", G.cantor_pair(F.col("x"), F.col("y"))).toPandas()
+    assert got["z"].nunique() == len(got)
+
+
+def test_grid_assign_matches_oracle(spark):
+    cfg = GridConfig()
+    params = cfg.params
+    o_params = oracle.area_to_params(cfg.bounds, cfg.accuracy_m)
+    pts = pd.DataFrame(
+        {
+            "lon": [115.4, 115.400001, 116.0, 117.549999, 116.8],
+            "lat": [39.4, 39.400001, 40.0, 41.099999, 40.5],
+        }
+    )
+    got = (
+        spark.createDataFrame(pts)
+        .withColumn("loncol", G.gps_to_loncol(F.col("lon"), params))
+        .withColumn("latcol", G.gps_to_latcol(F.col("lat"), params))
+        .toPandas()
+    )
+    for _, r in got.iterrows():
+        lc, la = oracle.gps_to_cols(r["lon"], r["lat"], o_params)
+        assert (r["loncol"], r["latcol"]) == (lc, la)
+
+
+def test_bounds_strictness(spark):
+    bounds = (115.4, 39.4, 117.55, 41.1)
+    pts = pd.DataFrame(
+        {
+            "lon": [115.4, 115.41, 117.55, 117.54, 116.0],
+            "lat": [39.41, 39.4, 41.09, 41.1, 40.0],
+        }
+    )
+    got = (
+        spark.createDataFrame(pts)
+        .withColumn("ok", G.in_bounds(F.col("lon"), F.col("lat"), bounds))
+        .toPandas()
+    )
+    # rows exactly ON a bound must be excluded (strict < / >)
+    assert list(got["ok"]) == [False, False, False, False, True]
+
+
+def test_centre_roundtrip(spark):
+    cfg = GridConfig()
+    params = cfg.params
+    pts = pd.DataFrame({"loncol": [0, 5, 100, -3], "latcol": [0, 7, 50, -2]})
+    got = (
+        spark.createDataFrame(pts)
+        .withColumn("clon", G.grid_to_centre_lon(F.col("loncol"), params))
+        .withColumn("clat", G.grid_to_centre_lat(F.col("latcol"), params))
+        .withColumn("loncol2", G.gps_to_loncol(F.col("clon"), params))
+        .withColumn("latcol2", G.gps_to_latcol(F.col("clat"), params))
+        .toPandas()
+    )
+    assert (got["loncol"] == got["loncol2"]).all()
+    assert (got["latcol"] == got["latcol2"]).all()

@@ -1,0 +1,104 @@
+"""Sequence export: pad/reshape parity vs oracle and the BASELINE.json
+per-row invariant — token arrays byte-equal to source through the full
+chunk → reassemble round trip."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geofeaturegeneration_spark.datagen import generate_sequences, generate_sequences_pdf
+from geofeaturegeneration_spark.operators.sequence import (
+    chunk_sequences,
+    ordered_tokens,
+    pad_to_multiple,
+    reassemble_chunks,
+)
+from tests import oracle
+
+
+@pytest.fixture(scope="module")
+def seqs(spark):
+    return generate_sequences(spark, n_docs=40, max_len=130, seed=11), generate_sequences_pdf(
+        n_docs=40, max_len=130, seed=11
+    )
+
+
+def test_datagen_deterministic():
+    a = generate_sequences_pdf(n_docs=10, seed=5)
+    b = generate_sequences_pdf(n_docs=10, seed=5)
+    assert all(list(x) == list(y) for x, y in zip(a["tokens"], b["tokens"]))
+
+
+def test_n_tok_invariant(seqs):
+    df, _ = seqs
+    bad = df.filter(F.size("tokens") != F.col("n_tok")).count()
+    assert bad == 0
+
+
+def test_pad_matches_oracle(seqs, spark):
+    df, pdf = seqs
+    got = (
+        df.withColumn("padded", pad_to_multiple(F.col("tokens"), 100))
+        .select("doc_id", "padded")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    for _, r in pdf.iterrows():
+        exp = oracle.pad_reshape(r["tokens"], 100).reshape(-1)
+        np.testing.assert_array_equal(
+            np.asarray(got.loc[r["doc_id"], "padded"], dtype=np.int32), exp
+        )
+
+
+def test_chunk_shapes(seqs):
+    df, pdf = seqs
+    got = chunk_sequences(df, "tokens", 100).toPandas()
+    assert (got["chunk"].map(len) == 100).all()
+    for doc_id, g in got.groupby("doc_id"):
+        n = int(pdf.loc[pdf["doc_id"] == doc_id, "n_tok"].iloc[0])
+        exp_chunks = oracle.pad_reshape(
+            pdf.loc[pdf["doc_id"] == doc_id, "tokens"].iloc[0], 100
+        )
+        assert len(g) == exp_chunks.shape[0]
+        g = g.sort_values("chunk_idx")
+        np.testing.assert_array_equal(
+            np.stack(g["chunk"].map(lambda c: np.asarray(c, dtype=np.int32))), exp_chunks
+        )
+
+
+def test_roundtrip_byte_equality(seqs):
+    """chunk → reassemble must reproduce the source token arrays exactly
+    (BASELINE.json per-row invariant)."""
+    df, pdf = seqs
+    chunked = chunk_sequences(df, "tokens", 100)
+    back = reassemble_chunks(
+        chunked, ["doc_id", "source"], n_col="n_tok", out_col="tokens2"
+    )
+    joined = df.join(back, ["doc_id", "source"]).select("doc_id", "tokens", "tokens2")
+    mismatches = joined.filter(F.col("tokens") != F.col("tokens2")).count()
+    assert mismatches == 0
+    assert joined.count() == df.count()
+    # byte-level check through Arrow on a sample
+    sample = joined.limit(10).toPandas()
+    for _, r in sample.iterrows():
+        a = np.asarray(r["tokens"], dtype=np.int32)
+        b = np.asarray(r["tokens2"], dtype=np.int32)
+        assert a.tobytes() == b.tobytes()
+
+
+def test_ordered_tokens(spark):
+    pdf = pd.DataFrame(
+        {
+            "uid": ["u1"] * 5 + ["u2"] * 3,
+            "pos": [4, 2, 0, 1, 3, 2, 0, 1],
+            "tok": [14, 12, 10, 11, 13, 22, 20, 21],
+        }
+    )
+    got = (
+        ordered_tokens(spark.createDataFrame(pdf).repartition(4), ["uid"], "pos", "tok")
+        .toPandas()
+        .set_index("uid")
+    )
+    assert list(got.loc["u1", "tokens"]) == [10, 11, 12, 13, 14]
+    assert list(got.loc["u2", "tokens"]) == [20, 21, 22]
