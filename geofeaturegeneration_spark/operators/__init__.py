@@ -11,6 +11,24 @@ from geofeaturegeneration_spark.operators.sequence import (
     ordered_tokens,
     pad_to_multiple,
     chunk_sequences,
+    reassemble_chunks,
+)
+from geofeaturegeneration_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from geofeaturegeneration_spark.operators.similarity import (
+    cosine_topk,
+    ann_lsh_topk,
+    lsh_bucket,
+)
+from geofeaturegeneration_spark.operators.multimodal import (
+    attach_payload,
+    extract_meta,
 )
 
 __all__ = [
@@ -27,4 +45,16 @@ __all__ = [
     "ordered_tokens",
     "pad_to_multiple",
     "chunk_sequences",
+    "reassemble_chunks",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_pairs",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "lsh_bucket",
+    "attach_payload",
+    "extract_meta",
 ]

@@ -1,0 +1,259 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+No analog exists in the reference (its dedup is `drop_duplicates` on keys,
+GenerateGeographicFeature.py:331); these are the document-level dedup
+operators a pre-training data pipeline runs at 100 TB. All stages are pure
+DataFrame ops — explode/groupBy/join — so Catalyst handles partial aggs and
+AQE handles skew; there is no Python in the hot path.
+
+Determinism contract: the only hash primitive is md5 (via
+functions.text.md5_long), so any engine (DuckDB oracle, pandas test oracle)
+reproduces identical signatures/buckets/pairs.
+
+Scale notes:
+* exact dedup: hash-groupBy on a 60-bit fingerprint — one shuffle of
+  (fp, id), never the document bodies.
+* MinHash: explode-to-shingles is the wide stage; distinct (doc, shingle)
+  bounds it. Signatures = one groupBy of (doc, perm). Bucket self-join is
+  quadratic per bucket — cap pathological buckets (`max_bucket_size`)
+  exactly like production LSH systems drop degenerate bands.
+* SimHash: one explode + two groupBys, all long arithmetic.
+* n-gram Jaccard: pair candidates come from an equi-join on shingle hash —
+  only docs sharing at least one shingle ever meet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from geofeaturegeneration_spark.functions.text import fingerprint, md5_long, words
+
+MERSENNE31 = 2_147_483_647  # prime modulus for minhash permutations
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Group by normalized-content fingerprint; keep the smallest id as the
+    canonical copy. Returns (fp, n_copies, keep_id) — join back on fp to
+    filter the corpus."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingle hashes per doc: (id, h) with
+    h = md5_long(shingle) % MERSENNE31. Docs shorter than k words produce no
+    shingles (empty sequence), matching the SQL generate_series semantics."""
+    ws = words(F.col(text_col))
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 0)), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+        .select(F.col(id_col), (md5_long(F.col("_sh")) % MERSENNE31).alias("h"))
+        .distinct()
+    )
+
+
+def _perms(spark, n_hashes: int) -> DataFrame:
+    """Deterministic permutation table: a_i = 2i+1, b_i = i^2+1 (mod p).
+    a*h stays < 2^63 because a <= 2*n_hashes and h < 2^31."""
+    rows = [(i, 2 * i + 1, i * i + 1) for i in range(n_hashes)]
+    return spark.createDataFrame(rows, "i INT, a BIGINT, b BIGINT")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """(id, i, mh): minhash value for permutation i."""
+    sh = shingle_hashes(df, id_col, text_col, k)
+    perms = _perms(df.sparkSession, n_hashes)
+    return (
+        sh.join(F.broadcast(perms))
+        .groupBy(id_col, "i")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MERSENNE31).alias("mh"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded minhash LSH.
+
+    rows_per_band = n_hashes // bands; two docs are candidates iff they agree
+    on every minhash of at least one band. ``max_bucket_size`` drops
+    degenerate buckets (scale guard; None = keep all)."""
+    rpb = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    band_sig = (
+        sig.withColumn("band", (F.col("i") / rpb).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i").alias("o"), F.col("mh").alias("v")))
+                    ),
+                    lambda p: p["v"].cast("string"),
+                ),
+                "-",
+            ).alias("sig_str")
+        )
+    )
+    if max_bucket_size is not None:
+        sizes = band_sig.groupBy("band", "sig_str").count()
+        keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
+        band_sig = band_sig.join(keep, ["band", "sig_str"], "inner")
+    a = band_sig.select(
+        F.col("band"), F.col("sig_str"), F.col(id_col).alias("id_a")
+    )
+    b = band_sig.select(
+        F.col("band"), F.col("sig_str"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band", "sig_str"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct k-word shingle sets for every
+    pair sharing >= 1 shingle; keep pairs with jaccard >= threshold.
+
+    The shingle equi-join means cost is sum over shingles of (docs sharing
+    it)^2 — bounded in real corpora; stopword-shingle hot keys are the skew
+    case and AQE skew-join splits them."""
+    sh = shingle_hashes(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "h")
+    b = sh.select(F.col(id_col).alias("id_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """Per-doc SimHash over word occurrences (weight 1 per occurrence):
+    bit b of the output is 1 iff sum over words of (2*bit_b(md5(word))-1) > 0.
+    Returns (id, simhash:long)."""
+    spark = df.sparkSession
+    bit_rows = [(b, 1 << b) for b in range(bits)]
+    bits_df = spark.createDataFrame(bit_rows, "b INT, pow2 BIGINT")
+    wordy = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("_w")
+    ).select(F.col(id_col), md5_long(F.col("_w")).alias("h"))
+    contrib = (
+        wordy.join(F.broadcast(bits_df))
+        .withColumn("bit", F.expr("(h div pow2) % 2"))
+        .groupBy(id_col, "b", "pow2")
+        .agg(F.sum(F.col("bit") * 2 - 1).alias("s"))
+    )
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("s") > 0, F.col("pow2")).otherwise(F.lit(0))).alias(
+                "simhash"
+            )
+        )
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate generation: split the signature into (max_hamming+1) chunks —
+    any pair within distance d agrees exactly on >= 1 chunk (pigeonhole), so
+    an equi-join per chunk finds all candidates without a cross join."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    sig = simhash(df, id_col, text_col, bits)
+    chunks = []
+    for c in range(n_chunks):
+        lo = c * chunk_bits
+        width = chunk_bits if c < n_chunks - 1 else bits - lo
+        chunks.append(
+            sig.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(c).alias("chunk"),
+                F.expr(f"(simhash div {1 << lo}) % {1 << width}").alias("ck"),
+            )
+        )
+    tagged = chunks[0]
+    for c in chunks[1:]:
+        tagged = tagged.unionByName(c)
+    a = tagged.select(
+        F.col("chunk"), F.col("ck"),
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = tagged.select(
+        F.col("chunk"), F.col("ck"),
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+    )
+    cand = (
+        a.join(b, ["chunk", "ck"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    xor = F.expr("sh_a ^ sh_b")
+    ham = F.lit(0)
+    for k in range(bits):
+        ham = ham + F.expr(f"((sh_a ^ sh_b) div {1 << k}) % 2")
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

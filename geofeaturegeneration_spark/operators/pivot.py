@@ -24,7 +24,7 @@ def pivot_counts(
     key_col: str,
     pivot_col: str,
     values: list | None = None,
-    fill: float = 0.0,
+    fill: int = 0,
 ) -> DataFrame:
     """grid × category count pivot. Passing ``values`` explicitly skips the
     extra distinct-values job (the reference hard-codes 14 categories,

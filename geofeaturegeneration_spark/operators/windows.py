@@ -84,6 +84,47 @@ def rolling_features(
     )
 
 
+def minmax_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Min-max normalization (the reference imports sklearn MinMaxScaler,
+    AttachFeature.py:626, but never wires it into the main pipeline —
+    SURVEY.md §2.4). Global or per-group; constant groups map to 0.0.
+
+    Implemented as window min/max rather than an agg+join: one shuffle on
+    the group key (none at all when Catalyst sees an existing partitioning).
+    """
+    out_col = out_col or f"{value_col}_norm"
+    w = W.partitionBy(*(group_cols or []))
+    lo, hi = F.min(value_col).over(w), F.max(value_col).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(hi == lo, F.lit(0.0)).otherwise(
+            (F.col(value_col) - lo) / (hi - lo)
+        ),
+    )
+
+
+def decimate(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    n: int,
+) -> DataFrame:
+    """Every-nth-row downsampling per entity in time order — the reference's
+    ``iloc[::n]`` sampling (AttachFeature.py:239-245, gSamplingIntervalRow).
+    Keeps rows 1, n+1, 2n+1, ... of each entity."""
+    w = W.partitionBy(*entity_cols).orderBy(time_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % n == 0)
+        .drop("_rn")
+    )
+
+
 def sliding_subsequences(
     df: DataFrame,
     entity_cols: list[str],
