@@ -49,28 +49,38 @@ def exact_dedup(
 
 
 def shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct k-word shingle hashes per doc: (id, h) with
+    """k-word shingle hashes per doc: (id, h) with
     h = md5_long(shingle) % MERSENNE31. Docs shorter than k words produce no
-    shingles (empty sequence), matching the SQL generate_series semantics."""
-    ws = words(F.col(text_col))
+    shingles (empty sequence), matching the SQL generate_series semantics.
+    ``distinct=False`` skips the dedup shuffle — correct for consumers whose
+    aggregate is duplicate-insensitive (min for minhash)."""
     shingles = F.expr(
         f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 0)), "
         f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
     )
-    return (
+    out = (
         df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
         .select(F.col(id_col), (md5_long(F.col("_sh")) % MERSENNE31).alias("h"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
-def _perms(spark, n_hashes: int) -> DataFrame:
-    """Deterministic permutation table: a_i = 2i+1, b_i = i^2+1 (mod p).
-    a*h stays < 2^63 because a <= 2*n_hashes and h < 2^31."""
-    rows = [(i, 2 * i + 1, i * i + 1) for i in range(n_hashes)]
-    return spark.createDataFrame(rows, "i INT, a BIGINT, b BIGINT")
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int
+) -> DataFrame:
+    """(id, _mh_0 .. _mh_{n-1}) in one groupBy — the shared core of
+    minhash_signatures and minhash_lsh_pairs. min is duplicate-insensitive,
+    so the shingle stream is NOT deduped (one shuffle saved)."""
+    sh = shingle_hashes(df, id_col, text_col, k, distinct=False)
+    aggs = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("h") + F.lit(i * i + 1)) % MERSENNE31
+        ).alias(f"_mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures(
@@ -80,13 +90,20 @@ def minhash_signatures(
     k: int = 3,
     n_hashes: int = 16,
 ) -> DataFrame:
-    """(id, i, mh): minhash value for permutation i."""
-    sh = shingle_hashes(df, id_col, text_col, k)
-    perms = _perms(df.sparkSession, n_hashes)
-    return (
-        sh.join(F.broadcast(perms))
-        .groupBy(id_col, "i")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % MERSENNE31).alias("mh"))
+    """(id, i, mh): minhash value for permutation i = min over shingles of
+    ((2i+1)*h + i^2+1) mod MERSENNE31. a*h stays < 2^63 because
+    a <= 2*n_hashes and h < 2^31.
+
+    All n_hashes permutations are computed as aggregates of ONE groupBy
+    (map-side partial min + final min — no row expansion, no perm-table
+    join): the shingle rows are touched exactly once regardless of
+    n_hashes, which is what keeps this linear at corpus scale."""
+    wide = _minhash_wide(df, id_col, text_col, k, n_hashes)
+    return wide.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"_mh_{i}") for i in range(n_hashes)])).alias(
+            "i", "mh"
+        ),
     )
 
 
@@ -103,24 +120,31 @@ def minhash_lsh_pairs(
 
     rows_per_band = n_hashes // bands; two docs are candidates iff they agree
     on every minhash of at least one band. ``max_bucket_size`` drops
-    degenerate buckets (scale guard; None = keep all)."""
+    degenerate buckets (scale guard; None = keep all).
+
+    Band keys are built directly from the wide signature row (no
+    re-aggregation): total plan = one shuffle for signatures + one for the
+    bucket self-join."""
     rpb = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
-    band_sig = (
-        sig.withColumn("band", (F.col("i") / rpb).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("i").alias("o"), F.col("mh").alias("v")))
-                    ),
-                    lambda p: p["v"].cast("string"),
-                ),
-                "-",
-            ).alias("sig_str")
-        )
+    wide = _minhash_wide(df, id_col, text_col, k, n_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"_mh_{i}").cast("string")
+                        for i in range(j * rpb, (j + 1) * rpb)
+                    ],
+                ).alias("sig_str"),
+            )
+            for j in range(bands)
+        ]
     )
+    band_sig = wide.select(
+        F.col(id_col), F.explode(band_structs).alias("_bs")
+    ).select(F.col(id_col), F.col("_bs.band").alias("band"), F.col("_bs.sig_str").alias("sig_str"))
     if max_bucket_size is not None:
         sizes = band_sig.groupBy("band", "sig_str").count()
         keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
@@ -185,27 +209,24 @@ def simhash(
 ) -> DataFrame:
     """Per-doc SimHash over word occurrences (weight 1 per occurrence):
     bit b of the output is 1 iff sum over words of (2*bit_b(md5(word))-1) > 0.
-    Returns (id, simhash:long)."""
-    spark = df.sparkSession
-    bit_rows = [(b, 1 << b) for b in range(bits)]
-    bits_df = spark.createDataFrame(bit_rows, "b INT, pow2 BIGINT")
+    Returns (id, simhash:long).
+
+    All ``bits`` bit-sums are aggregates of ONE groupBy (no bits-table join,
+    no bits-fold row expansion): each word row is read once and contributes
+    to all 32 partial sums map-side."""
     wordy = df.select(
         F.col(id_col), F.explode(words(F.col(text_col))).alias("_w")
     ).select(F.col(id_col), md5_long(F.col("_w")).alias("h"))
-    contrib = (
-        wordy.join(F.broadcast(bits_df))
-        .withColumn("bit", F.expr("(h div pow2) % 2"))
-        .groupBy(id_col, "b", "pow2")
-        .agg(F.sum(F.col("bit") * 2 - 1).alias("s"))
-    )
-    return (
-        contrib.groupBy(id_col)
-        .agg(
-            F.sum(F.when(F.col("s") > 0, F.col("pow2")).otherwise(F.lit(0))).alias(
-                "simhash"
-            )
-        )
-    )
+    aggs = [
+        F.sum(F.expr(f"2*((h div {1 << b}) % 2) - 1")).alias(f"_s_{b}")
+        for b in range(bits)
+    ]
+    wide = wordy.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"_s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return wide.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
 def simhash_pairs(

@@ -71,15 +71,23 @@ def chunk_sequences(
 ) -> DataFrame:
     """Pad then explode into fixed-length rows — the (n, 100) reshape of
     DP_GenerateTrajectory.py:82-93 as a long-form table:
-    one output row per chunk with a 0-based ``chunk_idx``."""
-    padded = pad_to_multiple(F.col(tokens_col), seq_len, pad_value)
-    n_chunks = (F.size(padded) / seq_len).cast("int")
+    one output row per chunk with a 0-based ``chunk_idx``.
+
+    The padded array is materialized as a column BEFORE slicing: inlining
+    the pad expression into every slice makes Spark re-evaluate it per
+    chunk — O(n^2/seq_len) per row, which is what kills hot multi-chunk
+    docs. As a column it is built once per row and each slice is O(seq_len).
+    """
+    padded_df = df.withColumn(
+        "_padded", pad_to_multiple(F.col(tokens_col), seq_len, pad_value)
+    )
+    n_chunks = (F.size("_padded") / seq_len).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(padded, i * seq_len + 1, seq_len),
+        lambda i: F.slice(F.col("_padded"), i * seq_len + 1, seq_len),
     )
     return (
-        df.withColumn("_chunks", chunks)
+        padded_df.withColumn("_chunks", chunks)
         .select(
             *[c for c in df.columns if c != tokens_col],
             F.posexplode("_chunks").alias(idx_col, chunk_col),
