@@ -56,9 +56,14 @@ def shingle_hashes(
     shingles (empty sequence), matching the SQL generate_series semantics.
     ``distinct=False`` skips the dedup shuffle — correct for consumers whose
     aggregate is duplicate-insensitive (min for minhash)."""
+    # NB: guarded with CASE, not greatest(..., 0): Spark's sequence(1, 0)
+    # yields a DESCENDING [1, 0] (step defaults to -1), unlike DuckDB's
+    # empty generate_series — docs shorter than k words must yield [].
     shingles = F.expr(
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 0)), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' '))"
+        f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' ')) "
+        f"ELSE array() END"
     )
     out = (
         df.select(F.col(id_col), F.explode(shingles).alias("_sh"))

@@ -1,0 +1,165 @@
+"""Unit tests for the training-data pipeline operators: dedup, similarity,
+text analysis, multimodal plumbing. Property-style checks against small
+hand-built corpora (the DuckDB value-exact check runs separately via
+tools/compare_oracle.py / the external driver)."""
+
+import math
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geofeaturegeneration_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id,
+    md5_long,
+    quality_score,
+    token_count,
+)
+from geofeaturegeneration_spark.operators import (
+    ann_lsh_topk,
+    attach_payload,
+    cosine_topk,
+    exact_dedup,
+    extract_meta,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+        (3, "The  Quick brown fox jumps over the lazy dog"),        # dup after normalize
+        (4, "the quick brown fox jumps over the lazy cat today"),   # near dup
+        (5, "completely different content about spark engines"),
+        (6, "a b"),                                                 # shorter than shingle k
+    ]
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def test_md5_long_known_value(spark):
+    # md5('abc') = 900150983cd24fb0... -> 0x900150983cd24fb
+    v = spark.range(1).select(md5_long(F.lit("abc")).alias("h")).collect()[0]["h"]
+    assert v == 648541476951500027
+
+
+def test_exact_dedup_groups_normalized(spark, corpus):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(corpus, "doc_id", "text").collect()}
+    # 1,2,3 collapse (case/whitespace-normalized); keep smallest id
+    assert out[1] == 3
+    assert out[4] == 1 and out[5] == 1 and out[6] == 1
+
+
+def test_minhash_finds_identical_and_skips_disjoint(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(corpus, "doc_id", "text").collect()}
+    assert (1, 2) in pairs        # identical docs always collide on every band
+    assert not any(5 in p for p in pairs)   # disjoint shingles never collide
+    assert not any(6 in p for p in pairs)   # no shingles -> no signature
+
+
+def test_ngram_jaccard_values(spark, corpus):
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.1).collect()}
+    assert out[(1, 2)] == 1.0
+    # doc4 shares 6 of its shingles with doc1 (7 + 8 distinct, 6 common)
+    assert 0.4 < out[(1, 4)] < 0.8
+    assert (1, 5) not in out
+
+
+def test_simhash_identical_and_pairs(spark, corpus):
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(corpus, "doc_id", "text").collect()}
+    assert sims[1] == sims[2]
+    assert 0 <= sims[1] < 2 ** 32
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(corpus, "doc_id", "text", max_hamming=4).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+
+
+def test_cosine_topk_ordering(spark, vectors):
+    out = cosine_topk(vectors, "vec_id", "embedding", k=3)
+    for_zero = sorted(
+        ((r["rank"], r["nn_id"], r["cos_sim"]) for r in out.collect() if r["vec_id"] == 0)
+    )
+    assert [x[1] for x in for_zero] == [1, 2, 3]   # by decreasing cosine
+    assert for_zero[0][2] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+    assert for_zero[2][2] == -1.0
+
+
+def test_ann_lsh_restricts_to_bucket(spark, vectors):
+    out = ann_lsh_topk(vectors, "vec_id", "embedding", k=3, n_bits=4)
+    rows = out.collect()
+    # 0 and 1 share sign pattern (+,0/.. bucket bit0 only); 3 is alone
+    buckets = {r["vec_id"]: r["bucket"] for r in rows}
+    for r in rows:
+        assert buckets[r["nn_id"]] == r["bucket"]
+    assert not any(r["vec_id"] == 3 for r in rows)  # lone bucket -> no rows
+
+
+def test_lang_id_and_quality(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "le chat et la maison des les amis"),
+        (3, "der hund und die katze das ein haus"),
+        (4, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+        token_count(F.col("text")).alias("nt"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "fr"
+    assert out[3]["lang"] == "de"
+    assert out[4]["lang"] == "und"
+    assert all(0.0 <= out[i]["q"] <= 1.0 for i in out)
+    assert out[4]["nt"] == 3
+    assert len({out[i]["fp"] for i in out}) == 4
+
+
+def test_lang_stopword_lists_disjoint_enough(spark):
+    # guard: en/fr/de lists must not share words (zh/es intentionally share
+    # 'de'-like romanizations with other langs and lose ties by code order)
+    en, fr, de = (set(LANG_STOPWORDS[l]) for l in ("en", "fr", "de"))
+    assert not (en & fr) and not (en & de) and not (fr & de)
+
+
+def test_multimodal_meta_deterministic(spark, corpus):
+    out = extract_meta(attach_payload(corpus, "doc_id", "text"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    for i, t in texts.items():
+        n = len(t.encode())
+        assert rows[i]["byte_len"] == n
+        assert rows[i]["width"] == n % 640 + 1
+        assert rows[i]["height"] == (n * 7) % 480 + 1
+        assert rows[i]["n_frames"] == n % 16 + 1
+
+
+def test_decode_stub_raises(spark):
+    from geofeaturegeneration_spark.operators.multimodal import decode_image
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00")
