@@ -64,6 +64,8 @@ from geofeaturegeneration_spark.operators.windows import (
     minmax_normalize,
     sliding_subsequences,
 )
+from geofeaturegeneration_spark.operators.matrix import series_to_matrix
+from geofeaturegeneration_spark.operators.split import hash_split, negative_samples
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 GRID_PARAMS = {"slon": 116.0, "slat": 39.5, "deltalon": 0.01, "deltalat": 0.008}
@@ -401,6 +403,31 @@ def q_grid(spark, sf_dir):
     )
 
 
+def q_series_matrix(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = series_to_matrix(
+        ev, "user_id", "ts", ["value"], max_rows=24, period="week"
+    )
+    return out.select("user_id", "period_start", "n_rows", "matrix")
+
+
+def q_hash_split(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs.select("doc_id"), "doc_id", test_pct=20).select(
+        "doc_id", "split_bucket", "is_test"
+    )
+
+
+def q_negative_samples(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    inter = ev.select(
+        "user_id",
+        gps_to_loncol(F.lit(116.0) + F.col("value") / 1000.0, GRID_PARAMS).alias("g"),
+    ).select("user_id", F.col("g").alias("grid"))
+    items = inter.select("grid").distinct()
+    return negative_samples(inter, items, "user_id", "grid", k=3)
+
+
 def q_time_features(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ts = F.col("ts")
@@ -449,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_subseq": q_sliding,
         "grid_cantor": q_grid,
         "time_features": q_time_features,
+        "series_matrix": q_series_matrix,
+        "hash_split": q_hash_split,
+        "negative_samples": q_negative_samples,
     }
 
 
@@ -817,6 +847,57 @@ SELECT event_id, loncol, latcol, grid,
        round(loncol*0.01 + 116.0, 6) AS centre_lon,
        round(latcol*0.008 + 39.5, 6) AS centre_lat
 FROM v
+""",
+        # padding via generated zero rows (list_resize on nested lists over
+        # views triggers the same DuckDB 1.0 bad_array_new_length bug as the
+        # chunk slice — see chunk_sequences note)
+        "series_matrix": """
+WITH g AS (
+  SELECT user_id, date_trunc('week', ts)::TIMESTAMP AS period_start, ts, value
+  FROM events),
+r AS (
+  SELECT user_id, period_start, value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY user_id, period_start ORDER BY ts) AS idx
+  FROM g),
+cnt AS (SELECT user_id, period_start, count(*)::INT AS n_rows
+        FROM g GROUP BY 1,2),
+pad AS (
+  SELECT user_id, period_start, 0.0::DOUBLE AS v,
+         unnest(generate_series(n_rows+1, 24))::BIGINT AS idx
+  FROM cnt WHERE n_rows < 24),
+allr AS (SELECT * FROM r UNION ALL SELECT * FROM pad)
+SELECT a.user_id, a.period_start, c.n_rows,
+       list([a.v] ORDER BY a.idx) AS matrix
+FROM allr a JOIN cnt c
+  ON a.user_id = c.user_id AND a.period_start = c.period_start
+WHERE c.n_rows <= 24
+GROUP BY a.user_id, a.period_start, c.n_rows
+""",
+        "hash_split": f"""
+SELECT doc_id,
+       (({_MD5L.format(x="doc_id::VARCHAR || 'split'")}) % 100)::INT AS split_bucket,
+       (({_MD5L.format(x="doc_id::VARCHAR || 'split'")}) % 100) < 20 AS is_test
+FROM documents
+""",
+        "negative_samples": f"""
+WITH inter AS (
+  SELECT DISTINCT user_id,
+         floor((116.0 + value/1000.0 - 116.0 + 0.01/2) / 0.01)::BIGINT AS grid
+  FROM events),
+ent AS (SELECT DISTINCT user_id FROM inter),
+items AS (SELECT DISTINCT grid FROM inter),
+unv AS (
+  SELECT e.user_id, i.grid
+  FROM ent e CROSS JOIN items i
+  LEFT JOIN inter v ON v.user_id = e.user_id AND v.grid = i.grid
+  WHERE v.user_id IS NULL),
+rk AS (
+  SELECT user_id, grid,
+         (row_number() OVER (PARTITION BY user_id ORDER BY
+            ({_MD5L.format(x="user_id::VARCHAR || '#' || grid::VARCHAR")}) ASC,
+            grid ASC))::INT AS neg_rank
+  FROM unv)
+SELECT user_id, grid, neg_rank FROM rk WHERE neg_rank <= 3
 """,
         "time_features": """
 SELECT event_id,

@@ -30,6 +30,8 @@ from geofeaturegeneration_spark.operators.multimodal import (
     attach_payload,
     extract_meta,
 )
+from geofeaturegeneration_spark.operators.matrix import series_to_matrix
+from geofeaturegeneration_spark.operators.split import hash_split, negative_samples
 
 __all__ = [
     "sessionize_state_change",
@@ -57,4 +59,7 @@ __all__ = [
     "lsh_bucket",
     "attach_payload",
     "extract_meta",
+    "series_to_matrix",
+    "hash_split",
+    "negative_samples",
 ]

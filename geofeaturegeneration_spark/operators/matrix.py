@@ -1,0 +1,76 @@
+"""Per-(entity, period) feature-matrix build — the reference's
+``SeriesToMatrix`` (AttachFeature.py:629-711): group stay rows by user and
+calendar month, order by time, drop groups larger than ``max_rows``, and
+zero-pad each group to a fixed (max_rows, n_features) matrix.
+
+This is THE grouped-map pattern: ``groupBy(...).applyInPandas`` with the
+padding done by numpy inside the Arrow batch (vectorized — no per-row
+Python). The reference fans out a multiprocessing pool per user and passes
+the matrix third dimension back through a locked shared variable
+(AttachFeature.py:975-979); here the schema is static and the groups are
+ordinary tasks.
+
+Scale notes: group state is bounded by max_rows (128 in the reference), so
+a task's memory is O(groups_per_task * max_rows * n_features) — flat and
+small. The one shuffle is the groupBy hash partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def series_to_matrix(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    feature_cols: list[str],
+    max_rows: int = 128,
+    period: str = "month",
+) -> DataFrame:
+    """Returns (entity, period_start, n_rows, matrix) with
+    matrix: array<array<double>> of shape (max_rows, len(feature_cols)),
+    rows ordered by ``time_col`` and zero-padded at the bottom.
+
+    Groups with more than ``max_rows`` rows are dropped, matching the
+    reference's skip-if-too-long guard (AttachFeature.py:696-697); empty
+    groups cannot occur (grouped-map only sees existing groups) —
+    the reference's empty-frame special case (Record.md:6-10) is a
+    non-issue here.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(entity_col, df.schema[entity_col].dataType, False),
+            T.StructField("period_start", T.TimestampType(), False),
+            T.StructField("n_rows", T.IntegerType(), False),
+            T.StructField(
+                "matrix", T.ArrayType(T.ArrayType(T.DoubleType(), False), False), False
+            ),
+        ]
+    )
+    n_feat = len(feature_cols)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col, kind="mergesort")
+        n = len(pdf)
+        if n > max_rows:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        mat = np.zeros((max_rows, n_feat), dtype=np.float64)
+        mat[:n, :] = pdf[feature_cols].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                entity_col: [pdf[entity_col].iloc[0]],
+                "period_start": [pdf["_period"].iloc[0]],
+                "n_rows": [np.int32(n)],
+                "matrix": [mat.tolist()],
+            }
+        )
+
+    with_period = df.withColumn("_period", F.date_trunc(period, F.col(time_col)))
+    return with_period.groupBy(entity_col, "_period").applyInPandas(
+        build, schema=out_schema
+    )

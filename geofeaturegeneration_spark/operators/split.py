@@ -1,0 +1,66 @@
+"""Deterministic splits and negative sampling.
+
+Reference analogs:
+* train/test split — pandas ``users.sample(frac=0.8, random_state=42)``
+  (DP_GenerateTrajectory.py:113-114). Pandas RNG is not reproducible in a
+  distributed engine (SURVEY.md §7.4), so the Spark-native replacement is a
+  content-hash split: stable under re-runs, re-partitioning, and cluster
+  size — the property that matters for training pipelines.
+* negative sampling — unvisited-region pool via set difference
+  (Test.ipynb cell 81 ``GetUnvisitedRegion``; strategy spec
+  DP_GenerateTrajectory_ContainNegativeSample.py:1-8). Random choice is
+  replaced by a deterministic hash ranking for the same reason.
+
+Both use the md5-based 60-bit hash (functions.text.md5_long), so any engine
+reproduces the exact membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from geofeaturegeneration_spark.functions.text import md5_long
+
+
+def hash_split(
+    df: DataFrame, id_col: str, test_pct: int = 20, salt: str = "split"
+) -> DataFrame:
+    """Adds ``split_bucket`` (0..99) and ``is_test`` — membership depends
+    only on (id, salt). Change the salt to draw an independent split."""
+    bucket = (
+        md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt))) % 100
+    ).cast("int")
+    return df.withColumn("split_bucket", bucket).withColumn(
+        "is_test", F.col("split_bucket") < test_pct
+    )
+
+
+def negative_samples(
+    interactions: DataFrame,
+    items: DataFrame,
+    entity_col: str,
+    item_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per entity: the k unvisited items with the smallest deterministic
+    hash — (entity, item, neg_rank).
+
+    Plan: entities x broadcast(items) candidate grid, left_anti the visited
+    pairs, window top-k by hash. The item vocabulary is the broadcast side
+    (bounded — the reference's all-grid vocabulary is ~2.5M cells); the
+    interactions fact table is only touched for the distinct entity list and
+    the anti-join, both shuffled on the entity key once."""
+    entities = interactions.select(entity_col).distinct()
+    visited = interactions.select(entity_col, item_col).distinct()
+    cand = entities.join(F.broadcast(items.select(item_col).distinct()))
+    unvisited = cand.join(visited, [entity_col, item_col], "left_anti")
+    h = md5_long(
+        F.concat(F.col(entity_col).cast("string"), F.lit("#"), F.col(item_col).cast("string"))
+    )
+    w = W.partitionBy(entity_col).orderBy(h.asc(), F.col(item_col).asc())
+    return (
+        unvisited.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(entity_col, item_col, "neg_rank")
+    )

@@ -1,0 +1,79 @@
+"""series_to_matrix (grouped-map pad, AttachFeature.py:629-711 analog),
+hash_split, negative_samples."""
+
+import os
+import sys
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geofeaturegeneration_spark.operators import (
+    hash_split,
+    negative_samples,
+    series_to_matrix,
+)
+
+
+def test_series_to_matrix_pads_orders_and_drops(spark):
+    rows = [
+        # user a, one week, 3 rows out of order
+        ("a", datetime(2024, 1, 10, 12), 3.0),
+        ("a", datetime(2024, 1, 9, 12), 2.0),
+        ("a", datetime(2024, 1, 8, 12), 1.0),
+        # user b, too many rows (5 > max_rows=4) -> dropped
+        *[("b", datetime(2024, 1, 8 + i), float(i)) for i in range(5)],
+        # user a, second week
+        ("a", datetime(2024, 1, 15, 1), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "uid STRING, ts TIMESTAMP, v DOUBLE")
+    out = series_to_matrix(df, "uid", "ts", ["v"], max_rows=4, period="week")
+    got = {(r["uid"], str(r["period_start"])): r for r in out.collect()}
+    assert set(got) == {("a", "2024-01-08 00:00:00"), ("a", "2024-01-15 00:00:00")}
+    wk1 = got[("a", "2024-01-08 00:00:00")]
+    assert wk1["n_rows"] == 3
+    assert wk1["matrix"] == [[1.0], [2.0], [3.0], [0.0]]  # time-ordered + pad
+    wk2 = got[("a", "2024-01-15 00:00:00")]
+    assert wk2["matrix"] == [[9.0], [0.0], [0.0], [0.0]]
+
+
+def test_series_to_matrix_multi_feature(spark):
+    df = spark.createDataFrame(
+        [("a", datetime(2024, 1, 8), 1.0, 10.0)],
+        "uid STRING, ts TIMESTAMP, x DOUBLE, y DOUBLE",
+    )
+    out = series_to_matrix(df, "uid", "ts", ["x", "y"], max_rows=2).collect()[0]
+    assert out["matrix"] == [[1.0, 10.0], [0.0, 0.0]]
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(df, "doc_id").collect()
+    b = hash_split(df, "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    frac = sum(r["is_test"] for r in a) / len(a)
+    assert 0.15 < frac < 0.25
+    # different salt -> different membership
+    c = hash_split(df, "doc_id", salt="other").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_negative_samples_unvisited_only(spark):
+    inter = spark.createDataFrame(
+        [("u1", "g1"), ("u1", "g2"), ("u2", "g1")], "uid STRING, item STRING"
+    )
+    items = spark.createDataFrame(
+        [("g1",), ("g2",), ("g3",), ("g4",)], "item STRING"
+    )
+    out = negative_samples(inter, items, "uid", "item", k=2)
+    got = {(r["uid"], r["item"]) for r in out.collect()}
+    visited = {("u1", "g1"), ("u1", "g2"), ("u2", "g1")}
+    assert not (got & visited)
+    assert len([p for p in got if p[0] == "u1"]) == 2  # g3, g4
+    assert len([p for p in got if p[0] == "u2"]) == 2  # top-2 of g2,g3,g4
+    # deterministic
+    again = {(r["uid"], r["item"]) for r in
+             negative_samples(inter, items, "uid", "item", k=2).collect()}
+    assert got == again

@@ -1,0 +1,43 @@
+"""Subprocess worker for the scaling bench: run the token feature pipeline
+at a fixed local[] parallelism and print one JSON line.
+
+    python tools/scale_worker.py <cpus> <seq_path> [n_runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    seq_path = sys.argv[2]
+    n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from bench import token_pipeline
+    from geofeaturegeneration_spark.session import get_spark
+
+    spark = get_spark(f"scale_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    walls = []
+    n_tokens = 0
+    for _ in range(n_runs):
+        n_tokens, wall = token_pipeline(spark, seq_path)
+        walls.append(wall)
+    best = min(walls)
+    print(json.dumps({
+        "cpus": cpus,
+        "wall_s": round(best, 3),
+        "walls": [round(w, 3) for w in walls],
+        "n_tokens": n_tokens,
+        "tokens_per_sec": round(n_tokens / best, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

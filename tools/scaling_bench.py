@@ -1,0 +1,83 @@
+"""Two-parallelism scaling bench (north-rule evidence).
+
+A real N -> 4N executor comparison needs a cluster; this sandbox evidences
+the same property by running the identical job at local[8] and local[32]
+on the same input (32 physical cores, so 4x genuinely more compute).
+
+    python tools/scaling_bench.py [--n-docs 20000] [--md-out BENCH.md]
+
+scaling efficiency = (thr_4N / thr_N) / 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def ensure_input(n_docs: int) -> str:
+    path = f"/tmp/gfg_scale_seq_{n_docs}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from geofeaturegeneration_spark.datagen import generate_sequences, write_sequences
+    from geofeaturegeneration_spark.session import get_spark
+
+    spark = get_spark("scale_gen")
+    write_sequences(generate_sequences(spark, n_docs=n_docs), path)
+    spark.stop()
+    return path
+
+
+def run_level(cpus: int, seq_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "scale_worker.py"),
+         str(cpus), seq_path],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-docs", type=int, default=20000)
+    p.add_argument("--md-out", default=None, help="append a results section to this md file")
+    args = p.parse_args()
+
+    seq_path = ensure_input(args.n_docs)
+    lo = run_level(8, seq_path)
+    hi = run_level(32, seq_path)
+    eff = (hi["tokens_per_sec"] / lo["tokens_per_sec"]) / (32 / 8)
+    result = {
+        "n_docs": args.n_docs,
+        "n_tokens": hi["n_tokens"],
+        "local8": lo,
+        "local32": hi,
+        "speedup": round(hi["tokens_per_sec"] / lo["tokens_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+    if args.md_out:
+        with open(args.md_out, "a") as f:
+            f.write(
+                "\n## Scaling evidence (token feature pipeline, "
+                f"{hi['n_tokens']:,} tokens)\n\n"
+                "Same job, same input, two parallelism levels "
+                "(N=8 -> 4N=32 threads on 32 physical cores):\n\n"
+                "| level | wall (best of runs) | tokens/sec |\n"
+                "| --- | --- | --- |\n"
+                f"| local[8] | {lo['wall_s']} s | {lo['tokens_per_sec']:,} |\n"
+                f"| local[32] | {hi['wall_s']} s | {hi['tokens_per_sec']:,} |\n\n"
+                f"speedup {result['speedup']}x over 4x cores -> "
+                f"**scaling efficiency {result['scaling_efficiency']}** "
+                "(north-rule target >= 0.8).\n"
+            )
+
+
+if __name__ == "__main__":
+    main()
