@@ -1,0 +1,6 @@
+from geofeaturegeneration_spark.streaming.sessions import (
+    stream_gap_sessions,
+    stream_running_features,
+)
+
+__all__ = ["stream_gap_sessions", "stream_running_features"]

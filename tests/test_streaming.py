@@ -1,0 +1,121 @@
+"""Streaming sessionization: file-source micro-batch -> memory sink, checked
+against the batch operator on the same data (lambda-architecture parity)."""
+
+import os
+import sys
+import uuid
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geofeaturegeneration_spark.operators import sessionize_gap
+from geofeaturegeneration_spark.streaming import (
+    stream_gap_sessions,
+    stream_running_features,
+)
+
+SCHEMA = "uid STRING, ts TIMESTAMP, v DOUBLE"
+
+
+@pytest.fixture()
+def event_rows():
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for uid in ("a", "b"):
+        # session 1: 3 events 1 min apart; 2h gap; session 2: 2 events
+        for i in range(3):
+            rows.append((uid, t0 + timedelta(minutes=i), float(i)))
+        for i in range(2):
+            rows.append((uid, t0 + timedelta(hours=2, minutes=i), 10.0 + i))
+    return rows
+
+
+def _write_stream_input(spark, tmp_path, rows):
+    path = str(tmp_path / "in")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(path)
+    return path
+
+
+def test_stream_gap_sessions_matches_batch(spark, tmp_path, event_rows):
+    path = _write_stream_input(spark, tmp_path, event_rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(path)
+    out = stream_gap_sessions(
+        stream, ["uid"], "ts", gap="30 minutes", watermark="10 hours",
+        agg_exprs={"sum_v": F.sum("v")},
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits watermark-closed sessions; with a bounded input
+    # the final watermark closes everything except sessions at the max ts —
+    # feed a late sentinel far in the future to flush, or simply compare the
+    # sessions that did close. Here: sentinel row approach.
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    batch = sessionize_gap(
+        spark.createDataFrame(event_rows, SCHEMA), ["uid"], "ts", gap_s=1800.0,
+        agg_exprs={"sum_v": F.sum("v")},
+    ).collect()
+    bmap = {(r["uid"], str(r["stime"])): (r["n_events"], r["sum_v"]) for r in batch}
+    for r in got:
+        key = (r["uid"], str(r["stime"]))
+        assert key in bmap
+        assert (r["n_events"], r["sum_v"]) == bmap[key]
+    # every closed streaming session matches batch; at least the first
+    # session per uid must have closed (2h < 10h watermark never closes?
+    # availableNow final watermark = max ts - 10h -> nothing closes).
+    # So instead assert consistency (above) and completeness under a tight
+    # watermark in the second query below.
+
+
+def test_stream_gap_sessions_completeness_tight_watermark(spark, tmp_path, event_rows):
+    # add a far-future flush row so the watermark passes all real sessions
+    flush = [("zz", datetime(2024, 1, 2, 12, 0, 0), 0.0)]
+    path = _write_stream_input(spark, tmp_path, event_rows + flush)
+    stream = spark.readStream.schema(SCHEMA).parquet(path)
+    out = stream_gap_sessions(
+        stream, ["uid"], "ts", gap="30 minutes", watermark="1 minute",
+        agg_exprs={"sum_v": F.sum("v")},
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["uid"], str(r["stime"])): (r["n_events"], r["sum_v"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+        if r["uid"] != "zz"
+    }
+    batch = {
+        (r["uid"], str(r["stime"])): (r["n_events"], r["sum_v"])
+        for r in sessionize_gap(
+            spark.createDataFrame(event_rows, SCHEMA), ["uid"], "ts", gap_s=1800.0,
+            agg_exprs={"sum_v": F.sum("v")},
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_stream_running_features(spark, tmp_path, event_rows):
+    path = _write_stream_input(spark, tmp_path, event_rows)
+    stream = spark.readStream.schema(SCHEMA).parquet(path)
+    out = stream_running_features(stream, ["uid"], "v", "ts", watermark="10 hours")
+    name = f"run_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    final = {r["uid"]: r for r in rows}  # last update per uid wins in memory table? keep any
+    for uid in ("a", "b"):
+        r = final[uid]
+        assert r["n_events"] == 5
+        assert r["running_sum"] == pytest.approx(0 + 1 + 2 + 10 + 11)
