@@ -95,6 +95,65 @@ def generate_sequences(
     return spark.createDataFrame(pdf, schema=SEQUENCES_SCHEMA)
 
 
+def generate_sequences_distributed(
+    spark: SparkSession,
+    n_docs: int = 200,
+    vocab: int = 10_007,
+    max_len: int = 512,
+    seed: int = 42,
+    hot_docs: int = 3,
+    hot_share: float = 0.30,
+) -> DataFrame:
+    """Distributed generator: same table shape/invariants as
+    ``generate_sequences`` but produced by executors via mapInPandas —
+    per-doc RNG seeded by (seed, doc_index) so the output is deterministic
+    regardless of partitioning/cluster size. This is the generator to use
+    beyond ~10^4 docs: the driver-side python loop IS the bottleneck the
+    engine exists to avoid.
+
+    Hot-doc sizing uses the expected base total (n_docs * E[len]) instead
+    of the sampled total, so hot lengths are computable per-row without a
+    global pass."""
+    import pandas as pd  # local import: kept off the hot import path
+
+    exp_total = n_docs * (1 + max_len) / 2
+    per_hot = (
+        max(max_len, int(exp_total * hot_share / (1 - hot_share)) // hot_docs)
+        if hot_docs > 0
+        else 0
+    )
+    width = max(6, len(str(n_docs)))
+    n_sources = len(SOURCES)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng([seed, i])
+                src = SOURCES[int(rng.integers(0, n_sources))]
+                n = per_hot if i < hot_docs else int(rng.integers(1, max_len + 1))
+                # vectorized run-length construction (no per-token python):
+                # draw enough runs to cover n, repeat, trim.
+                est_runs = n // 4 + 8
+                vals = np.empty(0, dtype=np.int64)
+                while vals.size < n:
+                    runs = rng.integers(1, 8, size=est_runs)
+                    v = rng.integers(1, vocab, size=est_runs)
+                    v[rng.random(est_runs) < 0.002] = 0
+                    vals = np.concatenate([vals, np.repeat(v, runs)])
+                    est_runs *= 2
+                toks = vals[:n].astype(np.int32)
+                rows.append((str(i).zfill(width), toks.tolist(), n, src))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "tokens", "n_tok", "source"]
+            )
+
+    parallelism = spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_docs, numPartitions=min(n_docs, parallelism * 2))
+    return base.mapInPandas(gen, schema=SEQUENCES_SCHEMA)
+
+
 def write_sequences(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Partition by source — the engine's entity key is (doc_id, source), and
     source-partitioned layout gives partition pruning on per-source jobs."""

@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geofeaturegeneration_spark.functions.text import fingerprint, md5_long, words
@@ -274,7 +274,6 @@ def simhash_pairs(
         .select("id_a", "id_b", "sh_a", "sh_b")
         .distinct()
     )
-    xor = F.expr("sh_a ^ sh_b")
     ham = F.lit(0)
     for k in range(bits):
         ham = ham + F.expr(f"((sh_a ^ sh_b) div {1 << k}) % 2")

@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    # Shuffle/spill dirs on tmpfs when available: local-mode disk bandwidth
+    # is shared across all threads and throttles scaling; on a real cluster
+    # this corresponds to per-executor NVMe scratch (which scales with the
+    # executor count). Override with SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 

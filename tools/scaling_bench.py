@@ -21,14 +21,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def ensure_input(n_docs: int) -> str:
-    path = f"/tmp/gfg_scale_seq_{n_docs}"
+    """Scaling input: realistic skew — 20 hot docs owning ~5% of tokens
+    (~70x the median doc). The test-suite default (3 docs owning 30%) is a
+    deliberate torture case for salting correctness, but it is degenerate
+    as a scaling input: one entity = 10% of the corpus makes the per-entity
+    window the critical path at ANY parallelism, which no engine can split
+    (entity windows are sequential by definition). At 10^12-sequence scale
+    no single doc owns a core's worth of the corpus."""
+    path = f"/tmp/gfg_scale_seq_{n_docs}_balanced"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    from geofeaturegeneration_spark.datagen import generate_sequences, write_sequences
+    from geofeaturegeneration_spark.datagen import (
+        generate_sequences_distributed,
+        write_sequences,
+    )
     from geofeaturegeneration_spark.session import get_spark
 
     spark = get_spark("scale_gen")
-    write_sequences(generate_sequences(spark, n_docs=n_docs), path)
+    write_sequences(
+        generate_sequences_distributed(spark, n_docs=n_docs, hot_docs=20, hot_share=0.05),
+        path,
+    )
     spark.stop()
     return path
 
