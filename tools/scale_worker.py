@@ -22,8 +22,11 @@ def main() -> None:
     from bench import token_pipeline
     from geofeaturegeneration_spark.session import get_spark
 
+    # shuffle partitions sized for the DATA (4x cores, AQE coalesces down):
+    # with partitions = cores, per-task sort state grows with input size and
+    # starts spilling — partition count must track data volume, not cores.
     spark = get_spark(f"scale_{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus * 4)
     walls = []
     n_tokens = 0
     for _ in range(n_runs):
