@@ -46,4 +46,8 @@ def test_distributed_generator_skew_knob(spark):
     sizes = {r["doc_id"]: r["n_tok"] for r in df.select("doc_id", "n_tok").collect()}
     hot = sorted(sizes.values(), reverse=True)[:2]
     rest = sum(sizes.values()) - sum(hot)
-    assert sum(hot) > 0.5 * rest  # hot docs materially dominate
+    # 2 docs hold ~30% of tokens -> hot/rest ~ 3/7; each hot doc is ~10x the
+    # mean doc. Assert material skew, not the exact ratio (expected-value
+    # sizing makes the realized share approximate).
+    assert sum(hot) > 0.3 * rest
+    assert min(hot) > 5 * (rest / 98)
