@@ -38,6 +38,7 @@ from geofeaturegeneration_spark.functions.grid import (
 )
 from geofeaturegeneration_spark.operators import (
     ann_lsh_topk,
+    sessionize_state_change_salted,
     asof_join,
     attach_payload,
     build_vocab,
@@ -141,6 +142,28 @@ def q_orders_enrich(spark, sf_dir):
     )
 
 
+def q_top_customers(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"), "c_name",
+            "revenue", "n_orders", "rnk",
+        )
+    )
+
+
 def q_sessionize_gap(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = sessionize_gap(
@@ -165,6 +188,27 @@ def q_sessionize_state(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = sessionize_state_change(
         ev, ["user_id"], "ts", "event_type", min_duration_s=600.0, keep_cols=["value"]
+    )
+    return out.select(
+        "user_id",
+        "stay_seq",
+        "event_type",
+        "stime",
+        "etime",
+        "duration_s",
+        "n_rows",
+        F.col("value").alias("first_value"),
+    )
+
+
+def q_sessionize_salted(spark, sf_dir):
+    # forces the time-range-salted two-pass strategy on every user
+    # (hot_threshold=10); oracle identical to sessionize_state — the salted
+    # physical plan must be value-exact
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize_state_change_salted(
+        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0,
+        keep_cols=["value"], n_salts=4, hot_threshold=10,
     )
     return out.select(
         "user_id",
@@ -446,8 +490,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_pricing": q_tpch_pricing,
         "orders_enrich": q_orders_enrich,
+        "top_customers": q_top_customers,
         "sessionize_gap": q_sessionize_gap,
         "sessionize_state": q_sessionize_state,
+        "sessionize_salted": q_sessionize_salted,
         "stay_move": q_stay_move,
         "asof_union": q_asof_union,
         "asof_salted": q_asof_salted,
@@ -546,6 +592,14 @@ SELECT doc_id, lang, {case} AS pred_lang FROM s
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql()
+    # same logical semantics, different physical strategy — the salted
+    # two-pass plan must reproduce the unsalted answer exactly
+    d["sessionize_salted"] = d["sessionize_state"]
+    return d
+
+
+def _oracle_sql() -> dict[str, str]:
     sec_ts = _SEC.format(x="ts")
     lsh_bucket_sql = " + ".join(
         f"(CASE WHEN embedding[{k + 1}] > 0 THEN {1 << k} ELSE 0 END)"
@@ -568,6 +622,18 @@ SELECT n_name, count(*)::BIGINT AS n_orders,
 FROM orders JOIN customer ON o_custkey=c_custkey
             JOIN nation ON c_nationkey=n_nationkey
 GROUP BY 1
+""",
+        "top_customers": """
+WITH rev AS (
+  SELECT o_custkey, round(sum(o_totalprice),2) AS revenue,
+         count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1),
+rk AS (
+  SELECT *, (row_number() OVER (ORDER BY revenue DESC, o_custkey))::INT AS rnk
+  FROM rev)
+SELECT o_custkey AS custkey, c_name, revenue, n_orders, rnk
+FROM rk JOIN customer ON o_custkey = c_custkey
+WHERE rnk <= 10
 """,
         "sessionize_gap": f"""
 WITH o AS (SELECT user_id, ts, value, {sec_ts} AS sec FROM events),

@@ -1,5 +1,6 @@
 from geofeaturegeneration_spark.operators.sessionize import (
     sessionize_state_change,
+    sessionize_state_change_salted,
     sessionize_gap,
     stay_move,
 )
@@ -35,6 +36,7 @@ from geofeaturegeneration_spark.operators.split import hash_split, negative_samp
 
 __all__ = [
     "sessionize_state_change",
+    "sessionize_state_change_salted",
     "sessionize_gap",
     "stay_move",
     "asof_join",

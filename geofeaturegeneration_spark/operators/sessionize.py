@@ -103,6 +103,115 @@ def sessionize_state_change(
     return out
 
 
+def sessionize_state_change_salted(
+    df: DataFrame,
+    entity_cols: list[str],
+    time_col: str,
+    state_col: str,
+    min_duration_s: float | None = None,
+    keep_cols: list[str] | None = None,
+    n_salts: int = 8,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Salted variant of ``sessionize_state_change`` for hot entities whose
+    full row set exceeds one task (SURVEY.md §7.4 — the seam-stitching
+    problem; skew precedent README.md:339-387).
+
+    Two passes:
+
+    1. **compress within (entity, salt)**: hot entities (row count >
+       ``hot_threshold``; cheap count agg, sampled sketch at cluster scale)
+       are split into ``n_salts`` CONTIGUOUS time ranges; each (entity,
+       salt) sub-window compresses its rows into state-runs. This is the
+       heavy stage and it parallelizes across salts.
+    2. **merge runs per entity**: the same state-change recipe runs again
+       over the run summaries (count -> sum of run lengths). A run that
+       crosses a salt seam appears as two adjacent same-state runs and is
+       merged exactly; a salt wholly inside one run chains through the same
+       logic. Episode outputs (stime/etime/duration/n_rows/stay_seq/
+       keep_cols first-values) are then identical to the unsalted op by
+       construction (verified by the parity test).
+
+    Pass 2's volume is the run count — rows compressed by the mean run
+    length. For adversarial data with run length ~1 the salt level can be
+    applied recursively; one level covers the realistic regime.
+
+    Time-range salting (not hash): boundaries must be order-contiguous so
+    each seam is a single run pair, which is what makes the merge exact.
+    """
+    keep_cols = keep_cols or []
+    bounds = df.groupBy(*entity_cols).agg(
+        F.min(time_col).alias("_tmin"),
+        F.max(time_col).alias("_tmax"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    salted = df.join(bounds, entity_cols)
+    span = (
+        F.unix_timestamp("_tmax").cast("double")
+        - F.unix_timestamp("_tmin").cast("double")
+        + F.lit(1.0)
+    )
+    rel = F.unix_timestamp(F.col(time_col)).cast("double") - F.unix_timestamp(
+        "_tmin"
+    ).cast("double")
+    salt = F.when(
+        F.col("_cnt") > hot_threshold,
+        F.least(F.lit(n_salts - 1), F.floor(rel / (span / n_salts)).cast("int")),
+    ).otherwise(F.lit(0))
+    salted = salted.withColumn("_salt", salt).drop("_tmin", "_tmax", "_cnt")
+
+    # pass 1: state-runs within each (entity, salt) time slice
+    sub_entity = entity_cols + ["_salt"]
+    w1 = W.partitionBy(*sub_entity).orderBy(time_col)
+    prev = F.lag(F.col(state_col)).over(w1)
+    flag = F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0)
+    cum1 = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
+    runs = (
+        salted.withColumn("_new", flag)
+        .withColumn("_rid", F.sum("_new").over(cum1))
+        .groupBy(*sub_entity, "_rid")
+        .agg(
+            F.min(time_col).alias("stime"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min_by(state_col, time_col).alias(state_col),
+            *[F.min_by(c, time_col).alias(c) for c in keep_cols],
+        )
+        .drop("_salt", "_rid")
+    )
+
+    # pass 2: merge seam-adjacent same-state runs, then episode outputs —
+    # identical recipe over the compressed rows
+    w2 = W.partitionBy(*entity_cols).orderBy("stime")
+    prev2 = F.lag(F.col(state_col)).over(w2)
+    flag2 = F.when(prev2.isNull() | (prev2 != F.col(state_col)), 1).otherwise(0)
+    cum2 = w2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    merged = (
+        runs.withColumn("_new", flag2)
+        .withColumn("_sid", F.sum("_new").over(cum2))
+        .groupBy(*entity_cols, "_sid")
+        .agg(
+            F.min("stime").alias("stime"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min_by(state_col, F.col("stime")).alias(state_col),
+            *[F.min_by(c, F.col("stime")).alias(c) for c in keep_cols],
+        )
+    )
+    w3 = W.partitionBy(*entity_cols).orderBy("stime")
+    out = (
+        merged.withColumn("etime", F.lead("stime").over(w3))
+        .withColumn("stay_seq", F.row_number().over(w3))
+        .filter(F.col("etime").isNotNull())
+        .withColumn(
+            "duration_s",
+            (F.unix_timestamp("etime") - F.unix_timestamp("stime")).cast("double"),
+        )
+        .drop("_sid")
+    )
+    if min_duration_s is not None:
+        out = out.filter(F.col("duration_s") >= F.lit(min_duration_s))
+    return out
+
+
 def sessionize_gap(
     df: DataFrame,
     entity_cols: list[str],

@@ -91,11 +91,12 @@ def ann_lsh_topk(
     """Approximate top-k: brute-force cosine but only within each sign-LSH
     bucket. One equi-join on bucket replaces the cross join — the scale
     path. Output: (id_col, nn_id, cos_sim, rank, bucket)."""
-    base = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(vec_col, n_bits).alias("bucket")
-    )
-    normed = with_norm(base, id_col, vec_col).join(
-        base.select(id_col, "bucket"), id_col
+    v = _to_double(F.col(vec_col))
+    normed = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        _norm(v).alias("_n"),
+        lsh_bucket(vec_col, n_bits).alias("bucket"),
     )
     a = normed.select(
         F.col(id_col), F.col("bucket"),
