@@ -67,6 +67,7 @@ from geofeaturegeneration_spark.operators.windows import (
 )
 from geofeaturegeneration_spark.operators.matrix import series_to_matrix
 from geofeaturegeneration_spark.operators.split import hash_split, negative_samples
+from geofeaturegeneration_spark.operators.util import ensure_min_partitions
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 GRID_PARAMS = {"slon": 116.0, "slat": 39.5, "deltalon": 0.01, "deltalat": 0.008}
@@ -77,6 +78,14 @@ TOKEN_MOD = 30000
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a parallelism floor: the test fixture is one small
+    single-row-group file (scan = 1 task), but the dedup/shingle operators
+    downstream are CPU-bound (md5 per shingle). ensure_min_partitions is a
+    no-op when the source is already wide (real deployments)."""
+    return ensure_min_partitions(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -152,11 +161,14 @@ def q_top_customers(spark, sf_dir):
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_orders"))
     )
-    w = W.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    # top-k via distributed sort+limit (TakeOrdered) FIRST; the rank window
+    # then runs over only k rows — never a global window over all customers
+    order = [F.col("revenue").desc(), F.col("o_custkey").asc()]
+    top = rev.orderBy(*order).limit(10)
+    w = W.orderBy(*order)
     return (
-        rev.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
-        .join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        top.withColumn("rnk", F.row_number().over(w))
+        .join(F.broadcast(c), top.o_custkey == c.c_custkey)
         .select(
             F.col("o_custkey").alias("custkey"), "c_name",
             "revenue", "n_orders", "rnk",
@@ -324,11 +336,14 @@ def q_vocab_encode(spark, sf_dir):
 
 
 def _doc_tokens(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     exploded = docs.select(
         "doc_id", F.posexplode(X.words(F.col("text"))).alias("pos", "word")
     ).withColumn("tid", (X.md5_long(F.col("word")) % TOKEN_MOD).cast("int"))
-    return ordered_tokens(exploded, ["doc_id"], "pos", "tid", out_col="tokens")
+    return ordered_tokens(
+        exploded, ["doc_id"], "pos", "tid", out_col="tokens",
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_tokens_ordered(spark, sf_dir):
@@ -352,22 +367,22 @@ def q_token_roundtrip(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return exact_dedup(docs, "doc_id", "text")
 
 
 def q_minhash_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=16, bands=4)
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
 
 
 def q_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return simhash(docs, "doc_id", "text", bits=32)
 
 
@@ -401,7 +416,7 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return docs.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
 
 

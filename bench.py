@@ -92,7 +92,8 @@ def token_pipeline(spark, seq_path: str) -> tuple[int, float]:
     feats = lag_lead_features(feats, ["doc_id", "source"], "stime", ["duration_s"])
     run_noop(feats)
     toks = ordered_tokens(
-        ev, ["doc_id", "source"], "pos", "token", out_col="tokens"
+        ev, ["doc_id", "source"], "pos", "token", out_col="tokens",
+        num_partitions=spark.sparkContext.defaultParallelism,
     )
     run_noop(chunk_sequences(toks, "tokens", 100))
     stays.unpersist()

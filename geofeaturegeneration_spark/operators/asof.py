@@ -32,10 +32,19 @@ Three physical strategies, one logical semantics:
     scale: a sampled sketch).
 
 ``strategy="merge_asof"`` — partition-local Arrow path: co-partition both
-    sides by key, run a vectorized pandas ``merge_asof`` per group via
-    ``applyInPandas`` (SNIPPETS.md grouped-map pattern). Same semantics,
-    useful when the carried value set is wide (many columns) and the window
-    approach would need one last() per column.
+    sides into hash BUCKETS of the key (not per-key groups), run one
+    vectorized pandas ``merge_asof(by=key)`` per bucket via
+    ``cogroup().applyInPandas`` (SNIPPETS.md grouped-map pattern). Same
+    semantics, useful when the carried value set is wide (many columns) and
+    the window approach would need one last() per column.
+
+    Bucketing is the scale decision: grouping by the raw key would hand the
+    Python worker one Arrow batch per key (per-group serialization overhead
+    dominates with many small entities, and AQE coalesces the small shuffle
+    to a handful of tasks); hash-bucketing to ``num_buckets`` yields few,
+    large Arrow batches, an explicit parallelism floor that AQE leaves
+    alone, and pandas does the per-key split vectorized inside the worker
+    (``by=`` argument).
 """
 
 from __future__ import annotations
@@ -93,6 +102,7 @@ def asof_join(
     strategy: str = "union",
     hot_key_threshold: int = 250_000,
     n_salts: int = 16,
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right ``value_cols`` with
     ``right[right_time] <= left[left_time]`` per ``on`` key (backward as-of,
@@ -143,7 +153,9 @@ def asof_join(
         return out.drop("_salt")
 
     if strategy == "merge_asof":
-        return _merge_asof(left, right, on, left_time, right_time, value_cols)
+        return _merge_asof(
+            left, right, on, left_time, right_time, value_cols, num_buckets
+        )
 
     raise ValueError(f"unknown strategy {strategy!r}")
 
@@ -155,41 +167,63 @@ def _merge_asof(
     left_time: str,
     right_time: str,
     value_cols: list[str],
+    num_buckets: int | None = None,
 ) -> DataFrame:
     import pandas as pd
+
+    if num_buckets is None:
+        num_buckets = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
 
     out_schema = T.StructType(
         list(left.schema.fields)
         + [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
     )
-    r_sel = right.select(*on, F.col(right_time).alias("_rt"), *value_cols)
-    # cogroup co-partitions both sides with ONE shuffle each and hands the
-    # matching groups to a vectorized pandas fn (Arrow transfer).
-    lg = left.groupBy(*on)
-    rg = r_sel.groupBy(*on)
+    bucket = F.pmod(F.xxhash64(*[F.col(c) for c in on]), F.lit(num_buckets))
+    l_sel = left.withColumn("_b", bucket)
+    # right key columns are RENAMED (fresh exprIds): when both sides derive
+    # from the same scan, pass-through attributes share expression ids and
+    # Spark's cogroup attribute dedup silently drops the right-side copies.
+    r_keys = [f"_rk_{c}" for c in on]
+    r_sel = right.select(
+        *[F.col(c).alias(k) for c, k in zip(on, r_keys)],
+        F.col(right_time).alias("_rt"),
+        *value_cols,
+    ).withColumn(
+        "_b", F.pmod(F.xxhash64(*[F.col(k) for k in r_keys]), F.lit(num_buckets))
+    )
+    # cogroup on the BUCKET: one shuffle per side, one Arrow batch per
+    # bucket; pandas merge_asof(by=key) resolves the per-key as-of inside
+    # the worker, vectorized.
+    lg = l_sel.groupBy("_b")
+    rg = r_sel.groupBy("_b")
 
-    lt, rt = left_time, right_time
+    lt = left_time
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if l_pdf.empty:
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        l_sorted = l_pdf.sort_values(lt, kind="mergesort")
+        l_sorted = l_pdf.sort_values(lt, kind="mergesort").drop(columns=["_b"])
         if r_pdf.empty:
             for c in value_cols:
                 l_sorted[c] = None
             return l_sorted
-        r_sorted = (
-            r_pdf.sort_values("_rt", kind="mergesort")
-            .drop(columns=[c for c in on])
-        )
+        r_sorted = r_pdf.sort_values("_rt", kind="mergesort").drop(columns=["_b"])
         merged = pd.merge_asof(
             l_sorted,
             r_sorted,
             left_on=lt,
             right_on="_rt",
+            left_by=list(on),
+            right_by=r_keys,
             direction="backward",
             allow_exact_matches=True,
-        ).drop(columns=["_rt"])
-        return merged
+        )
+        return merged[[f.name for f in out_schema.fields]]
 
-    return lg.cogroup(rg).applyInPandas(merge, schema=out_schema)
+    return (
+        lg.cogroup(rg)
+        .applyInPandas(merge, schema=out_schema)
+        .select(*left.columns, *value_cols)
+    )

@@ -180,23 +180,29 @@ def ngram_jaccard_pairs(
 
     The shingle equi-join means cost is sum over shingles of (docs sharing
     it)^2 — bounded in real corpora; stopword-shingle hot keys are the skew
-    case and AQE skew-join splits them."""
+    case and AQE skew-join splits them.
+
+    Physical shape: set sizes are attached to the shingle rows with ONE
+    window (count over doc) and carried through the h-join as two extra
+    ints, instead of joining a separate sizes table onto the pair table
+    twice — the pair table is the big intermediate, so the carried-column
+    form removes the two most expensive joins of the naive plan. The two
+    join inputs are identical subplans, so the shuffle is computed once
+    (exchange reuse)."""
+    from pyspark.sql import Window as W
+
     sh = shingle_hashes(df, id_col, text_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "h")
-    b = sh.select(F.col(id_col).alias("id_b"), "h")
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
+    a = sh.select(F.col(id_col).alias("id_a"), "h", F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), "h", F.col("n_sh").alias("n_b"))
     inter = (
         a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter").cast("double")

@@ -49,6 +49,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 routes lower()/upper() through ICU by default
+        # (spark.sql.icu.caseMappings.enabled=true); the first evaluation
+        # triggers CollationAwareUTF8String.<clinit>, which cold-loads ICU
+        # break-iterator dictionaries and was observed to stall a task for
+        # 20-70 s mid-job. JVM case mapping is identical for the UTF8_BINARY
+        # collation on this workload (and for all common Unicode), without
+        # the init cliff.
+        .config("spark.sql.icu.caseMappings.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
