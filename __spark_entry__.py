@@ -37,7 +37,9 @@ from geofeaturegeneration_spark.functions.grid import (
     grid_to_centre_lon,
 )
 from geofeaturegeneration_spark.operators import (
+    ann_ivf_topk,
     ann_lsh_topk,
+    embedding_neardup_pairs,
     sessionize_state_change_salted,
     asof_join,
     attach_payload,
@@ -396,6 +398,16 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, "vec_id", "embedding", k=3, n_bits=8)
 
 
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=8, nprobe=1)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35, n_bits=8)
+
+
 def q_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -528,6 +540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -571,9 +585,9 @@ sh AS (
 )"""
 
 
-def _dot_sql(a: str, b: str) -> str:
+def _dot_sql(a: str, b: str, acol: str = "embedding", bcol: str = "embedding") -> str:
     return " + ".join(
-        f"({a}.embedding[{i}]::DOUBLE * {b}.embedding[{i}]::DOUBLE)"
+        f"({a}.{acol}[{i}]::DOUBLE * {b}.{bcol}[{i}]::DOUBLE)"
         for i in range(1, EMB_DIM + 1)
     )
 
@@ -835,6 +849,38 @@ r AS (SELECT vec_id, nn_id, cos,
       FROM p)
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank"
 FROM r WHERE rnk <= 5
+""",
+        "ann_ivf": f"""
+WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
+cent AS (SELECT (row_number() OVER (ORDER BY vec_id))::INT AS cid,
+                embedding AS cv, nn AS cn
+         FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)),
+asg AS (SELECT n.vec_id, n.embedding, n.nn, cent.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ({_dot_sql('n', 'cent', bcol='cv')}) / (n.nn * cent.cn) DESC,
+                          cent.cid ASC) AS crank
+        FROM n CROSS JOIN cent),
+home AS (SELECT vec_id, embedding, nn, cid FROM asg WHERE crank = 1),
+probe AS (SELECT vec_id, embedding, nn, cid FROM asg WHERE crank <= 1),
+p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, b.cid AS list_id,
+             ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
+      FROM probe a JOIN home b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+r AS (SELECT vec_id, nn_id, list_id, cos,
+             (row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, nn_id))::INT AS rnk
+      FROM p)
+SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", list_id::BIGINT AS list_id
+FROM r WHERE rnk <= 3
+""",
+        "embedding_neardup": f"""
+WITH base AS (SELECT vec_id, embedding,
+                     ({lsh_bucket_sql})::BIGINT AS bucket FROM embeddings),
+n AS (SELECT vec_id, embedding, bucket, sqrt({_sqnorm_sql()}) AS nn FROM base),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos,6) AS cos_sim FROM p WHERE cos >= 0.35
 """,
         "ann_lsh": f"""
 WITH base AS (SELECT vec_id, embedding,

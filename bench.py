@@ -7,9 +7,13 @@ Env:
     SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS     local[] parallelism (default 32)
     BENCH_QUERIES        comma-separated subset override
+    BENCH_REPEATS        runs per query, best-of is reported (default 2)
 
 Each query executes fully via the noop sink (no result materialization on
 the driver, no output I/O — measures the plan, like `EXPLAIN ANALYZE`).
+Per-query time is the best of BENCH_REPEATS runs: the first run on a fresh
+plan pays one-time JVM costs (codegen compilation, class init) that are not
+properties of the plan being measured.
 The token-pipeline block measures end-to-end feature-engineering throughput
 (tokens/sec) on the synthetic north-rule sequences table: explode ->
 sessionize -> as-of backfill -> lag/lead -> chunked sequence export.
@@ -56,6 +60,8 @@ HEADLINE = [
     "ngram_jaccard",
     "simhash",
     "ann_lsh",
+    "ann_ivf",
+    "embedding_neardup",
     "text_stats",
     "lang_id",
     "fingerprint",
@@ -112,11 +118,15 @@ def main() -> None:
     # warm the JVM + parquet footer caches so q1 isn't charged for startup
     spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
+    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        run_noop(qs[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            run_noop(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     # synthetic sequences slice sized with sf (deterministic, seeded)
     n_docs = max(200, int(float(sf) * 20_000))
@@ -124,6 +134,9 @@ def main() -> None:
     if not os.path.exists(seq_path):
         write_sequences(generate_sequences(spark, n_docs=n_docs), seq_path)
     n_tokens, pipe_s = token_pipeline(spark, seq_path)
+    for _ in range(repeats - 1):
+        n_tokens, s = token_pipeline(spark, seq_path)
+        pipe_s = min(pipe_s, s)
     times["token_pipeline"] = round(pipe_s, 3)
 
     total = round(sum(times.values()), 3)

@@ -25,6 +25,8 @@ from geofeaturegeneration_spark.operators.dedup import (
 from geofeaturegeneration_spark.operators.similarity import (
     cosine_topk,
     ann_lsh_topk,
+    ann_ivf_topk,
+    embedding_neardup_pairs,
     lsh_bucket,
 )
 from geofeaturegeneration_spark.operators.multimodal import (
@@ -58,6 +60,8 @@ __all__ = [
     "simhash_pairs",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
     "lsh_bucket",
     "attach_payload",
     "extract_meta",

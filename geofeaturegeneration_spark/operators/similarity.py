@@ -85,6 +85,122 @@ def lsh_bucket(vec_col: str, n_bits: int = 8) -> Column:
     return bucket
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Candidates come from the sign-LSH bucket equi-join (near-identical
+    vectors share every leading sign, so true near-dups co-bucket; at scale
+    use multiple hyperplane tables to push recall). Exact cosine is then
+    verified on candidates only — the standard candidate/verify split of a
+    production dedup pass. Output: (id_a, id_b, cos_sim)."""
+    v = _to_double(F.col(vec_col))
+    normed = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        _norm(v).alias("_n"),
+        lsh_bucket(vec_col, n_bits).alias("_bucket"),
+    )
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col("_bucket"),
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = normed.select(
+        F.col(id_col).alias("id_b"), F.col("_bucket"),
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select(
+            "id_a", "id_b", F.round(F.col("_cos"), 6).alias("cos_sim")
+        )
+    )
+
+
+def ann_ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer assigns every vector
+    to its nearest centroid ("inverted list"); each query scores only the
+    vectors in its ``nprobe`` closest lists.
+
+    Centroids here are the first ``n_centroids`` vectors in id order — a
+    deterministic seed set (at scale: k-means centroids from a sampled
+    training pass; the query plan is IDENTICAL, only the centroid table
+    changes). Assignment = broadcast join against the tiny centroid table +
+    per-vector argmin; search = equi-join on the list id. Two broadcast
+    joins + one equi-join — never a cross join over the corpus.
+
+    Output: (id_col, nn_id, cos_sim, rank, list_id)."""
+    v = _to_double(F.col(vec_col))
+    normed = df.select(F.col(id_col), v.alias("_v"), _norm(v).alias("_n"))
+    w_seed = W.orderBy(id_col)
+    cents = (
+        normed.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(w_seed).alias("_cid"),
+            F.col("_v").alias("_cv"),
+            F.col("_n").alias("_cn"),
+        )
+    )
+    ccos = _dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
+    w_assign = W.partitionBy(id_col).orderBy(
+        F.col("_ccos").desc(), F.col("_cid").asc()
+    )
+    assigned = (
+        normed.crossJoin(F.broadcast(cents))
+        .withColumn("_ccos", ccos)
+        .withColumn("_crank", F.row_number().over(w_assign))
+        .filter(F.col("_crank") <= nprobe)
+        .select(
+            F.col(id_col), F.col("_v"), F.col("_n"),
+            F.col("_cid").alias("list_id"),
+            (F.col("_crank") == 1).alias("_home"),
+        )
+    )
+    # inverted lists contain each vector once (its home list); queries probe
+    # their nprobe nearest lists
+    a = assigned.select(
+        F.col(id_col), F.col("list_id"),
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = assigned.filter(F.col("_home")).select(
+        F.col(id_col).alias("nn_id"), F.col("list_id"),
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
+    return (
+        a.join(b, "list_id")
+        .filter(F.col(id_col) != F.col("nn_id"))
+        .withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("nn_id"),
+            F.round(F.col("_cos"), 6).alias("cos_sim"),
+            F.col("rank"),
+            F.col("list_id"),
+        )
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 3, n_bits: int = 8
 ) -> DataFrame:

@@ -163,3 +163,38 @@ def test_decode_stub_raises(spark):
     from geofeaturegeneration_spark.operators.multimodal import decode_image
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00")
+
+
+def test_ann_ivf_topk(spark, vectors):
+    from geofeaturegeneration_spark.operators import ann_ivf_topk
+
+    # centroids = first 2 vectors (ids 0, 1); every vector lands in list 1
+    # or 2 by cosine to those seeds
+    out = ann_ivf_topk(vectors, "vec_id", "embedding", k=3, n_centroids=2)
+    rows = out.collect()
+    assert all(r["list_id"] in (1, 2) for r in rows)
+    # assignment by cosine to seed centroids (c1 = vec0, c2 = vec1):
+    # vec0 -> list 1; vec1, vec2, vec3 -> list 2. vec 3's in-list
+    # neighbors are therefore {1, 2}, ranked 2 first (cos 0 > cos -0.994)
+    mine = [r for r in rows if r["vec_id"] == 3]
+    assert [r["nn_id"] for r in mine] == [2, 1]
+    # nprobe=2 searches both lists -> vec 3 now also sees 0 and 1
+    out2 = ann_ivf_topk(vectors, "vec_id", "embedding", k=3, n_centroids=2, nprobe=2)
+    mine2 = {r["nn_id"] for r in out2.collect() if r["vec_id"] == 3}
+    assert mine2 == {0, 1, 2}
+
+
+def test_embedding_neardup_pairs(spark):
+    from geofeaturegeneration_spark.operators import embedding_neardup_pairs
+
+    rows = [
+        (0, [1.0, 0.02, 0.0, 0.0]),   # sign pattern (+,+,0,0) = bucket 3
+        (1, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 0, same sign bucket
+        (2, [0.0, 1.0, 0.0, 0.0]),    # different bucket
+        (3, [1.0, 0.01, 0.0, 0.0]),   # near-dup of 0 and 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+           embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.99, n_bits=4).collect()}
+    assert set(out) == {(0, 1), (0, 3), (1, 3)}
+    assert all(v >= 0.99 for v in out.values())

@@ -49,7 +49,7 @@ def ensure_input(n_docs: int) -> str:
 def run_level(cpus: int, seq_path: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "scale_worker.py"),
-         str(cpus), seq_path, "4"],
+         str(cpus), seq_path, os.environ.get("SCALE_RUNS", "4")],
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
