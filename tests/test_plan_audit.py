@@ -1,0 +1,96 @@
+"""Physical-plan audits: the plan properties that matter at 100 TB, asserted
+at test scale. A query can be value-correct and still carry a plan that
+collapses at 1000 executors — these tests pin the plan shape:
+
+* filters reach the parquet scan (PushedFilters) and the scan reads only
+  referenced columns (column pruning);
+* dimension joins broadcast (no shuffle of the fact side);
+* the as-of union strategy stays a single-shuffle window plan with no join
+  node at all;
+* bucketed candidate joins never degrade to a cartesian product;
+* narrow expression pipelines stay in one whole-stage-codegen span with no
+  exchange.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_and_column_pushdown(spark):
+    plan = plan_str(E.queries()["tpch_pricing"](spark, SF_DIR))
+    scan = [b for b in plan.split("\n\n") if "PushedFilters" in b][0]
+    assert "PushedFilters" in scan and "l_shipdate" in scan.split("PushedFilters")[1].split("\n")[0]
+    # projection pruned to the referenced columns only
+    read_schema = scan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    plan = plan_str(E.queries()["orders_enrich"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_encode_broadcasts_vocab(spark):
+    plan = plan_str(E.queries()["vocab_encode"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_union_is_single_shuffle_no_join(spark):
+    plan = plan_str(E.queries()["asof_union"](spark, SF_DIR), "simple")
+    assert "Join" not in plan  # pure union + window, no join operator
+    # one exchange for the (key) window; union sides scan independently
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_bucketed_candidate_joins_not_cartesian(spark):
+    qs = E.queries()
+    for name in ["ann_lsh", "ann_ivf", "minhash_pairs", "ngram_jaccard"]:
+        plan = plan_str(qs[name](spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in plan, name
+        # the only nested-loop is the tiny broadcast centroid cross join in
+        # IVF assignment — candidates themselves meet via equi-joins
+        if name != "ann_ivf":
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_narrow_exprs_no_exchange_codegen(spark):
+    qs = E.queries()
+    for name in ["grid_cantor", "time_features", "text_stats", "lang_id"]:
+        df = qs[name](spark, SF_DIR)
+        plan = plan_str(df, "simple")
+        assert "Exchange" not in plan, name
+        # '*(n)' prefix = operator inside a whole-stage-codegen span
+        assert "*(1)" in plan, name
+    # fingerprint reads a narrow single-file fixture through the explicit
+    # parallelism-floor repartition — the ONLY allowed exchange is that
+    # round-robin spread, never a hash/range shuffle
+    plan = plan_str(qs["fingerprint"](spark, SF_DIR), "simple")
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+
+
+def test_sessionize_shuffles_only_on_entity(spark):
+    plan = plan_str(E.queries()["sessionize_state"](spark, SF_DIR), "simple")
+    # every exchange must partition on the entity key — no global shuffles
+    for line in plan.splitlines():
+        if "Exchange" in line and "hashpartitioning" in line:
+            assert "user_id" in line, line
+        assert "SinglePartition" not in line, line
