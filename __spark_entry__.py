@@ -437,6 +437,25 @@ def q_multimodal_meta(spark, sf_dir):
     return extract_meta(attach_payload(docs, "doc_id", "text"))
 
 
+def q_frame_sample(spark, sf_dir):
+    from geofeaturegeneration_spark.operators import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs, "doc_id", "text"), every_n=4).select(
+        "doc_id", "frame_idx", "frame_off", "frame_len"
+    )
+
+
+def q_embed_payload(spark, sf_dir):
+    from geofeaturegeneration_spark.operators import embed_payload
+
+    docs = _t(spark, sf_dir, "documents")
+    out = embed_payload(attach_payload(docs, "doc_id", "text"), dim=8)
+    return out.select(
+        "doc_id", F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding")
+    )
+
+
 def q_minmax(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = minmax_normalize(ev, "value", group_cols=["event_type"])
@@ -546,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "frame_sample": q_frame_sample,
+        "embed_payload": q_embed_payload,
         "minmax_norm": q_minmax,
         "decimate": q_decimate,
         "sliding_subseq": q_sliding,
@@ -916,6 +937,26 @@ FROM documents
         "lang_id": _lang_case(),
         "fingerprint": f"""
 SELECT doc_id, {_MD5L.format(x=_NORM_TEXT)} AS fp FROM documents
+""",
+        "frame_sample": """
+WITH m AS (
+  SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+         (octet_length(encode(text)) % 16 + 1)::BIGINT AS n_frames
+  FROM documents),
+s AS (SELECT doc_id, n, greatest(n // n_frames, 1) AS flen,
+             unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx
+      FROM m)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       (frame_idx * flen)::BIGINT AS frame_off,
+       least(flen, n - frame_idx * flen)::BIGINT AS frame_len
+FROM s
+""",
+        "embed_payload": """
+SELECT doc_id,
+       list_transform(generate_series(0, 7),
+                      i -> round(((octet_length(encode(text)) * (i + 3)) % 997)
+                                 / 997.0, 6)) AS embedding
+FROM documents
 """,
         "multimodal_meta": """
 SELECT doc_id,

@@ -32,6 +32,8 @@ from geofeaturegeneration_spark.operators.similarity import (
 from geofeaturegeneration_spark.operators.multimodal import (
     attach_payload,
     extract_meta,
+    sample_frames,
+    embed_payload,
 )
 from geofeaturegeneration_spark.operators.matrix import series_to_matrix
 from geofeaturegeneration_spark.operators.split import hash_split, negative_samples
@@ -65,6 +67,8 @@ __all__ = [
     "lsh_bucket",
     "attach_payload",
     "extract_meta",
+    "sample_frames",
+    "embed_payload",
     "series_to_matrix",
     "hash_split",
     "negative_samples",

@@ -74,3 +74,79 @@ def extract_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=META_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_off", T.LongType(), False),
+        T.StructField("frame_len", T.LongType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling: one output row per every_n-th frame of each payload —
+    the one-to-many batch shape of a real video sampler (decode is the same
+    fake as extract_meta: n_frames from the byte length, frame bytes are an
+    even slice of the payload). Arrow-batched mapInPandas; a real codec swaps
+    only the body.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_off": [], "frame_len": [], "frame_payload": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = n % 16 + 1
+                flen = max(n // n_frames, 1)
+                for f in range(0, n_frames, every_n):
+                    off = f * flen
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["frame_off"].append(off)
+                    out["frame_len"].append(min(flen, n - off))
+                    out["frame_payload"].append(bytes(payload[off:off + flen]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_off": pd.Series(out["frame_off"], dtype="int64"),
+                    "frame_len": pd.Series(out["frame_len"], dtype="int64"),
+                    "frame_payload": pd.Series(out["frame_payload"], dtype=object),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def embed_payload(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction: payload -> fixed-dim float vector, vectorized over
+    the Arrow batch (the embed-model stand-in; deterministic so the DuckDB
+    oracle can reproduce it exactly: v[i] = ((byte_len*(i+3)) mod 997)/997).
+    Output: (doc_id, embedding array<double>)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lens = pdf["payload"].map(len).to_numpy(dtype="int64")
+            mat = (
+                (lens[:, None] * (np.arange(dim, dtype="int64") + 3)[None, :]) % 997
+            ) / 997.0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "embedding": list(mat),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=schema)

@@ -198,3 +198,33 @@ def test_embedding_neardup_pairs(spark):
            embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.99, n_bits=4).collect()}
     assert set(out) == {(0, 1), (0, 3), (1, 3)}
     assert all(v >= 0.99 for v in out.values())
+
+
+def test_sample_frames_shapes(spark, corpus):
+    from geofeaturegeneration_spark.operators import sample_frames
+
+    out = sample_frames(attach_payload(corpus, "doc_id", "text"), every_n=4)
+    rows = out.collect()
+    texts = {r["doc_id"]: r["text"].encode() for r in corpus.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, payload in texts.items():
+        n = len(payload)
+        n_frames = n % 16 + 1
+        expect_idx = list(range(0, n_frames, 4))
+        got = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == expect_idx
+        flen = max(n // n_frames, 1)
+        for r in got:
+            assert bytes(r["frame_payload"]) == payload[r["frame_off"]:r["frame_off"] + flen]
+
+
+def test_embed_payload_deterministic(spark, corpus):
+    from geofeaturegeneration_spark.operators import embed_payload
+
+    out = {r["doc_id"]: r["embedding"] for r in
+           embed_payload(attach_payload(corpus, "doc_id", "text"), dim=4).collect()}
+    texts = {r["doc_id"]: len(r["text"].encode()) for r in corpus.collect()}
+    for doc_id, n in texts.items():
+        assert out[doc_id] == [((n * (i + 3)) % 997) / 997.0 for i in range(4)]
