@@ -94,3 +94,7 @@ def test_sessionize_shuffles_only_on_entity(spark):
         if "Exchange" in line and "hashpartitioning" in line:
             assert "user_id" in line, line
         assert "SinglePartition" not in line, line
+    # the WHOLE sessionization (boundary flag, cumulative session id, episode
+    # aggregate, etime/stay_seq windows) runs on ONE entity-key shuffle: the
+    # sub-keyed stages reuse HashPartitioning(entity) with local sorts only
+    assert plan.count("Exchange") == 1, plan
