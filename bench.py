@@ -66,6 +66,8 @@ HEADLINE = [
     "lang_id",
     "fingerprint",
     "multimodal_meta",
+    "frame_sample",
+    "embed_payload",
     "grid_cantor",
     "time_features",
 ]
