@@ -31,6 +31,7 @@ def series_to_matrix(
     feature_cols: list[str],
     max_rows: int = 128,
     period: str = "month",
+    num_buckets: int | None = None,
 ) -> DataFrame:
     """Returns (entity, period_start, n_rows, matrix) with
     matrix: array<array<double>> of shape (max_rows, len(feature_cols)),
@@ -41,6 +42,12 @@ def series_to_matrix(
     groups cannot occur (grouped-map only sees existing groups) —
     the reference's empty-frame special case (Record.md:6-10) is a
     non-issue here.
+
+    Physically the grouped map runs per hash BUCKET of (entity, period),
+    not per group: one Arrow batch per bucket, pandas ``groupby`` splits the
+    groups inside the worker. With millions of small (entity, month) groups
+    the per-group Arrow round-trip would dominate; bucketing bounds the
+    batch count at ``num_buckets`` (default: shuffle parallelism).
     """
     out_schema = T.StructType(
         [
@@ -53,24 +60,29 @@ def series_to_matrix(
         ]
     )
     n_feat = len(feature_cols)
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(time_col, kind="mergesort")
-        n = len(pdf)
-        if n > max_rows:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        mat = np.zeros((max_rows, n_feat), dtype=np.float64)
-        mat[:n, :] = pdf[feature_cols].to_numpy(dtype=np.float64)
-        return pd.DataFrame(
-            {
-                entity_col: [pdf[entity_col].iloc[0]],
-                "period_start": [pdf["_period"].iloc[0]],
-                "n_rows": [np.int32(n)],
-                "matrix": [mat.tolist()],
-            }
+    if num_buckets is None:
+        num_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
 
-    with_period = df.withColumn("_period", F.date_trunc(period, F.col(time_col)))
-    return with_period.groupBy(entity_col, "_period").applyInPandas(
-        build, schema=out_schema
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {entity_col: [], "period_start": [], "n_rows": [], "matrix": []}
+        for (ent, per), g in pdf.groupby([entity_col, "_period"], sort=False):
+            n = len(g)
+            if n > max_rows:
+                continue
+            g = g.sort_values(time_col, kind="mergesort")
+            mat = np.zeros((max_rows, n_feat), dtype=np.float64)
+            mat[:n, :] = g[feature_cols].to_numpy(dtype=np.float64)
+            out[entity_col].append(ent)
+            out["period_start"].append(per)
+            out["n_rows"].append(np.int32(n))
+            out["matrix"].append(mat.tolist())
+        return pd.DataFrame(out)
+
+    with_period = df.withColumn(
+        "_period", F.date_trunc(period, F.col(time_col))
+    ).withColumn(
+        "_b", F.pmod(F.xxhash64(F.col(entity_col), F.col("_period")), F.lit(num_buckets))
     )
+    return with_period.groupBy("_b").applyInPandas(build, schema=out_schema)
