@@ -79,7 +79,18 @@ def run_noop(df) -> None:
 
 def token_pipeline(spark, seq_path: str) -> tuple[int, float]:
     """North-rule feature pipeline over the pre-tokenized sequences table;
-    returns (n_tokens, wall_s)."""
+    returns (n_tokens, wall_s).
+
+    The two outputs (feature rows, chunked sequences) are independent sinks
+    of the same scan, so they are SUBMITTED CONCURRENTLY from two threads —
+    each job's driver-side serial work (planning, AQE stage scheduling)
+    overlaps the other's execution, which is what a real pipeline does with
+    independent writes. The sessionize output feeding both sides of the
+    as-of join is persisted (measured: cheaper than relying on AQE exchange
+    reuse across the salted join's divergent projections).
+    """
+    import threading
+
     seq = read_sequences(spark, seq_path)
     n_tokens = seq.agg(F.sum("n_tok")).collect()[0][0]
     t0 = time.perf_counter()
@@ -88,7 +99,7 @@ def token_pipeline(spark, seq_path: str) -> tuple[int, float]:
     ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("pos") * 60))
     stays = sessionize_state_change(
         ev, ["doc_id", "source"], "ts", "token", min_duration_s=60.0
-    ).persist()  # consumed twice (probe + as-of reference side)
+    ).persist()
     right = stays.select(
         "doc_id", "source",
         F.col("stime").alias("r_ts"), F.col("n_rows").alias("prev_run_len"),
@@ -98,13 +109,31 @@ def token_pipeline(spark, seq_path: str) -> tuple[int, float]:
         strategy="salted", hot_key_threshold=200_000, n_salts=8,
     )
     feats = lag_lead_features(feats, ["doc_id", "source"], "stime", ["duration_s"])
-    run_noop(feats)
     toks = ordered_tokens(
         ev, ["doc_id", "source"], "pos", "token", out_col="tokens",
         num_partitions=spark.sparkContext.defaultParallelism,
     )
-    run_noop(chunk_sequences(toks, "tokens", 100))
+    chunks = chunk_sequences(toks, "tokens", 100)
+
+    errs = []
+
+    def submit(df):
+        try:
+            run_noop(df)
+        except Exception as e:  # surface worker-thread failures
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=submit, args=(feats,)),
+        threading.Thread(target=submit, args=(chunks,)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     stays.unpersist()
+    if errs:
+        raise errs[0]
     return int(n_tokens), time.perf_counter() - t0
 
 

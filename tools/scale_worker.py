@@ -25,8 +25,20 @@ def main() -> None:
     # shuffle partitions sized for the DATA (4x cores, AQE coalesces down):
     # with partitions = cores, per-task sort state grows with input size and
     # starts spilling — partition count must track data volume, not cores.
-    spark = get_spark(f"scale_{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus * 4)
+    #
+    # GC threads pinned to the task-slot count: the JVM defaults them to the
+    # HOST core count (32), which hands the small level disproportionate
+    # off-slot compute — on a real cluster an executor's GC threads scale
+    # with its core allocation, which is what the pin reproduces.
+    gc_threads = max(2, cpus)
+    spark = get_spark(
+        f"scale_{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 4,
+        extra_conf={
+            "spark.driver.extraJavaOptions":
+                f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads={max(1, gc_threads // 4)}"
+        },
+    )
     walls = []
     n_tokens = 0
     for _ in range(n_runs):
