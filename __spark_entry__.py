@@ -388,6 +388,27 @@ def q_simhash(spark, sf_dir):
     return simhash(docs, "doc_id", "text", bits=32)
 
 
+def q_simhash_pairs(spark, sf_dir):
+    from geofeaturegeneration_spark.operators import simhash_pairs
+
+    docs = _docs_wide(spark, sf_dir)
+    return simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3)
+
+
+def q_minhash_sigs(spark, sf_dir):
+    from geofeaturegeneration_spark.operators import minhash_signatures
+
+    docs = _docs_wide(spark, sf_dir)
+    return minhash_signatures(docs, "doc_id", "text", k=3, n_hashes=8)
+
+
+def q_interaction_wide(spark, sf_dir):
+    from geofeaturegeneration_spark.operators.pivot import interaction_matrix_wide
+
+    ev = _t(spark, sf_dir, "events")
+    return interaction_matrix_wide(ev, "user_id", "event_type", items=EVENT_TYPES)
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk(emb, "vec_id", "embedding", k=5)
@@ -557,6 +578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "minhash_sigs": q_minhash_sigs,
+        "interaction_wide": q_interaction_wide,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -916,6 +940,36 @@ r AS (SELECT vec_id, nn_id, bucket, cos,
       FROM p)
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", bucket
 FROM r WHERE rnk <= 3
+""",
+        "simhash_pairs": f"""
+WITH wd AS (SELECT doc_id, {_MD5L.format(x='w')} AS h
+            FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),
+bits AS (SELECT b, (1::BIGINT << b) AS pow2 FROM range(32) t(b)),
+contrib AS (SELECT doc_id, b, pow2, SUM(2*((h//pow2)%2)-1)::BIGINT AS s
+            FROM wd, bits GROUP BY 1,2,3),
+sig AS (SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN pow2 ELSE 0 END)::BIGINT AS sh
+        FROM contrib GROUP BY 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""",
+        "minhash_sigs": f"""
+WITH {_SHINGLE_CTE.strip()},
+perm AS (SELECT i, (2*i+1)::BIGINT AS a, (i*i+1)::BIGINT AS b FROM range(8) t(i)),
+shd AS (SELECT DISTINCT doc_id, h FROM sh)
+SELECT doc_id, i::INT AS i, MIN((a*h+b) % 2147483647)::BIGINT AS mh
+FROM shd, perm GROUP BY 1, 2
+""",
+        "interaction_wide": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type='click')::BIGINT AS click,
+       count(*) FILTER (WHERE event_type='error')::BIGINT AS error,
+       count(*) FILTER (WHERE event_type='purchase')::BIGINT AS purchase,
+       count(*) FILTER (WHERE event_type='signup')::BIGINT AS signup,
+       count(*) FILTER (WHERE event_type='view')::BIGINT AS "view"
+FROM events GROUP BY 1
 """,
         "text_stats": f"""
 SELECT doc_id,
