@@ -59,6 +59,7 @@ HEADLINE = [
     "minhash_pairs",
     "ngram_jaccard",
     "simhash",
+    "simhash_pairs",
     "ann_lsh",
     "ann_ivf",
     "embedding_neardup",
