@@ -539,6 +539,20 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(inter, items, "user_id", "grid", k=3)
 
 
+def q_contrastive(spark, sf_dir):
+    from geofeaturegeneration_spark.operators.split import contrastive_samples
+
+    ev = _t(spark, sf_dir, "events")
+    withg = ev.withColumn(
+        "grid", gps_to_loncol(F.lit(116.0) + F.col("value") / 1000.0, GRID_PARAMS)
+    )
+    items = withg.select("grid").distinct()
+    out = contrastive_samples(
+        withg, "user_id", "ts", "event_id", items, "grid", seq_len=3, k_neg=3
+    )
+    return out.select("user_id", "ts", "query", "pos", "neg")
+
+
 def q_time_features(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ts = F.col("ts")
@@ -599,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_matrix": q_series_matrix,
         "hash_split": q_hash_split,
         "negative_samples": q_negative_samples,
+        "contrastive": q_contrastive,
     }
 
 
@@ -1120,6 +1135,39 @@ rk AS (
             grid ASC))::INT AS neg_rank
   FROM unv)
 SELECT user_id, grid, neg_rank FROM rk WHERE neg_rank <= 3
+""",
+        "contrastive": f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         floor((116.0 + value/1000.0 - 116.0 + 0.01/2) / 0.01)::BIGINT AS grid
+  FROM events),
+sl AS (
+  SELECT user_id, ts, "query", pos FROM (
+    SELECT user_id, ts,
+           list(event_id) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS "query",
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts) AS pos
+    FROM g)
+  WHERE len("query") = 3 AND pos IS NOT NULL),
+inter AS (SELECT DISTINCT user_id, grid FROM g),
+ent AS (SELECT DISTINCT user_id FROM inter),
+items AS (SELECT DISTINCT grid FROM inter),
+unv AS (
+  SELECT e.user_id, i.grid
+  FROM ent e CROSS JOIN items i
+  LEFT JOIN inter v ON v.user_id = e.user_id AND v.grid = i.grid
+  WHERE v.user_id IS NULL),
+rk AS (
+  SELECT user_id, grid,
+         (row_number() OVER (PARTITION BY user_id ORDER BY
+            ({_MD5L.format(x="user_id::VARCHAR || '#' || grid::VARCHAR")}) ASC,
+            grid ASC))::INT AS neg_rank
+  FROM unv),
+negs AS (
+  SELECT user_id, list(grid ORDER BY neg_rank) AS neg
+  FROM rk WHERE neg_rank <= 3 GROUP BY 1)
+SELECT sl.user_id, sl.ts, sl."query", sl.pos, negs.neg
+FROM sl LEFT JOIN negs ON sl.user_id = negs.user_id
 """,
         "time_features": """
 SELECT event_id,

@@ -64,3 +64,53 @@ def negative_samples(
         .filter(F.col("neg_rank") <= k)
         .select(entity_col, item_col, "neg_rank")
     )
+
+
+def contrastive_samples(
+    df: DataFrame,
+    entity_col: str,
+    time_col: str,
+    item_col: str,
+    neg_pool: DataFrame,
+    neg_item_col: str,
+    seq_len: int = 3,
+    k_neg: int = 3,
+) -> DataFrame:
+    """Contrastive training records: per entity and time step, ``query`` =
+    the last ``seq_len`` items, ``pos`` = the next item, ``neg`` = the
+    entity's ``k_neg`` deterministic negative items (unvisited members of
+    ``neg_pool``, ordered by hash rank).
+
+    Spark restatement of the reference's sample generator — records
+    ``{userID, query[], pos, neg[]}`` (README.md:74-182, generator
+    Test.ipynb cells 84-85, strategy
+    DP_GenerateTrajectory_ContainNegativeSample.py:1-8; the pandas RNG
+    choice of negatives is replaced by the deterministic hash ranking of
+    ``negative_samples``, SURVEY.md §7.4).
+
+    Plan shape: one entity-key window pass for the sliding (query, pos)
+    pairs + the negative-sampling anti-join, then an entity equi-join to
+    attach each entity's fixed neg array — the per-row work never touches
+    the negative pool.
+    """
+    from geofeaturegeneration_spark.operators.windows import sliding_subsequences
+
+    sl = sliding_subsequences(df, [entity_col], time_col, item_col, seq_len)
+    negs = (
+        negative_samples(
+            df.select(entity_col, F.col(neg_item_col)), neg_pool,
+            entity_col, neg_item_col, k_neg,
+        )
+        .groupBy(entity_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("neg_rank").alias("r"), F.col(neg_item_col).alias("v"))
+                    )
+                ),
+                lambda p: p["v"],
+            ).alias("neg")
+        )
+    )
+    return sl.join(negs, entity_col, "left")

@@ -77,3 +77,28 @@ def test_negative_samples_unvisited_only(spark):
     again = {(r["uid"], r["item"]) for r in
              negative_samples(inter, items, "uid", "item", k=2).collect()}
     assert got == again
+
+
+def test_contrastive_samples(spark):
+    from geofeaturegeneration_spark.operators.split import contrastive_samples
+    import pyspark.sql.functions as F
+
+    rows = [
+        ("u1", i, 100 + i, (100 + i) % 3) for i in range(6)
+    ]  # entity, ts(int order), event item, grid in {0,1,2}
+    df = spark.createDataFrame(rows, "user STRING, ts INT, item INT, grid INT")
+    pool = spark.createDataFrame([(g,) for g in range(6)], "grid INT")
+    out = contrastive_samples(
+        df, "user", "ts", "item", pool, "grid", seq_len=3, k_neg=2
+    ).collect()
+    # rows exist only once a full window of 3 and a next item exist: ts 2..4
+    assert sorted(r["ts"] for r in out) == [2, 3, 4]
+    by_ts = {r["ts"]: r for r in out}
+    assert by_ts[2]["query"] == [100, 101, 102] and by_ts[2]["pos"] == 103
+    assert by_ts[4]["query"] == [102, 103, 104] and by_ts[4]["pos"] == 105
+    # negatives: unvisited grids are {3,4,5}; same deterministic pair on
+    # every row of the entity, ordered by hash rank
+    negsets = {tuple(r["neg"]) for r in out}
+    assert len(negsets) == 1
+    only = negsets.pop()
+    assert len(only) == 2 and set(only) <= {3, 4, 5}
