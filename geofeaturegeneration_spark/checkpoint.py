@@ -138,21 +138,25 @@ def run_partitioned(
     between output-write and checkpoint-mark re-runs that partition
     idempotently (write is the source of truth; the mark only skips work).
     """
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    done = set() if force else store.completed(job_id, lineage)
-    results: list[PartitionResult] = []
-    for key in partition_keys:
-        if key in done:
-            results.append(PartitionResult(key, 0, 0, skipped=True))
-            continue
-        t0 = time.perf_counter()
-        df = run_one(key)
-        out = df.withColumn(partition_col, F.lit(key))
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
-        n = spark.read.parquet(out_path).filter(
-            F.col(partition_col) == key
-        ).count()
-        wall_ms = int((time.perf_counter() - t0) * 1000)
-        store.mark(job_id, key, "done", rows=n, wall_ms=wall_ms, lineage=lineage)
-        results.append(PartitionResult(key, n, wall_ms, skipped=False))
-    return results
+    try:
+        done = set() if force else store.completed(job_id, lineage)
+        results: list[PartitionResult] = []
+        for key in partition_keys:
+            if key in done:
+                results.append(PartitionResult(key, 0, 0, skipped=True))
+                continue
+            t0 = time.perf_counter()
+            df = run_one(key)
+            out = df.withColumn(partition_col, F.lit(key))
+            out.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
+            n = spark.read.parquet(out_path).filter(
+                F.col(partition_col) == key
+            ).count()
+            wall_ms = int((time.perf_counter() - t0) * 1000)
+            store.mark(job_id, key, "done", rows=n, wall_ms=wall_ms, lineage=lineage)
+            results.append(PartitionResult(key, n, wall_ms, skipped=False))
+        return results
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
