@@ -313,6 +313,20 @@ def q_rolling(spark, sf_dir):
     )
 
 
+def q_rolling_range(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = rolling_features(ev, ["user_id"], "ts", "value", range_seconds=1800)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("value_roll_avg", 6).alias("roll_avg"),
+        F.round("value_roll_sum", 6).alias("roll_sum"),
+        F.col("value_roll_min").alias("roll_min"),
+        F.col("value_roll_max").alias("roll_max"),
+        F.round("value_cum_sum", 6).alias("cum_sum"),
+        "row_idx",
+    )
+
+
 def q_pivot_counts(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return pivot_counts(ev, "user_id", "event_type", values=EVENT_TYPES)
@@ -581,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_merge": q_asof_merge,
         "lag_lead": q_lag_lead,
         "rolling": q_rolling,
+        "rolling_range": q_rolling_range,
         "pivot_counts": q_pivot_counts,
         "interaction_matrix": q_interaction,
         "vocab": q_vocab,
@@ -810,6 +825,20 @@ SELECT event_id, user_id, ts,
 FROM events
 WINDOW f AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
        c AS (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+""",
+        "rolling_range": f"""
+SELECT event_id, user_id, ts,
+       round(avg(value) OVER f,6) AS roll_avg,
+       round(sum(value) OVER f,6) AS roll_sum,
+       min(value) OVER f AS roll_min,
+       max(value) OVER f AS roll_max,
+       round(sum(value) OVER c,6) AS cum_sum,
+       (row_number() OVER (PARTITION BY user_id ORDER BY {_SEC.format(x='ts')}))::INT AS row_idx
+FROM events
+WINDOW f AS (PARTITION BY user_id ORDER BY {_SEC.format(x='ts')}
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW),
+       c AS (PARTITION BY user_id ORDER BY {_SEC.format(x='ts')}
+             ROWS UNBOUNDED PRECEDING)
 """,
         "pivot_counts": """
 SELECT user_id,
