@@ -133,10 +133,16 @@ def ann_ivf_topk(
     k: int = 3,
     n_centroids: int = 8,
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer assigns every vector
     to its nearest centroid ("inverted list"); each query scores only the
     vectors in its ``nprobe`` closest lists.
+
+    ``centroids`` (schema ``_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE``)
+    injects a pre-trained quantizer — the production shape (train once,
+    search many); when omitted, a deterministic seed quantizer is trained
+    eagerly from the first ``n_centroids`` vectors.
 
     Centroids here are the first ``n_centroids`` vectors in id order — a
     deterministic seed set (at scale: k-means centroids from a sampled
@@ -148,16 +154,20 @@ def ann_ivf_topk(
     Output: (id_col, nn_id, cos_sim, rank, list_id)."""
     v = _to_double(F.col(vec_col))
     normed = df.select(F.col(id_col), v.alias("_v"), _norm(v).alias("_n"))
-    w_seed = W.orderBy(id_col)
-    cents = (
-        normed.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(w_seed).alias("_cid"),
-            F.col("_v").alias("_cv"),
-            F.col("_n").alias("_cn"),
+    # the coarse quantizer is TRAINED eagerly (one tiny TakeOrdered job) and
+    # becomes a literal broadcast table — exactly how a real IVF ships its
+    # k-means centroids; keeping it lazy would replicate a global-window
+    # subtree into every branch of the search plan.
+    if centroids is not None:
+        cents = centroids
+    else:
+        seed_rows = (
+            normed.orderBy(id_col).limit(n_centroids).select("_v", "_n").collect()
         )
-    )
+        cents = df.sparkSession.createDataFrame(
+            [(i + 1, list(r["_v"]), float(r["_n"])) for i, r in enumerate(seed_rows)],
+            "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE",
+        )
     ccos = _dot(F.col("_v"), F.col("_cv")) / (F.col("_n") * F.col("_cn"))
     w_assign = W.partitionBy(id_col).orderBy(
         F.col("_ccos").desc(), F.col("_cid").asc()
