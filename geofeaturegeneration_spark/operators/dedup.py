@@ -251,21 +251,18 @@ def simhash_pairs(
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
     sig = simhash(df, id_col, text_col, bits)
-    chunks = []
+    # all chunk keys emitted in ONE pass (posexplode of a literal-built
+    # array) — a per-chunk union would replicate the signature subplan
+    chunk_exprs = []
     for c in range(n_chunks):
         lo = c * chunk_bits
         width = chunk_bits if c < n_chunks - 1 else bits - lo
-        chunks.append(
-            sig.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(c).alias("chunk"),
-                F.expr(f"(simhash div {1 << lo}) % {1 << width}").alias("ck"),
-            )
-        )
-    tagged = chunks[0]
-    for c in chunks[1:]:
-        tagged = tagged.unionByName(c)
+        chunk_exprs.append(F.expr(f"(simhash div {1 << lo}) % {1 << width}"))
+    tagged = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk", "ck"),
+    )
     a = tagged.select(
         F.col("chunk"), F.col("ck"),
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
