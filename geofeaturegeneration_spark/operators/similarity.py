@@ -184,8 +184,12 @@ def ann_ivf_topk(
         )
     )
     # inverted lists contain each vector once (its home list); queries probe
-    # their nprobe nearest lists
-    a = assigned.select(
+    # their nprobe nearest lists. With nprobe=1 the probe set IS the home
+    # set, so both join sides derive from the identical subplan (filter
+    # included) and the assignment exchange is computed once (ReuseExchange);
+    # with nprobe>1 the probe side is the superset.
+    probe = assigned.filter(F.col("_home")) if nprobe == 1 else assigned
+    a = probe.select(
         F.col(id_col), F.col("list_id"),
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
     )
