@@ -553,6 +553,29 @@ def q_negative_samples(spark, sf_dir):
     return negative_samples(inter, items, "user_id", "grid", k=3)
 
 
+def q_stay_enrich(spark, sf_dir):
+    """The reference's central join (AttachFeature.py:464): stays left-join
+    the grid-bucketed category aggregates on grid, missing -> 0, broadcast
+    small side."""
+    ev = _t(spark, sf_dir, "events")
+    withg = ev.withColumn(
+        "grid", gps_to_loncol(F.lit(116.0) + F.col("value") / 1000.0, GRID_PARAMS)
+    )
+    poi = pivot_counts(withg, "grid", "event_type", values=EVENT_TYPES)
+    stays = sessionize_state_change(
+        withg, ["user_id"], "ts", "event_type", min_duration_s=600.0,
+        keep_cols=["grid"],
+    )
+    return (
+        stays.join(F.broadcast(poi), "grid", "left")
+        .na.fill({c: 0 for c in EVENT_TYPES})
+        .select(
+            "user_id", "stay_seq", "grid", "stime", "etime", "duration_s",
+            *EVENT_TYPES,
+        )
+    )
+
+
 def q_contrastive(spark, sf_dir):
     from geofeaturegeneration_spark.operators.split import contrastive_samples
 
@@ -629,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "negative_samples": q_negative_samples,
         "contrastive": q_contrastive,
+        "stay_enrich": q_stay_enrich,
     }
 
 
@@ -1164,6 +1188,42 @@ rk AS (
             grid ASC))::INT AS neg_rank
   FROM unv)
 SELECT user_id, grid, neg_rank FROM rk WHERE neg_rank <= 3
+""",
+        "stay_enrich": f"""
+WITH g AS (
+  SELECT *, floor((116.0 + value/1000.0 - 116.0 + 0.01/2) / 0.01)::BIGINT AS grid
+  FROM events),
+poi AS (
+  SELECT grid,
+         count(*) FILTER (WHERE event_type='click')::BIGINT AS click,
+         count(*) FILTER (WHERE event_type='error')::BIGINT AS error,
+         count(*) FILTER (WHERE event_type='purchase')::BIGINT AS purchase,
+         count(*) FILTER (WHERE event_type='signup')::BIGINT AS signup,
+         count(*) FILTER (WHERE event_type='view')::BIGINT AS "view"
+  FROM g GROUP BY 1),
+f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w != event_type
+                     THEN 1 ELSE 0 END AS new
+      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+gr AS (SELECT user_id, sid, min(ts) AS stime,
+              arg_min(grid, ts) AS grid
+       FROM s GROUP BY 1,2),
+e AS (SELECT *, lead(stime) OVER w2 AS etime,
+             (row_number() OVER w2)::INT AS stay_seq
+      FROM gr WINDOW w2 AS (PARTITION BY user_id ORDER BY stime)),
+stays AS (
+  SELECT user_id, stay_seq, grid, stime, etime,
+         ({_SEC.format(x='etime')} - {_SEC.format(x='stime')})::DOUBLE AS duration_s
+  FROM e
+  WHERE etime IS NOT NULL
+    AND ({_SEC.format(x='etime')} - {_SEC.format(x='stime')}) >= 600)
+SELECT s.user_id, s.stay_seq, s.grid, s.stime, s.etime, s.duration_s,
+       coalesce(p.click,0) AS click, coalesce(p.error,0) AS error,
+       coalesce(p.purchase,0) AS purchase, coalesce(p.signup,0) AS signup,
+       coalesce(p."view",0) AS "view"
+FROM stays s LEFT JOIN poi p ON s.grid = p.grid
 """,
         "contrastive": f"""
 WITH g AS (
