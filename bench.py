@@ -46,6 +46,7 @@ HEADLINE = [
     "sessionize_gap",
     "sessionize_state",
     "stay_move",
+    "stay_enrich",
     "asof_union",
     "asof_salted",
     "asof_merge",
