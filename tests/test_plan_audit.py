@@ -87,6 +87,14 @@ def test_narrow_exprs_no_exchange_codegen(spark):
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
 
 
+def test_salted_paths_never_single_partition(spark):
+    qs = E.queries()
+    for name in ["asof_salted", "sessionize_salted", "stay_enrich"]:
+        plan = plan_str(qs[name](spark, SF_DIR), "simple")
+        assert "SinglePartition" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_sessionize_shuffles_only_on_entity(spark):
     plan = plan_str(E.queries()["sessionize_state"](spark, SF_DIR), "simple")
     # every exchange must partition on the entity key — no global shuffles
