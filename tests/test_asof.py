@@ -108,3 +108,46 @@ def test_left_rowcount_preserved(data):
     for strategy in ["union", "salted", "merge_asof"]:
         got = asof_join(ldf, rdf, ["key"], "pts", "rts", ["val", "tag"], strategy=strategy)
         assert got.count() == len(left)
+
+
+def test_strategies_agree_on_skewed_random_data(spark):
+    """union / salted / bucketed merge_asof must be value-identical on a
+    larger deterministic random workload with a hot key owning ~half the
+    rows (the regime salting exists for)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    n_l, n_r = 4000, 3000
+    pool = [f"k{i}" for i in range(50)]
+
+    def mk(n, seed):
+        r = np.random.RandomState(seed)
+        keys = np.where(r.rand(n) < 0.5, "hot", r.choice(pool, n))
+        ts = pd.to_datetime(1_700_000_000 + r.randint(0, 500_000, n), unit="s")
+        return pd.DataFrame({"key": keys, "t": ts, "v": r.rand(n).round(6)})
+
+    lpdf, rpdf = mk(n_l, 3), mk(n_r, 4)
+    lpdf["rid"] = range(n_l)
+    ldf = spark.createDataFrame(lpdf.rename(columns={"t": "pts", "v": "lv"}))
+    rdf = spark.createDataFrame(rpdf.rename(columns={"t": "rts", "v": "val"}))
+
+    outs = {}
+    for strategy, kw in [
+        ("union", {}),
+        ("salted", {"hot_key_threshold": 100, "n_salts": 4}),
+        ("merge_asof", {"num_buckets": 8}),
+    ]:
+        got = asof_join(
+            ldf, rdf, ["key"], "pts", "rts", ["val"], strategy=strategy, **kw
+        ).toPandas().sort_values("rid").reset_index(drop=True)
+        outs[strategy] = got
+
+    base = outs["union"]
+    for s in ["salted", "merge_asof"]:
+        o = outs[s]
+        assert len(o) == len(base) == n_l, s
+        a = base["val"].astype(float).to_numpy()
+        b = o["val"].astype(float).to_numpy()
+        assert np.array_equal(np.isnan(a), np.isnan(b)), s
+        assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)]), s
