@@ -82,6 +82,37 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _arr_csv(col) -> F.Column:
+    """Engine-portable scalar canonicalization of an array column: the
+    comma-joined element string (DuckDB: ``array_to_string(arr, ',')``).
+    The driver harness canonicalizes result frames with a pandas
+    ``sort_values`` over every column, which cannot hash list cells — so
+    contract queries emit arrays as this scalar; the library API and pytest
+    keep the real array outputs. NULL arrays stay NULL (concat_ws would
+    otherwise collapse them to '')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNotNull(), F.concat_ws(",", c.cast("array<string>"))
+    )
+
+
+def _darr_csv(col) -> F.Column:
+    """Same, for double arrays: elements pass through round(x*1e6) -> BIGINT
+    before joining (DuckDB: ``array_to_string(list_transform(arr, x ->
+    round(x*1000000)::BIGINT), ',')``). Double->string formatting differs
+    between engines (Spark '1.0E-6' vs DuckDB '0.000001'); the integer route
+    is bit-deterministic because both engines share IEEE doubles and
+    half-away-from-zero round."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c.isNotNull(),
+        F.concat_ws(
+            ",",
+            F.transform(c, lambda x: F.round(x * 1000000).cast("long").cast("string")),
+        ),
+    )
+
+
 def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a parallelism floor: the test fixture is one small
     single-row-group file (scan = 1 task), but the dedup/shingle operators
@@ -363,13 +394,16 @@ def _doc_tokens(spark, sf_dir):
 
 
 def q_tokens_ordered(spark, sf_dir):
-    return _doc_tokens(spark, sf_dir).select("doc_id", "tokens")
+    toks = _doc_tokens(spark, sf_dir)
+    return toks.select(
+        "doc_id", F.size("tokens").alias("n_tok"), _arr_csv("tokens").alias("tokens")
+    )
 
 
 def q_chunks(spark, sf_dir):
     toks = _doc_tokens(spark, sf_dir)
     return chunk_sequences(toks, "tokens", SEQ_LEN).select(
-        "doc_id", "chunk_idx", "chunk"
+        "doc_id", "chunk_idx", _arr_csv("chunk").alias("chunk")
     )
 
 
@@ -379,7 +413,7 @@ def q_token_roundtrip(spark, sf_dir):
         toks.select("doc_id", "n_tok", "tokens"), "tokens", SEQ_LEN
     )
     back = reassemble_chunks(chunks, ["doc_id"], n_col="n_tok")
-    return back.select("doc_id", "n_tok", "tokens")
+    return back.select("doc_id", "n_tok", _arr_csv("tokens").alias("tokens"))
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -508,9 +542,7 @@ def q_embed_payload(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     out = embed_payload(attach_payload(docs, "doc_id", "text"), dim=8)
-    return out.select(
-        "doc_id", F.transform("embedding", lambda x: F.round(x, 6)).alias("embedding")
-    )
+    return out.select("doc_id", _darr_csv("embedding").alias("embedding"))
 
 
 def q_minmax(spark, sf_dir):
@@ -529,7 +561,7 @@ def q_decimate(spark, sf_dir):
 def q_sliding(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     out = sliding_subsequences(ev, ["user_id"], "ts", "event_id", seq_len=3)
-    return out.select("user_id", "ts", F.col("query"), F.col("pos"))
+    return out.select("user_id", "ts", _arr_csv("query").alias("query"), F.col("pos"))
 
 
 def q_grid(spark, sf_dir):
@@ -555,7 +587,10 @@ def q_series_matrix(spark, sf_dir):
     out = series_to_matrix(
         ev, "user_id", "ts", ["value"], max_rows=24, period="week"
     )
-    return out.select("user_id", "period_start", "n_rows", "matrix")
+    return out.select(
+        "user_id", "period_start", "n_rows",
+        _darr_csv(F.flatten("matrix")).alias("matrix"),
+    )
 
 
 def q_hash_split(spark, sf_dir):
@@ -609,7 +644,10 @@ def q_contrastive(spark, sf_dir):
     out = contrastive_samples(
         withg, "user_id", "ts", "event_id", items, "grid", seq_len=3, k_neg=3
     )
-    return out.select("user_id", "ts", "query", "pos", "neg")
+    return out.select(
+        "user_id", "ts", _arr_csv("query").alias("query"), "pos",
+        _arr_csv("neg").alias("neg"),
+    )
 
 
 def q_time_features(spark, sf_dir):
@@ -911,7 +949,9 @@ FROM events e JOIN v ON e.event_type = v.event_type
 """,
         "tokens_ordered": f"""
 WITH {_TOKENS_CTE.strip()}
-SELECT doc_id, tokens FROM tok
+SELECT doc_id, len(tokens)::INT AS n_tok,
+       array_to_string(tokens, ',') AS tokens
+FROM tok
 """,
         # NB: built explode-side (unnest + group-by) rather than via list
         # slicing: DuckDB 1.0 hits std::bad_array_new_length on
@@ -927,12 +967,14 @@ padr AS (SELECT doc_id, 0 AS tid, unnest(generate_series(n+1, tot)) AS pos
          FROM sized WHERE tot > n),
 allr AS (SELECT * FROM realr UNION ALL SELECT * FROM padr)
 SELECT doc_id, ((pos-1)//{SEQ_LEN})::INT AS chunk_idx,
-       list(tid ORDER BY pos) AS chunk
+       array_to_string(list(tid ORDER BY pos), ',') AS chunk
 FROM allr GROUP BY 1, 2
 """,
         "token_roundtrip": f"""
 WITH {_TOKENS_CTE.strip()}
-SELECT doc_id, len(tokens)::INT AS n_tok, tokens FROM tok
+SELECT doc_id, len(tokens)::INT AS n_tok,
+       array_to_string(tokens, ',') AS tokens
+FROM tok
 """,
         "dedup_exact": f"""
 SELECT {_MD5L.format(x=_NORM_TEXT)} AS fp,
@@ -1097,9 +1139,11 @@ FROM s
 """,
         "embed_payload": """
 SELECT doc_id,
-       list_transform(generate_series(0, 7),
-                      i -> round(((octet_length(encode(text)) * (i + 3)) % 997)
-                                 / 997.0, 6)) AS embedding
+       array_to_string(
+         list_transform(generate_series(0, 7),
+                        i -> round((((octet_length(encode(text)) * (i + 3)) % 997)
+                                    / 997.0) * 1000000)::BIGINT),
+         ',') AS embedding
 FROM documents
 """,
         "multimodal_meta": """
@@ -1126,7 +1170,7 @@ SELECT event_id, user_id, ts FROM (
 WHERE (rn-1) % 5 = 0
 """,
         "sliding_subseq": """
-SELECT user_id, ts, "query", pos FROM (
+SELECT user_id, ts, array_to_string("query", ',') AS "query", pos FROM (
   SELECT user_id, ts,
          list(event_id) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS "query",
@@ -1179,7 +1223,10 @@ pad AS (
   FROM cnt WHERE n_rows < 24),
 allr AS (SELECT * FROM r UNION ALL SELECT * FROM pad)
 SELECT a.user_id, a.period_start, c.n_rows,
-       list([a.v] ORDER BY a.idx) AS matrix
+       array_to_string(
+         list_transform(list(a.v ORDER BY a.idx),
+                        x -> round(x * 1000000)::BIGINT),
+         ',') AS matrix
 FROM allr a JOIN cnt c
   ON a.user_id = c.user_id AND a.period_start = c.period_start
 WHERE c.n_rows <= 24
@@ -1275,9 +1322,10 @@ rk AS (
             grid ASC))::INT AS neg_rank
   FROM unv),
 negs AS (
-  SELECT user_id, list(grid ORDER BY neg_rank) AS neg
+  SELECT user_id, array_to_string(list(grid ORDER BY neg_rank), ',') AS neg
   FROM rk WHERE neg_rank <= 3 GROUP BY 1)
-SELECT sl.user_id, sl.ts, sl."query", sl.pos, negs.neg
+SELECT sl.user_id, sl.ts, array_to_string(sl."query", ',') AS "query",
+       sl.pos, negs.neg
 FROM sl LEFT JOIN negs ON sl.user_id = negs.user_id
 """,
         "time_features": """

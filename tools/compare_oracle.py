@@ -32,7 +32,15 @@ def canon_cell(v):
         # collapse -0.0/0.0 and represent exactly
         return ("f", repr(v + 0.0))
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return ("l",) + tuple(canon_cell(x) for x in v)
+        # The driver harness canonicalizes with pandas sort_values, which
+        # CRASHES on list cells ("unhashable type: 'list'") — a contract
+        # query emitting an array column is therefore red in the driver even
+        # if values match. Fail loudly here instead of false-greening
+        # (round-1 lesson: 7 queries erred only in the driver).
+        raise TypeError(
+            "array column in contract query output — emit a scalar canon "
+            "(array_to_string / _arr_csv) instead"
+        )
     if isinstance(v, pd.Timestamp):
         return ("t", v.isoformat())
     if hasattr(v, "item"):  # numpy scalar
@@ -85,8 +93,13 @@ def main():
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name}: oracle error {e}")
             continue
-        scols, srows = canon_df(sdf)
-        ocols, orows = canon_df(odf)
+        try:
+            scols, srows = canon_df(sdf)
+            ocols, orows = canon_df(odf)
+        except TypeError as e:
+            failures.append((name, f"CANON ERROR: {e}"))
+            print(f"FAIL  {name}: canon error {e}")
+            continue
         if scols != ocols:
             failures.append((name, f"cols spark={scols} oracle={ocols}"))
             print(f"FAIL  {name}: column mismatch\n  spark={scols}\n  duck ={ocols}")
