@@ -44,32 +44,47 @@ def ordered_tokens(
     byte-based coalescing would otherwise pack hot entities into few tasks
     and create stragglers.
 
-    Fast path: when ``order_col`` is a non-negative int/long and
-    ``token_col`` an int, each (order, token) pair is packed into ONE int64
-    (order in the high 32 bits, token sign-preserved in the low 32) so the
-    per-entity sort is a primitive long sort instead of a struct sort with
-    boxed comparator lambdas — profiled ~3x faster and far less GC on hot
-    entities. Falls back to the struct sort for other types.
+    Fast path: when ``order_col`` is an int (32-bit) and ``token_col`` an
+    int, each (order, token) pair is packed into ONE int64 (order in the
+    high 32 bits, token offset-encoded in the low 32) so the per-entity sort
+    is a primitive long sort instead of a struct sort with boxed comparator
+    lambdas — profiled ~3x faster and far less GC on hot entities. The token
+    is stored XOR 0x80000000 (two's-complement -> offset-binary), so packed
+    ties on duplicate order values break by SIGNED token order — identical
+    to the struct path. bigint order columns (e.g. epoch millis/micros that
+    overflow 32 bits and would silently scramble the packing) and every
+    other type take the struct sort.
     """
     if num_partitions is not None:
         df = df.repartition(num_partitions, *entity_cols)
     o_type = df.schema[order_col].dataType.simpleString()
     v_type = df.schema[token_col].dataType.simpleString()
-    if o_type in ("int", "bigint") and v_type == "int":
-        packed = F.shiftleft(F.col(order_col).cast("long"), 32) + (
-            F.col(token_col).cast("long").bitwiseAND(F.lit(0xFFFFFFFF))
+    if o_type == "int" and v_type == "int":
+        tok_u = (
+            F.col(token_col)
+            .cast("long")
+            .bitwiseXOR(F.lit(0x80000000))
+            .bitwiseAND(F.lit(0xFFFFFFFF))
         )
+        packed = F.shiftleft(F.col(order_col).cast("long"), 32) + tok_u
         return (
             df.groupBy(*entity_cols)
             .agg(F.array_sort(F.collect_list(packed)).alias("_packed"))
             .withColumn(
                 out_col,
-                # decode = sign-extended low 32 bits ((x << 32) >> 32 on the
-                # masked value); plain cast would throw under ANSI mode
+                # decode: undo the offset encoding, then sign-extend the low
+                # 32 bits ((x << 32) >> 32); plain cast would throw under
+                # ANSI mode
                 F.transform(
                     "_packed",
                     lambda x: F.shiftright(
-                        F.shiftleft(x.bitwiseAND(F.lit(0xFFFFFFFF)), 32), 32
+                        F.shiftleft(
+                            x.bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseXOR(
+                                F.lit(0x80000000)
+                            ),
+                            32,
+                        ),
+                        32,
                     ).cast("int"),
                 ),
             )

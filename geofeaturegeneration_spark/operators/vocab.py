@@ -47,9 +47,16 @@ def build_vocab(
     ranged = distinct.repartitionByRange(
         num_partitions, F.col(key_col)
     ).sortWithinPartitions(key_col)
-    # cache so the count pass and the id-assignment pass see the exact same
-    # partitioning (range boundaries are sampled from the input)
-    ranged = ranged.persist()
+    # Materialize eagerly and CUT LINEAGE: the count pass and the
+    # id-assignment pass must see the exact same partitioning, but
+    # repartitionByRange samples boundaries from a nondeterministically
+    # ordered distinct shuffle — a persist()ed partition that gets evicted
+    # and recomputed could land rows in different partitions than the
+    # collected counts assumed (the classic zipWithIndex hazard). With
+    # localCheckpoint the partitions are stored and recomputation is
+    # impossible (block loss fails the job instead of corrupting ids), and
+    # nothing stays pinned in the cache registry across calls.
+    ranged = ranged.localCheckpoint(eager=True)
     counts = (
         ranged.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")
