@@ -476,7 +476,9 @@ def q_ann_ivf(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     # the quantizer is trained once per table and reused across calls —
     # production IVF ships pre-trained centroids; repeated searches should
-    # not re-pay the training scan
+    # not re-pay the training scan. The cache holds PLAIN PYTHON rows, not a
+    # DataFrame: a cached DataFrame is bound to its SparkSession and breaks
+    # when bench/tests stop and recreate sessions in one process.
     key = sf_dir
     if key not in _IVF_CENTROIDS:
         v = _to_double(F.col("embedding"))
@@ -484,13 +486,15 @@ def q_ann_ivf(spark, sf_dir):
             emb.select(F.col("vec_id"), v.alias("_v"), _norm(v).alias("_n"))
             .orderBy("vec_id").limit(8).select("_v", "_n").collect()
         )
-        _IVF_CENTROIDS[key] = spark.createDataFrame(
-            [(i + 1, list(r["_v"]), float(r["_n"])) for i, r in enumerate(rows)],
-            "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE",
-        )
+        _IVF_CENTROIDS[key] = [
+            (i + 1, list(r["_v"]), float(r["_n"])) for i, r in enumerate(rows)
+        ]
+    cent = spark.createDataFrame(
+        _IVF_CENTROIDS[key], "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE"
+    )
     return ann_ivf_topk(
         emb, "vec_id", "embedding", k=3, n_centroids=8, nprobe=1,
-        centroids=_IVF_CENTROIDS[key],
+        centroids=cent,
     )
 
 

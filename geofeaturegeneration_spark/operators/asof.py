@@ -108,6 +108,12 @@ def asof_join(
     ``right[right_time] <= left[left_time]`` per ``on`` key (backward as-of,
     inclusive). Left rows with no prior right row get nulls.
 
+    Null semantics (identical across all three strategies): a null key is an
+    ordinary key value — null-key probes match null-key right rows; a null
+    time sorts before every real time, so a null-time right row is visible
+    to every probe of its key and a null-time probe sees only null-time
+    right rows.
+
     Output = all left columns + value_cols (caller aliases beforehand if a
     value col collides with a left col).
     """
@@ -200,27 +206,85 @@ def _merge_asof(
     rg = r_sel.groupBy("_b")
 
     lt = left_time
+    out_names = [f.name for f in out_schema.fields]
+
+    # Null semantics must match the window strategies, where nulls are
+    # ordinary values: partitionBy groups null keys together, and a null
+    # time sorts FIRST (asc nulls-first), i.e. "earlier than everything".
+    # pandas merge_asof natively does neither (NaN by-keys never match, NaT
+    # times raise), so when nulls are present the match runs on sentinel
+    # copies: times fill to the minimal value, by-keys fill to a reserved
+    # object sentinel. The no-null path is untouched.
+    _NULL_KEY = "\x00__null_key__"
+
+    def _fill_time(s: pd.Series) -> pd.Series:
+        if pd.api.types.is_datetime64_any_dtype(s):
+            return s.fillna(pd.Timestamp.min)
+        return s.astype("float64").fillna(float("-inf"))
+
+    def _fill_key(s: pd.Series) -> pd.Series:
+        return s.astype(object).where(s.notna(), _NULL_KEY)
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if l_pdf.empty:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
-        l_sorted = l_pdf.sort_values(lt, kind="mergesort").drop(columns=["_b"])
+            return pd.DataFrame(columns=out_names)
+        l_pdf = l_pdf.drop(columns=["_b"])
+        r_pdf = r_pdf if r_pdf.empty else r_pdf.drop(columns=["_b"])
+        has_nulls = bool(
+            l_pdf[list(on)].isna().any().any()
+            or l_pdf[lt].isna().any()
+            or (
+                not r_pdf.empty
+                and (
+                    r_pdf[r_keys].isna().any().any()
+                    or r_pdf["_rt"].isna().any()
+                )
+            )
+        )
+        if not has_nulls:
+            l_sorted = l_pdf.sort_values(lt, kind="mergesort")
+            if r_pdf.empty:
+                for c in value_cols:
+                    l_sorted[c] = None
+                return l_sorted[out_names]
+            r_sorted = r_pdf.sort_values("_rt", kind="mergesort")
+            merged = pd.merge_asof(
+                l_sorted,
+                r_sorted,
+                left_on=lt,
+                right_on="_rt",
+                left_by=list(on),
+                right_by=r_keys,
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            return merged[out_names]
+
+        l2 = l_pdf.copy()
+        l2["_ltm"] = _fill_time(l2[lt])
+        for c in on:
+            l2[f"_byl_{c}"] = _fill_key(l2[c])
+        l2 = l2.sort_values("_ltm", kind="mergesort")
         if r_pdf.empty:
             for c in value_cols:
-                l_sorted[c] = None
-            return l_sorted
-        r_sorted = r_pdf.sort_values("_rt", kind="mergesort").drop(columns=["_b"])
+                l2[c] = None
+            return l2[out_names]
+        r2 = r_pdf.copy()
+        r2["_rtm"] = _fill_time(r2["_rt"])
+        for k in r_keys:
+            r2[f"_byr_{k}"] = _fill_key(r2[k])
+        r2 = r2.sort_values("_rtm", kind="mergesort")
         merged = pd.merge_asof(
-            l_sorted,
-            r_sorted,
-            left_on=lt,
-            right_on="_rt",
-            left_by=list(on),
-            right_by=r_keys,
+            l2,
+            r2,
+            left_on="_ltm",
+            right_on="_rtm",
+            left_by=[f"_byl_{c}" for c in on],
+            right_by=[f"_byr_{k}" for k in r_keys],
             direction="backward",
             allow_exact_matches=True,
         )
-        return merged[[f.name for f in out_schema.fields]]
+        return merged[out_names]
 
     return (
         lg.cogroup(rg)

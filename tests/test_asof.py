@@ -128,6 +128,15 @@ def test_strategies_agree_on_skewed_random_data(spark):
         return pd.DataFrame({"key": keys, "t": ts, "v": r.rand(n).round(6)})
 
     lpdf, rpdf = mk(n_l, 3), mk(n_r, 4)
+    # null keys and null probe/right times: strategies must also agree on
+    # these (null key = ordinary key value; null time = earliest). A single
+    # null-time right row per null key keeps ties deterministic.
+    lpdf.loc[0:19, "key"] = None          # null-key probes
+    lpdf.loc[30:39, "t"] = pd.NaT         # null-time probes on real keys
+    rpdf.loc[0:4, "key"] = None           # null-key right rows
+    rpdf.loc[10, ["key", "t"]] = [None, pd.NaT]  # null key AND time
+    rpdf.loc[11, "t"] = pd.NaT            # null-time right row, real key
+    n_l = len(lpdf)
     lpdf["rid"] = range(n_l)
     ldf = spark.createDataFrame(lpdf.rename(columns={"t": "pts", "v": "lv"}))
     rdf = spark.createDataFrame(rpdf.rename(columns={"t": "rts", "v": "val"}))
