@@ -611,7 +611,9 @@ def q_negative_samples(spark, sf_dir):
         gps_to_loncol(F.lit(116.0) + F.col("value") / 1000.0, GRID_PARAMS).alias("g"),
     ).select("user_id", F.col("g").alias("grid"))
     items = inter.select("grid").distinct()
-    return negative_samples(inter, items, "user_id", "grid", k=3)
+    # n_candidates forces the hash-sampled candidate path — the contract
+    # plan must contain no unconditioned entities x items join
+    return negative_samples(inter, items, "user_id", "grid", k=3, n_candidates=32)
 
 
 def q_stay_enrich(spark, sf_dir):
@@ -646,7 +648,8 @@ def q_contrastive(spark, sf_dir):
     )
     items = withg.select("grid").distinct()
     out = contrastive_samples(
-        withg, "user_id", "ts", "event_id", items, "grid", seq_len=3, k_neg=3
+        withg, "user_id", "ts", "event_id", items, "grid", seq_len=3, k_neg=3,
+        n_candidates=32,
     )
     return out.select(
         "user_id", "ts", _arr_csv("query").alias("query"), "pos",
@@ -746,6 +749,32 @@ sh AS (
                                      i -> array_to_string(ws[i:i+2],' '))) AS s
         FROM w)
 )"""
+
+
+# Hash-sampled negative-candidate CTEs (expects an ``inter`` CTE with
+# DISTINCT (user_id, grid) in scope). Mirrors the sampled path of
+# operators/split.py negative_samples with n_candidates=32, salt='cand':
+# 32 slots per entity, slot j -> item index md5(user#cand#j) % |items|
+# against the dense sort-rank item index, anti-join visited, rank by hash.
+_NEG_CTES = f"""
+ent AS (SELECT DISTINCT user_id FROM inter),
+it AS (SELECT grid, (row_number() OVER (ORDER BY grid) - 1)::BIGINT AS idx
+       FROM (SELECT DISTINCT grid FROM inter)),
+slots AS (SELECT user_id, unnest(generate_series(0, 31)) AS j FROM ent),
+cand AS (SELECT DISTINCT c.user_id, i.grid
+         FROM (SELECT user_id,
+                      ({_MD5L.format(x="user_id::VARCHAR || '#cand#' || j::VARCHAR")})
+                        % (SELECT count(*) FROM it) AS idx
+               FROM slots) c
+         JOIN it i ON c.idx = i.idx),
+unv AS (SELECT c.user_id, c.grid FROM cand c
+        LEFT JOIN inter v ON v.user_id = c.user_id AND v.grid = c.grid
+        WHERE v.user_id IS NULL),
+rk AS (SELECT user_id, grid,
+              (row_number() OVER (PARTITION BY user_id ORDER BY
+                 ({_MD5L.format(x="user_id::VARCHAR || '#' || grid::VARCHAR")}) ASC,
+                 grid ASC))::INT AS neg_rank
+       FROM unv)"""
 
 
 def _dot_sql(a: str, b: str, acol: str = "embedding", bcol: str = "embedding") -> str:
@@ -1247,19 +1276,7 @@ WITH inter AS (
   SELECT DISTINCT user_id,
          floor((116.0 + value/1000.0 - 116.0 + 0.01/2) / 0.01)::BIGINT AS grid
   FROM events),
-ent AS (SELECT DISTINCT user_id FROM inter),
-items AS (SELECT DISTINCT grid FROM inter),
-unv AS (
-  SELECT e.user_id, i.grid
-  FROM ent e CROSS JOIN items i
-  LEFT JOIN inter v ON v.user_id = e.user_id AND v.grid = i.grid
-  WHERE v.user_id IS NULL),
-rk AS (
-  SELECT user_id, grid,
-         (row_number() OVER (PARTITION BY user_id ORDER BY
-            ({_MD5L.format(x="user_id::VARCHAR || '#' || grid::VARCHAR")}) ASC,
-            grid ASC))::INT AS neg_rank
-  FROM unv)
+{_NEG_CTES.strip()}
 SELECT user_id, grid, neg_rank FROM rk WHERE neg_rank <= 3
 """,
         "stay_enrich": f"""
@@ -1312,19 +1329,7 @@ sl AS (
     FROM g)
   WHERE len("query") = 3 AND pos IS NOT NULL),
 inter AS (SELECT DISTINCT user_id, grid FROM g),
-ent AS (SELECT DISTINCT user_id FROM inter),
-items AS (SELECT DISTINCT grid FROM inter),
-unv AS (
-  SELECT e.user_id, i.grid
-  FROM ent e CROSS JOIN items i
-  LEFT JOIN inter v ON v.user_id = e.user_id AND v.grid = i.grid
-  WHERE v.user_id IS NULL),
-rk AS (
-  SELECT user_id, grid,
-         (row_number() OVER (PARTITION BY user_id ORDER BY
-            ({_MD5L.format(x="user_id::VARCHAR || '#' || grid::VARCHAR")}) ASC,
-            grid ASC))::INT AS neg_rank
-  FROM unv),
+{_NEG_CTES.strip()},
 negs AS (
   SELECT user_id, array_to_string(list(grid ORDER BY neg_rank), ',') AS neg
   FROM rk WHERE neg_rank <= 3 GROUP BY 1)

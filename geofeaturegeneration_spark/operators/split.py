@@ -42,18 +42,72 @@ def negative_samples(
     entity_col: str,
     item_col: str,
     k: int = 3,
+    n_candidates: int | None = None,
+    salt: str = "cand",
 ) -> DataFrame:
-    """Per entity: the k unvisited items with the smallest deterministic
-    hash — (entity, item, neg_rank).
+    """Per entity: k unvisited items chosen by deterministic hash —
+    (entity, item, neg_rank).
 
-    Plan: entities x broadcast(items) candidate grid, left_anti the visited
-    pairs, window top-k by hash. The item vocabulary is the broadcast side
-    (bounded — the reference's all-grid vocabulary is ~2.5M cells); the
-    interactions fact table is only touched for the distinct entity list and
-    the anti-join, both shuffled on the entity key once."""
+    ``n_candidates=None`` enumerates the full entities x items grid before
+    the anti-join. That is exact but a scale-killer: 1e8 entities x 2.5e6
+    grid cells materializes 1e14 candidate rows. Use it only for small item
+    vocabularies.
+
+    ``n_candidates=k'`` (the scale path) draws k' candidate slots per
+    entity instead: slot j maps to item index
+    ``md5(entity || '#<salt>#' || j) % |items|`` against a dense 0-based
+    item index (built with the distributed-zipWithIndex vocab builder, so
+    the index is the item's global sort rank — engine-reproducible).
+    Candidate rows are k' per entity regardless of vocabulary size; the
+    anti-join and hash ranking then run on the sampled set only. Slots can
+    collide or hit visited items, so an entity may yield fewer than k
+    negatives — size k' >= ~4k + expected-visited for a comfortable margin.
+    Membership is a pure function of (entity, item-vocab, salt): stable
+    under re-runs, partitioning, and engines.
+
+    Plan shape (sampled path): explode k' slots per entity -> modulo hash ->
+    broadcast equi-join to the item index -> one (entity, item) distinct ->
+    left_anti on the visited pairs -> per-entity top-k window. No
+    unconditioned join anywhere."""
     entities = interactions.select(entity_col).distinct()
     visited = interactions.select(entity_col, item_col).distinct()
-    cand = entities.join(F.broadcast(items.select(item_col).distinct()))
+    items_d = items.select(item_col).distinct()
+
+    if n_candidates is None:
+        cand = entities.join(F.broadcast(items_d))
+    else:
+        from geofeaturegeneration_spark.operators.vocab import build_vocab
+
+        idx_items = build_vocab(
+            items_d, item_col, id_col="_idx", reserve_zero=False
+        )
+        n_items = idx_items.count()
+        if n_items == 0:
+            return (
+                entities.withColumn(
+                    item_col, F.lit(None).cast(items.schema[item_col].dataType)
+                )
+                .withColumn("neg_rank", F.lit(0).cast("int"))
+                .limit(0)
+            )
+        slots = entities.select(
+            entity_col,
+            F.explode(F.sequence(F.lit(0), F.lit(n_candidates - 1))).alias("_j"),
+        )
+        slot_idx = md5_long(
+            F.concat(
+                F.col(entity_col).cast("string"),
+                F.lit(f"#{salt}#"),
+                F.col("_j").cast("string"),
+            )
+        ) % n_items
+        cand = (
+            slots.select(entity_col, slot_idx.alias("_idx"))
+            .distinct()
+            .join(F.broadcast(idx_items), "_idx")
+            .select(entity_col, item_col)
+        )
+
     unvisited = cand.join(visited, [entity_col, item_col], "left_anti")
     h = md5_long(
         F.concat(F.col(entity_col).cast("string"), F.lit("#"), F.col(item_col).cast("string"))
@@ -75,6 +129,7 @@ def contrastive_samples(
     neg_item_col: str,
     seq_len: int = 3,
     k_neg: int = 3,
+    n_candidates: int | None = None,
 ) -> DataFrame:
     """Contrastive training records: per entity and time step, ``query`` =
     the last ``seq_len`` items, ``pos`` = the next item, ``neg`` = the
@@ -99,7 +154,7 @@ def contrastive_samples(
     negs = (
         negative_samples(
             df.select(entity_col, F.col(neg_item_col)), neg_pool,
-            entity_col, neg_item_col, k_neg,
+            entity_col, neg_item_col, k_neg, n_candidates=n_candidates,
         )
         .groupBy(entity_col)
         .agg(

@@ -72,6 +72,36 @@ def test_bucketed_candidate_joins_not_cartesian(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+# Queries whose plans INTENTIONALLY contain an unconditioned join, each
+# against a bounded-small broadcast side:
+#   cosine_topk — the documented O(n^2) exact baseline (ann_lsh / ann_ivf
+#     are the scale path); stays in the contract as the recall oracle.
+#   ann_ivf / ann_ivf_trained — vectors x k=8 centroids assignment; the
+#     nested-loop build side is the k-row quantizer, never the corpus.
+_UNCONDITIONED_JOIN_ALLOWLIST = {"cosine_topk", "ann_ivf", "ann_ivf_trained"}
+
+
+def test_no_unconditioned_join_in_any_contract_query(spark):
+    """Round-1 lesson: the audit checked selected plans and missed a
+    cross join in negative_samples. Sweep EVERY contract query: no
+    CartesianProduct, and no BroadcastNestedLoopJoin outside the
+    documented bounded-small allowlist."""
+    qs = E.queries()
+    bad = {}
+    for name, fn in qs.items():
+        if name in _UNCONDITIONED_JOIN_ALLOWLIST:
+            continue
+        plan = plan_str(fn(spark, SF_DIR), "simple")
+        hits = [
+            op
+            for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if op in plan
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"unconditioned joins: {bad}"
+
+
 def test_narrow_exprs_no_exchange_codegen(spark):
     qs = E.queries()
     for name in ["grid_cantor", "time_features", "text_stats", "lang_id"]:
