@@ -283,6 +283,23 @@ def q_stay_move(spark, sf_dir):
     )
 
 
+def q_stay_move_spliced(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    _, moves = stay_move(
+        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0,
+        splice_endpoints=True,
+    )
+    return moves.select(
+        "user_id",
+        "move_seq",
+        "s_event_type",
+        "e_event_type",
+        "move_stime",
+        "move_etime",
+        "duration_s",
+    )
+
+
 def _asof_inputs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     left = ev.filter(F.col("event_type") == "purchase").select(
@@ -680,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_state": q_sessionize_state,
         "sessionize_salted": q_sessionize_salted,
         "stay_move": q_stay_move,
+        "stay_move_spliced": q_stay_move_spliced,
         "asof_union": q_asof_union,
         "asof_salted": q_asof_salted,
         "asof_merge": q_asof_merge,
@@ -914,6 +932,46 @@ mv AS (SELECT user_id,
        FROM stays WINDOW w3 AS (PARTITION BY user_id ORDER BY stime))
 SELECT user_id,
        (row_number() OVER (PARTITION BY user_id ORDER BY move_stime))::INT AS move_seq,
+       s_event_type, e_event_type, move_stime, move_etime,
+       ({_SEC.format(x='move_etime')} - {_SEC.format(x='move_stime')})::DOUBLE AS duration_s
+FROM mv WHERE move_etime IS NOT NULL
+""",
+        "stay_move_spliced": f"""
+WITH f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w != event_type
+                          THEN 1 ELSE 0 END AS new
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+g AS (SELECT user_id, sid, min(ts) AS stime,
+             arg_min(event_type, ts) AS event_type
+      FROM s GROUP BY 1,2),
+e AS (SELECT *, lead(stime) OVER w2 AS etime
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime)),
+stays AS (SELECT user_id, stime, etime, event_type, 1 AS tag FROM e
+          WHERE etime IS NOT NULL
+            AND ({_SEC.format(x='etime')} - {_SEC.format(x='stime')}) >= 600),
+pts AS (SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_type ASC) AS rna,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_type DESC) AS rnd
+        FROM events),
+fp AS (SELECT user_id, ts AS stime, ts AS etime, event_type, 0 AS tag
+       FROM pts WHERE rna = 1),
+lp AS (SELECT user_id, ts AS stime, ts AS etime, event_type, 2 AS tag
+       FROM pts WHERE rnd = 1),
+un AS (SELECT * FROM fp UNION ALL SELECT * FROM stays
+       UNION ALL SELECT * FROM lp),
+mv AS (SELECT user_id,
+              event_type AS s_event_type,
+              etime AS move_stime,
+              lead(event_type) OVER w3 AS e_event_type,
+              lead(stime) OVER w3 AS move_etime
+       FROM un WINDOW w3 AS (PARTITION BY user_id ORDER BY stime, tag))
+SELECT user_id,
+       (row_number() OVER (PARTITION BY user_id
+                           ORDER BY move_stime, move_etime))::INT AS move_seq,
        s_event_type, e_event_type, move_stime, move_etime,
        ({_SEC.format(x='move_etime')} - {_SEC.format(x='move_stime')})::DOUBLE AS duration_s
 FROM mv WHERE move_etime IS NOT NULL

@@ -258,23 +258,59 @@ def stay_move(
     state_col: str,
     min_duration_s: float,
     keep_cols: list[str] | None = None,
+    splice_endpoints: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full stay+move derivation (Test/GeoFeatureGenerationClass.py:394-466).
 
     Stays = state-change episodes with duration >= threshold. Moves = the
     transitions between consecutive *kept* stays of an entity: one move row
     per adjacent stay pair, carrying start (s-prefixed) and end (e-prefixed)
-    state/time. (The reference additionally splices in each user's raw
-    first/last points, Test/GeoFeatureGenerationClass.py:418-453; the
-    episode-to-episode core is this lead() — the splice is app-specific
-    because raw boundary points are not episodes.)
+    state/time.
+
+    ``splice_endpoints=True`` reproduces the reference's boundary handling
+    (Test/GeoFeatureGenerationClass.py:418-453): each entity's raw FIRST and
+    LAST points are unioned into the stay stream as zero-duration degenerate
+    stays (stime = etime = the point's time) before the lead() pass, so the
+    movement into the first stay and out of the last stay is also emitted.
+    The reference's pandas sort is non-stable on (uid, stime) ties; here
+    ties order deterministically by a tag (first point < stays < last
+    point), matching its concat order. Endpoint extraction is one extra
+    window pass over the raw stream on the same entity-key partitioning.
     """
     stays = sessionize_state_change(
         df, entity_cols, time_col, state_col, min_duration_s, keep_cols
     )
-    w = W.partitionBy(*entity_cols).orderBy("stime")
+    seq = stays.select(
+        *entity_cols, "stime", "etime", F.col(state_col), F.lit(1).alias("_tag")
+    )
+    if splice_endpoints:
+        wa = W.partitionBy(*entity_cols).orderBy(
+            F.col(time_col).asc(), F.col(state_col).asc()
+        )
+        wd = W.partitionBy(*entity_cols).orderBy(
+            F.col(time_col).desc(), F.col(state_col).desc()
+        )
+        pts = df.select(
+            *entity_cols, time_col, state_col,
+            F.row_number().over(wa).alias("_rna"),
+            F.row_number().over(wd).alias("_rnd"),
+        )
+        def _endpoint(flag_col: str, tag: int) -> DataFrame:
+            return pts.filter(F.col(flag_col) == 1).select(
+                *entity_cols,
+                F.col(time_col).alias("stime"),
+                F.col(time_col).alias("etime"),
+                F.col(state_col),
+                F.lit(tag).alias("_tag"),
+            )
+        seq = (
+            _endpoint("_rna", 0)
+            .unionByName(seq)
+            .unionByName(_endpoint("_rnd", 2))
+        )
+    w = W.partitionBy(*entity_cols).orderBy("stime", "_tag")
     moves = (
-        stays.select(
+        seq.select(
             *entity_cols,
             F.col(state_col).alias(f"s_{state_col}"),
             F.col("etime").alias("move_stime"),
@@ -289,7 +325,10 @@ def stay_move(
             ).cast("double"),
         )
         .withColumn(
-            "move_seq", F.row_number().over(W.partitionBy(*entity_cols).orderBy("move_stime"))
+            "move_seq",
+            F.row_number().over(
+                W.partitionBy(*entity_cols).orderBy("move_stime", "move_etime")
+            ),
         )
     )
     return stays, moves

@@ -120,3 +120,35 @@ def test_stay_move_transitions(traj):
     sa = s[s["uid"] == "A"].sort_values("stime")
     assert a.iloc[0]["move_stime"] == sa.iloc[0]["etime"]
     assert a.iloc[0]["move_etime"] == sa.iloc[1]["stime"]
+
+
+def test_stay_move_spliced_endpoints(traj):
+    """splice_endpoints=True reproduces the reference's boundary handling
+    (Test/GeoFeatureGenerationClass.py:418-453): each entity's raw first and
+    last points join the stay stream as zero-duration stays, so per entity
+    with s kept stays there are s+1 moves (fp->s1, s1->s2, ..., sN->lp), and
+    entities with NO kept stay still emit the single fp->lp move."""
+    df, _ = traj
+    _, base = stay_move(df, ["uid"], "ts", "state", min_duration_s=0)
+    _, spl = stay_move(
+        df, ["uid"], "ts", "state", min_duration_s=0, splice_endpoints=True
+    )
+    b = base.toPandas().groupby("uid").size().to_dict()
+    s = spl.toPandas().groupby("uid").size().to_dict()
+    assert b == {"A": 1, "D": 3, "E": 1}  # users with >=2 kept stays only
+    assert s == {"A": 3, "B": 1, "C": 1, "D": 5, "E": 3}
+
+    m = spl.toPandas()
+    a = m[m["uid"] == "A"].sort_values("move_seq")
+    assert list(zip(a["s_state"], a["e_state"])) == [(1, 1), (1, 2), (2, 1)]
+    assert list(a["move_seq"]) == [1, 2, 3]
+    # first move: from the first raw point (etime == its ts) into stay 1
+    assert a.iloc[0]["move_stime"] == pd.Timestamp("2024-03-01 08:00:00")
+    # last move: out of the last stay (etime 08:70min) to the last raw point
+    assert a.iloc[-1]["move_etime"] == pd.Timestamp("2024-03-01 09:10:00")
+    # single-point user B: one degenerate fp->lp move, duration 0
+    bm = m[m["uid"] == "B"]
+    assert len(bm) == 1 and bm.iloc[0]["duration_s"] == 0.0
+    # no-stay user C: fp->lp spans the whole observation window
+    cm = m[m["uid"] == "C"]
+    assert len(cm) == 1 and cm.iloc[0]["duration_s"] == 2700.0
