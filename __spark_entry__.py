@@ -484,6 +484,15 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, "vec_id", "embedding", k=3, n_bits=8)
 
 
+def q_ann_lsh_multi(spark, sf_dir):
+    from geofeaturegeneration_spark.operators import ann_lsh_multi_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ann_lsh_multi_topk(
+        emb, "vec_id", "embedding", dim=EMB_DIM, k=3, n_tables=3, n_bits=8
+    )
+
+
 _IVF_CENTROIDS: dict = {}
 
 
@@ -720,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interaction_wide": q_interaction_wide,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multi": q_ann_lsh_multi,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "text_stats": q_text_stats,
@@ -807,6 +817,46 @@ def _sqnorm_sql() -> str:
         f"(embedding[{i}]::DOUBLE * embedding[{i}]::DOUBLE)"
         for i in range(1, EMB_DIM + 1)
     )
+
+
+def _hp_bucket_sql(planes: list[list[float]]) -> str:
+    """One hash table's bucket id as DuckDB SQL — each bit's hyperplane dot
+    is the SAME left-associated fold (0.0 + t1 + t2 + ...) as the Spark
+    aggregate in operators/similarity._hp_bucket, so signs match bitwise."""
+    bits = []
+    for bit, coefs in enumerate(planes):
+        dot = "0.0 + " + " + ".join(
+            f"(embedding[{i + 1}]::DOUBLE * {c})" for i, c in enumerate(coefs)
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << bit} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _ann_lsh_multi_sql(n_tables: int = 3, n_bits: int = 8, k: int = 3) -> str:
+    from geofeaturegeneration_spark.operators.similarity import hyperplane_tables
+
+    hp = hyperplane_tables(EMB_DIM, n_tables, n_bits, "hp")
+    bk = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, nn, {t} AS t,"
+        f" ({_hp_bucket_sql(hp[t])})::BIGINT AS bucket FROM nrm"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH nrm AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
+bk AS ({bk}),
+p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+             ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
+      FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                          AND a.vec_id != b.vec_id),
+d AS (SELECT vec_id, nn_id, max(cos) AS cos, count(*)::INT AS n_hit
+      FROM p GROUP BY 1,2),
+r AS (SELECT vec_id, nn_id, cos, n_hit,
+             (row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, nn_id))::INT AS rnk
+      FROM d)
+SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", n_hit
+FROM r WHERE rnk <= {k}
+"""
 
 
 def _lang_case() -> str:
@@ -1164,6 +1214,7 @@ r AS (SELECT vec_id, nn_id, bucket, cos,
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", bucket
 FROM r WHERE rnk <= 3
 """,
+        "ann_lsh_multi": _ann_lsh_multi_sql(),
         "simhash_pairs": f"""
 WITH wd AS (SELECT doc_id, {_MD5L.format(x='w')} AS h
             FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),

@@ -62,6 +62,7 @@ HEADLINE = [
     "simhash",
     "simhash_pairs",
     "ann_lsh",
+    "ann_lsh_multi",
     "ann_ivf",
     "embedding_neardup",
     "text_stats",

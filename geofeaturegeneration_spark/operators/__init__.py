@@ -25,8 +25,11 @@ from geofeaturegeneration_spark.operators.dedup import (
 from geofeaturegeneration_spark.operators.similarity import (
     cosine_topk,
     ann_lsh_topk,
+    ann_lsh_multi_topk,
     ann_ivf_topk,
     embedding_neardup_pairs,
+    embedding_neardup_multi_pairs,
+    hyperplane_tables,
     lsh_bucket,
 )
 from geofeaturegeneration_spark.operators.multimodal import (
@@ -62,8 +65,11 @@ __all__ = [
     "simhash_pairs",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_lsh_multi_topk",
     "ann_ivf_topk",
     "embedding_neardup_pairs",
+    "embedding_neardup_multi_pairs",
+    "hyperplane_tables",
     "lsh_bucket",
     "attach_payload",
     "extract_meta",

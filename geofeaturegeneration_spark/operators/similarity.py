@@ -85,6 +85,150 @@ def lsh_bucket(vec_col: str, n_bits: int = 8) -> Column:
     return bucket
 
 
+def hyperplane_tables(
+    dim: int, n_tables: int, n_bits: int, seed: str = "hp"
+) -> list[list[list[float]]]:
+    """Deterministic Rademacher (+1/-1) random hyperplanes, derived from md5
+    in plain Python so the SAME constants are embeddable in any engine's SQL
+    (the DuckDB oracle regenerates them with this function). Sign-LSH over
+    random hyperplanes is the classic SimHash-for-cosine family: P[signs
+    agree] = 1 - angle/pi, and OR-ing T independent tables raises recall to
+    1-(1-p^b)^T. Returns [table][bit][dim] coefficients."""
+    import hashlib
+
+    def sign(t: int, b: int, i: int) -> float:
+        h = hashlib.md5(f"{seed}:{t}:{b}:{i}".encode()).hexdigest()
+        return 1.0 if int(h[:15], 16) % 2 == 0 else -1.0
+
+    return [
+        [[sign(t, b, i) for i in range(dim)] for b in range(n_bits)]
+        for t in range(n_tables)
+    ]
+
+
+def _hp_bucket(v: Column, planes: list[list[float]]) -> Column:
+    """Bucket id from one table's hyperplanes: bit b set iff dot(v, plane_b)
+    > 0, with the dot as the same left-associated fold as _dot (0.0 + t1 +
+    t2 + ...) so the DuckDB oracle reproduces each sign bit exactly."""
+    bucket = F.lit(0).cast("long")
+    for bit, coefs in enumerate(planes):
+        dot = _dot(v, F.array(*[F.lit(c) for c in coefs]))
+        bucket = bucket + F.when(dot > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return bucket
+
+
+def _hp_exploded(
+    df: DataFrame, id_col: str, vec_col: str, tables: list[list[list[float]]]
+) -> DataFrame:
+    """(id, _v, _n, _t, _bucket) — one row per (vector, table). The per-table
+    buckets are computed in ONE projection and posexploded, so the corpus is
+    scanned once regardless of n_tables."""
+    v = _to_double(F.col(vec_col))
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _hp_bucket(v, tables[t]).alias("bucket"),
+            )
+            for t in range(len(tables))
+        ]
+    )
+    return df.select(
+        F.col(id_col), v.alias("_v"), _norm(v).alias("_n"), F.explode(tb).alias("_tb")
+    ).select(
+        id_col, "_v", "_n",
+        F.col("_tb.t").alias("_t"), F.col("_tb.bucket").alias("_bucket"),
+    )
+
+
+def ann_lsh_multi_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 3,
+    n_tables: int = 3,
+    n_bits: int = 8,
+    seed: str = "hp",
+) -> DataFrame:
+    """Approximate top-k cosine via MULTI-TABLE random-hyperplane sign-LSH:
+    candidates are pairs co-bucketed in ANY of ``n_tables`` independent
+    hash tables (OR-amplification), scored exactly, deduped, ranked.
+
+    This is the recall fix for the single-table variant (``ann_lsh_topk``
+    hashes the raw leading dims — on real dense/correlated embeddings one
+    table's recall is poor). Plan shape is unchanged: one posexplode pass
+    over the corpus (n_tables rows per vector), one (table, bucket)
+    equi-join, then a per-pair max-dedupe and per-query top-k window — no
+    cross join at any scale. Output: (id, nn_id, cos_sim, rank, n_hit)
+    where n_hit = number of tables that co-bucketed the pair."""
+    tables = hyperplane_tables(dim, n_tables, n_bits, seed)
+    exploded = _hp_exploded(df, id_col, vec_col, tables)
+    a = exploded.select(
+        F.col(id_col), "_t", "_bucket",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = exploded.select(
+        F.col(id_col).alias("nn_id"), "_t", "_bucket",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
+    return (
+        a.join(b, ["_t", "_bucket"])
+        .filter(F.col(id_col) != F.col("nn_id"))
+        .withColumn("_pcos", cos)
+        # a pair found by several tables is scored per hit; the per-pair
+        # max (values identical) dedupes without re-joining the vectors
+        .groupBy(id_col, "nn_id")
+        .agg(F.max("_pcos").alias("_cos"), F.count(F.lit(1)).cast("int").alias("n_hit"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("nn_id"),
+            F.round(F.col("_cos"), 6).alias("cos_sim"),
+            F.col("rank"),
+            F.col("n_hit"),
+        )
+    )
+
+
+def embedding_neardup_multi_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    n_tables: int = 3,
+    n_bits: int = 8,
+    seed: str = "hp",
+) -> DataFrame:
+    """Multi-table variant of ``embedding_neardup_pairs``: candidate pairs
+    from the OR of ``n_tables`` random-hyperplane tables, exact-cosine
+    verified, deduped. Same candidate/verify split, higher recall.
+    Output: (id_a, id_b, cos_sim)."""
+    tables = hyperplane_tables(dim, n_tables, n_bits, seed)
+    exploded = _hp_exploded(df, id_col, vec_col, tables)
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), "_t", "_bucket",
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), "_t", "_bucket",
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(b, ["_t", "_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.max("_cos"), 6).alias("cos_sim"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

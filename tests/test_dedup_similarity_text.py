@@ -228,3 +228,48 @@ def test_embed_payload_deterministic(spark, corpus):
     texts = {r["doc_id"]: len(r["text"].encode()) for r in corpus.collect()}
     for doc_id, n in texts.items():
         assert out[doc_id] == [((n * (i + 3)) % 997) / 997.0 for i in range(4)]
+
+
+def test_multi_table_lsh_amplifies_recall(spark):
+    """OR-ing T independent random-hyperplane tables must beat one table
+    (candidates of T tables are a superset of table 0's, so recall is
+    monotone in T by construction) and the legacy raw-leading-dims bucket.
+    Measured on the deterministic sf0.001 embeddings (500 x 64): raw-dims
+    0.146, 1 table 0.135, 3 tables 0.372, 6 tables 0.578 (recall@3 vs the
+    exact cosine_topk ground truth)."""
+    from geofeaturegeneration_spark.operators import ann_lsh_multi_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    gt = {
+        (r["vec_id"], r["nn_id"])
+        for r in cosine_topk(emb, "vec_id", "embedding", k=3).collect()
+    }
+
+    def recall(df):
+        got = {(r["vec_id"], r["nn_id"]) for r in df.collect()}
+        return len(got & gt) / len(gt)
+
+    r_raw = recall(ann_lsh_topk(emb, "vec_id", "embedding", k=3, n_bits=4))
+    r_t1 = recall(
+        ann_lsh_multi_topk(emb, "vec_id", "embedding", dim=64, k=3, n_tables=1, n_bits=4)
+    )
+    r_t3 = recall(
+        ann_lsh_multi_topk(emb, "vec_id", "embedding", dim=64, k=3, n_tables=3, n_bits=4)
+    )
+    assert r_t3 >= 2 * r_t1, (r_t1, r_t3)
+    assert r_t3 > r_raw, (r_raw, r_t3)
+    assert r_t3 >= 0.3, r_t3
+
+
+def test_embedding_neardup_multi_pairs(spark, vectors):
+    """Near-identical vectors co-bucket in every hyperplane table (their
+    sign patterns agree); opposite vectors are excluded by the exact-cosine
+    verify even when hashed together."""
+    from geofeaturegeneration_spark.operators import embedding_neardup_multi_pairs
+
+    out = embedding_neardup_multi_pairs(
+        vectors, "vec_id", "embedding", dim=4, threshold=0.9, n_tables=3, n_bits=4
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
