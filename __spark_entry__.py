@@ -524,9 +524,44 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+_IVF_FPS: dict = {}
+
+
+def q_ann_ivf_trained(spark, sf_dir):
+    """IVF search with a TRAINED quantizer: deterministic farthest-point
+    (k-center) seeding under cosine distance — engine-reproducible, so the
+    DuckDB oracle replays the exact seed selection in chained CTEs. Same
+    search plan as ann_ivf; only the centroid table differs (and the
+    inverted lists it induces are far better balanced than first-N)."""
+    from geofeaturegeneration_spark.operators import farthest_point_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_FPS:
+        cents = farthest_point_centroids(emb, "vec_id", "embedding", k=8)
+        _IVF_FPS[sf_dir] = [
+            (r["_cid"], list(r["_cv"]), float(r["_cn"])) for r in cents.collect()
+        ]
+    cent = spark.createDataFrame(
+        _IVF_FPS[sf_dir], "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE"
+    )
+    return ann_ivf_topk(
+        emb, "vec_id", "embedding", k=3, n_centroids=8, nprobe=1, centroids=cent
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35, n_bits=8)
+
+
+def q_embedding_neardup_multi(spark, sf_dir):
+    from geofeaturegeneration_spark.operators import embedding_neardup_multi_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_multi_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=0.35,
+        n_tables=3, n_bits=8,
+    )
 
 
 def q_text_stats(spark, sf_dir):
@@ -731,7 +766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multi": q_ann_lsh_multi,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_multi": q_embedding_neardup_multi,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -819,6 +856,66 @@ def _sqnorm_sql() -> str:
     )
 
 
+def _ivf_search_sql(cent_ctes: str, k: int = 3, nprobe: int = 1) -> str:
+    """Shared IVF assignment+search SQL; ``cent_ctes`` must define a CTE
+    ``cent(cid, cv, cn)`` (may reference ``n``). Mirrors ann_ivf_topk."""
+    return f"""
+WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
+{cent_ctes},
+asg AS (SELECT n.vec_id, n.embedding, n.nn, cent.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ({_dot_sql('n', 'cent', bcol='cv')}) / (n.nn * cent.cn) DESC,
+                          cent.cid ASC) AS crank
+        FROM n CROSS JOIN cent),
+home AS (SELECT vec_id, embedding, nn, cid FROM asg WHERE crank = 1),
+probe AS (SELECT vec_id, embedding, nn, cid FROM asg WHERE crank <= {nprobe}),
+p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, b.cid AS list_id,
+             ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
+      FROM probe a JOIN home b ON a.cid = b.cid AND a.vec_id != b.vec_id),
+r AS (SELECT vec_id, nn_id, list_id, cos,
+             (row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, nn_id))::INT AS rnk
+      FROM p)
+SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", list_id::BIGINT AS list_id
+FROM r WHERE rnk <= {k}
+"""
+
+
+def _fps_cent_ctes(k: int = 8, salt: str = "ivfseed") -> str:
+    """Farthest-point (k-center) seed selection as chained CTEs — replays
+    operators/similarity.farthest_point_centroids exactly: seed 1 = min
+    md5(id#salt); seed j = argmin over vectors of max cosine to the seeds
+    so far (running ``greatest`` — max is exact, so the fold order doesn't
+    matter), ties by vec_id. No cross-row float aggregation anywhere, so
+    both engines agree bit-for-bit."""
+    h_expr = _MD5L.format(x=f"vec_id::VARCHAR || '#{salt}'")
+    parts = [
+        f"""s1 AS (SELECT vec_id, embedding, nn
+      FROM (SELECT *, {h_expr} AS hh FROM n)
+      ORDER BY hh, vec_id LIMIT 1)""",
+        f"""d1 AS (SELECT n.vec_id, n.embedding, n.nn,
+             ({_dot_sql('n', 's1')}) / (n.nn * s1.nn) AS mc
+      FROM n CROSS JOIN s1)""",
+        "s2 AS (SELECT vec_id, embedding, nn FROM d1 ORDER BY mc ASC, vec_id ASC LIMIT 1)",
+    ]
+    for j in range(3, k + 1):
+        parts.append(
+            f"""d{j - 1} AS (SELECT d.vec_id, d.embedding, d.nn,
+             greatest(d.mc, ({_dot_sql('d', f's{j - 1}')}) / (d.nn * s{j - 1}.nn)) AS mc
+      FROM d{j - 2} d CROSS JOIN s{j - 1})"""
+        )
+        parts.append(
+            f"s{j} AS (SELECT vec_id, embedding, nn FROM d{j - 1} ORDER BY mc ASC, vec_id ASC LIMIT 1)"
+        )
+    cent = "cent AS (" + "\n  UNION ALL ".join(
+        f"SELECT {i} AS cid, embedding AS cv, nn AS cn FROM s{i}"
+        for i in range(1, k + 1)
+    ) + ")"
+    parts.append(cent)
+    return ",\n".join(parts)
+
+
 def _hp_bucket_sql(planes: list[list[float]]) -> str:
     """One hash table's bucket id as DuckDB SQL — each bit's hyperplane dot
     is the SAME left-associated fold (0.0 + t1 + t2 + ...) as the Spark
@@ -832,18 +929,36 @@ def _hp_bucket_sql(planes: list[list[float]]) -> str:
     return " + ".join(bits)
 
 
-def _ann_lsh_multi_sql(n_tables: int = 3, n_bits: int = 8, k: int = 3) -> str:
+def _hp_bk_ctes(n_tables: int, n_bits: int) -> str:
     from geofeaturegeneration_spark.operators.similarity import hyperplane_tables
 
     hp = hyperplane_tables(EMB_DIM, n_tables, n_bits, "hp")
-    bk = "\nUNION ALL\n".join(
+    return "\nUNION ALL\n".join(
         f"SELECT vec_id, embedding, nn, {t} AS t,"
         f" ({_hp_bucket_sql(hp[t])})::BIGINT AS bucket FROM nrm"
         for t in range(n_tables)
     )
+
+
+def _neardup_multi_sql(
+    threshold: float = 0.35, n_tables: int = 3, n_bits: int = 8
+) -> str:
     return f"""
 WITH nrm AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
-bk AS ({bk}),
+bk AS ({_hp_bk_ctes(n_tables, n_bits)}),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
+      FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(max(cos),6) AS cos_sim
+FROM p WHERE cos >= {threshold} GROUP BY 1, 2
+"""
+
+
+def _ann_lsh_multi_sql(n_tables: int = 3, n_bits: int = 8, k: int = 3) -> str:
+    return f"""
+WITH nrm AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
+bk AS ({_hp_bk_ctes(n_tables, n_bits)}),
 p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
              ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
       FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
@@ -1168,29 +1283,12 @@ r AS (SELECT vec_id, nn_id, cos,
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank"
 FROM r WHERE rnk <= 5
 """,
-        "ann_ivf": f"""
-WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
-cent AS (SELECT (row_number() OVER (ORDER BY vec_id))::INT AS cid,
+        "ann_ivf": _ivf_search_sql(
+            """cent AS (SELECT (row_number() OVER (ORDER BY vec_id))::INT AS cid,
                 embedding AS cv, nn AS cn
-         FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8)),
-asg AS (SELECT n.vec_id, n.embedding, n.nn, cent.cid,
-               row_number() OVER (
-                 PARTITION BY n.vec_id
-                 ORDER BY ({_dot_sql('n', 'cent', bcol='cv')}) / (n.nn * cent.cn) DESC,
-                          cent.cid ASC) AS crank
-        FROM n CROSS JOIN cent),
-home AS (SELECT vec_id, embedding, nn, cid FROM asg WHERE crank = 1),
-probe AS (SELECT vec_id, embedding, nn, cid FROM asg WHERE crank <= 1),
-p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, b.cid AS list_id,
-             ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
-      FROM probe a JOIN home b ON a.cid = b.cid AND a.vec_id != b.vec_id),
-r AS (SELECT vec_id, nn_id, list_id, cos,
-             (row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, nn_id))::INT AS rnk
-      FROM p)
-SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", list_id::BIGINT AS list_id
-FROM r WHERE rnk <= 3
-""",
+         FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8))"""
+        ),
+        "ann_ivf_trained": _ivf_search_sql(_fps_cent_ctes(8)),
         "embedding_neardup": f"""
 WITH base AS (SELECT vec_id, embedding,
                      ({lsh_bucket_sql})::BIGINT AS bucket FROM embeddings),
@@ -1215,6 +1313,7 @@ SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", bucket
 FROM r WHERE rnk <= 3
 """,
         "ann_lsh_multi": _ann_lsh_multi_sql(),
+        "embedding_neardup_multi": _neardup_multi_sql(),
         "simhash_pairs": f"""
 WITH wd AS (SELECT doc_id, {_MD5L.format(x='w')} AS h
             FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)),

@@ -64,6 +64,7 @@ HEADLINE = [
     "ann_lsh",
     "ann_lsh_multi",
     "ann_ivf",
+    "ann_ivf_trained",
     "embedding_neardup",
     "text_stats",
     "lang_id",

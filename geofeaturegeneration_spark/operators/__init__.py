@@ -29,6 +29,8 @@ from geofeaturegeneration_spark.operators.similarity import (
     ann_ivf_topk,
     embedding_neardup_pairs,
     embedding_neardup_multi_pairs,
+    farthest_point_centroids,
+    train_ivf_centroids,
     hyperplane_tables,
     lsh_bucket,
 )
@@ -69,6 +71,8 @@ __all__ = [
     "ann_ivf_topk",
     "embedding_neardup_pairs",
     "embedding_neardup_multi_pairs",
+    "farthest_point_centroids",
+    "train_ivf_centroids",
     "hyperplane_tables",
     "lsh_bucket",
     "attach_payload",

@@ -359,6 +359,127 @@ def ann_ivf_topk(
     )
 
 
+def farthest_point_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int, salt: str = "ivfseed"
+) -> DataFrame:
+    """Deterministic, engine-reproducible IVF quantizer: k-center
+    (farthest-point / Gonzalez) seeding under cosine distance.
+
+    seed 1 = the vector with the smallest md5(id#salt) (a pseudo-random but
+    deterministic draw — unlike first-N-by-id it is independent of how ids
+    were assigned); seed j = the vector minimizing max cosine to the seeds
+    chosen so far (i.e. the farthest remaining point), ties by id. Every
+    comparison is over per-row left-associated dot products, so a SQL engine
+    replays the selection EXACTLY — no cross-row float aggregation (a
+    k-means mean would be summation-order-dependent across engines).
+
+    k-1 TakeOrdered passes over the corpus; each seed becomes a literal in
+    the next pass's expression. Returns the ``centroids`` table that
+    ``ann_ivf_topk`` accepts (``_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE``).
+    Spread-out seeds give far better inverted-list balance than first-N
+    (see test_ivf_quantizer_balance). For production-size corpora train on
+    a sample via ``train_ivf_centroids`` instead (one pass, driver k-means)."""
+    from geofeaturegeneration_spark.functions.text import md5_long
+
+    normed = with_norm(df, id_col, vec_col)
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
+    first = (
+        normed.withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(1)
+        .select("_v", "_n")
+        .collect()[0]
+    )
+    seeds: list[tuple[int, list[float], float]] = [
+        (1, [float(x) for x in first["_v"]], float(first["_n"]))
+    ]
+    for j in range(2, k + 1):
+        cos_to = [
+            _dot(F.col("_v"), F.array(*[F.lit(x) for x in sv]))
+            / (F.col("_n") * F.lit(sn))
+            for _, sv, sn in seeds
+        ]
+        maxcos = cos_to[0] if len(cos_to) == 1 else F.greatest(*cos_to)
+        row = (
+            normed.withColumn("_mc", maxcos)
+            .orderBy(F.col("_mc").asc(), F.col(id_col).asc())
+            .limit(1)
+            .select("_v", "_n")
+            .collect()[0]
+        )
+        seeds.append((j, [float(x) for x in row["_v"]], float(row["_n"])))
+    return df.sparkSession.createDataFrame(
+        seeds, "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE"
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    sample_n: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+    salt: str = "ivfsample",
+) -> DataFrame:
+    """Production IVF quantizer trainer: hash-deterministic sample (the
+    ``sample_n`` smallest md5(id#salt) — stable under re-runs and cluster
+    size, unlike TABLESAMPLE) -> driver-side spherical k-means (kmeans++
+    init + Lloyd) on the sample -> broadcast-ready centroid table.
+
+    The sample collect is the only driver transfer (sample_n x dim doubles;
+    10k x 64 ~ 5 MB). Centroids are unit-normalized, so ``_cn`` is 1.0 and
+    ``ann_ivf_topk``'s cosine assignment works unchanged. The reference's
+    spiritual analog is the PoI join's build-once-reuse-everywhere side
+    (AttachFeature.py:497-501) — train once, search many."""
+    import numpy as np
+
+    from geofeaturegeneration_spark.functions.text import md5_long
+
+    normed = with_norm(df, id_col, vec_col)
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
+    rows = (
+        normed.withColumn("_h", h)
+        .orderBy("_h", id_col)
+        .limit(sample_n)
+        .select("_v", "_n")
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.array([r["_n"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(norms, 1e-300)[:, None]
+    n = len(X)
+    k_eff = min(k, n)
+    rng = np.random.default_rng(seed)
+
+    # kmeans++ on the unit sphere (distance = 1 - cos)
+    centers = np.empty((k_eff, X.shape[1]))
+    centers[0] = X[rng.integers(n)]
+    d2 = 1.0 - X @ centers[0]
+    for j in range(1, k_eff):
+        p = np.maximum(d2, 0)
+        p = p / p.sum() if p.sum() > 0 else np.full(n, 1.0 / n)
+        centers[j] = X[rng.choice(n, p=p)]
+        d2 = np.minimum(d2, 1.0 - X @ centers[j])
+
+    for _ in range(iters):
+        sims = X @ centers.T
+        assign = sims.argmax(axis=1)
+        for j in range(k_eff):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    centers[j] = m / nm
+
+    return df.sparkSession.createDataFrame(
+        [(j + 1, [float(x) for x in centers[j]], 1.0) for j in range(k_eff)],
+        "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE",
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 3, n_bits: int = 8
 ) -> DataFrame:

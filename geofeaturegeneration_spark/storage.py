@@ -21,6 +21,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    encoding: str = "UTF-8",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Encoding-aware CSV scan. The reference ingests Geolife/PoI exports in
+    GB18030 (GenerateGeographicFeature.py:191 ``encoding='gb18030'``) and
+    pipe-delimited variants; Spark's CSV source decodes any java.nio charset
+    stream-side via the ``encoding`` option, so the scan stays distributed
+    and lazy — no driver-side transcoding pass. Pass an explicit ``schema``
+    in production (inferSchema costs an extra scan)."""
+    # Spark 4 rejects charsets outside a small allowlist unless the legacy
+    # java.nio charset support is enabled; GB18030 needs it. The conf only
+    # WIDENS accepted charsets, so leaving it set session-wide is harmless
+    # (it must be active at execution time, not just while building the
+    # lazy plan, so a set-and-restore around this call would be wrong).
+    builtin = {"iso-8859-1", "us-ascii", "utf-16", "utf-16be", "utf-16le",
+               "utf-32", "utf-8"}
+    if encoding.lower() not in builtin:
+        spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    r = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("encoding", encoding)
+    )
+    r = r.schema(schema) if schema is not None else r.option("inferSchema", True)
+    return r.csv(path)
+
+
 def iceberg_available(spark: SparkSession, catalog: str = "local") -> bool:
     """True iff an Iceberg SparkCatalog is actually usable in this session
     (config present AND the runtime class loads)."""

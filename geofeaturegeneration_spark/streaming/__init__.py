@@ -1,6 +1,7 @@
 from geofeaturegeneration_spark.streaming.sessions import (
+    stream_exact_dedup,
     stream_gap_sessions,
     stream_running_features,
 )
 
-__all__ = ["stream_gap_sessions", "stream_running_features"]
+__all__ = ["stream_gap_sessions", "stream_running_features", "stream_exact_dedup"]

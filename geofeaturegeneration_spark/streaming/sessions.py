@@ -57,6 +57,32 @@ def stream_gap_sessions(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    time_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen document per normalized-content
+    fingerprint wins; later copies inside the watermark window are dropped.
+    Same fingerprint as the batch ``exact_dedup`` (md5 of trimmed,
+    lower-cased, whitespace-collapsed text -> 60-bit int), so a lambda
+    architecture dedups consistently across the batch and streaming legs.
+
+    ``dropDuplicates`` keyed on the fingerprint uses the state store with
+    watermark-bounded eviction — state is one tiny (fp) row per distinct
+    document seen within the window, never the document bodies."""
+    from geofeaturegeneration_spark.functions.text import fingerprint
+
+    return (
+        docs.withColumn("_fp", fingerprint(F.col(text_col)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicates(["_fp"])
+        .withColumnRenamed("_fp", "fp")
+    )
+
+
 RUNNING_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),

@@ -43,3 +43,34 @@ def test_overwrite_partitions_is_partition_grain(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         == "static"
     )
+
+
+def test_read_csv_gb18030_roundtrip(spark, tmp_path):
+    """GB18030 ingestion (reference GenerateGeographicFeature.py:191): the
+    charset option must be load-bearing — decoding the same bytes as UTF-8
+    mangles the text."""
+    from geofeaturegeneration_spark.storage import read_csv
+
+    rows = [("北京西城区", 39.9, 116.3), ("上海浦东新区", 31.2, 121.5)]
+    csv = "name,lat,lon\n" + "\n".join(f"{n},{a},{b}" for n, a, b in rows)
+    p = tmp_path / "gb18030.csv"
+    p.write_bytes(csv.encode("gb18030"))
+
+    df = read_csv(
+        spark, str(p), schema="name STRING, lat DOUBLE, lon DOUBLE",
+        encoding="GB18030",
+    )
+    got = {(r["name"], r["lat"], r["lon"]) for r in df.collect()}
+    assert got == set(rows)
+
+    bad = read_csv(spark, str(p), schema="name STRING, lat DOUBLE, lon DOUBLE")
+    assert {r["name"] for r in bad.collect()} != {n for n, _, _ in rows}
+
+
+def test_read_csv_pipe_delimited(spark, tmp_path):
+    from geofeaturegeneration_spark.storage import read_csv
+
+    p = tmp_path / "pipe.csv"
+    p.write_text("a|b\n1|x\n2|y\n")
+    df = read_csv(spark, str(p), schema="a INT, b STRING", sep="|")
+    assert sorted((r["a"], r["b"]) for r in df.collect()) == [(1, "x"), (2, "y")]

@@ -119,3 +119,42 @@ def test_stream_running_features(spark, tmp_path, event_rows):
         r = final[uid]
         assert r["n_events"] == 5
         assert r["running_sum"] == pytest.approx(0 + 1 + 2 + 10 + 11)
+
+
+def test_stream_exact_dedup_first_seen_wins(spark, tmp_path):
+    """Streaming dedup must agree with the batch fingerprint: one survivor
+    per normalized-content group, fp values identical to batch exact_dedup
+    (lambda-architecture consistency)."""
+    from geofeaturegeneration_spark.operators import exact_dedup
+    from geofeaturegeneration_spark.streaming import stream_exact_dedup
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "Hello   World", t0),
+        (2, "hello world", t0 + timedelta(minutes=1)),   # dup of 1 (normalized)
+        (3, "something else", t0 + timedelta(minutes=2)),
+        (4, " HELLO WORLD ", t0 + timedelta(minutes=3)), # dup of 1
+        (5, "something else", t0 + timedelta(minutes=4)),# dup of 3
+        (6, "unique doc", t0 + timedelta(minutes=5)),
+    ]
+    schema = "doc_id BIGINT, text STRING, ts TIMESTAMP"
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    out = stream_exact_dedup(stream, "doc_id", "text", "ts", watermark="10 minutes")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+
+    batch = exact_dedup(
+        spark.createDataFrame(rows, schema), "doc_id", "text"
+    ).collect()
+    assert len(got) == len(batch) == 3            # 3 distinct contents
+    assert {r["fp"] for r in got} == {r["fp"] for r in batch}
+    # survivors carry full rows; exactly one per fingerprint
+    assert len({r["fp"] for r in got}) == len(got)
