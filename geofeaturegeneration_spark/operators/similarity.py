@@ -122,7 +122,18 @@ def _hp_exploded(
 ) -> DataFrame:
     """(id, _v, _n, _t, _bucket) — one row per (vector, table). The per-table
     buckets are computed in ONE projection and posexploded, so the corpus is
-    scanned once regardless of n_tables."""
+    scanned once regardless of n_tables.
+
+    A row whose vector length differs from the hyperplane dim fails fast:
+    zip_with would otherwise pad the shorter side with nulls and every dot
+    (hence every bucket bit) would silently evaluate null/false."""
+    dim = len(tables[0][0])
+    df = df.filter(
+        F.assert_true(
+            F.size(F.col(vec_col)) == dim,
+            f"embedding length != hyperplane dim {dim}",
+        ).isNull()
+    )
     v = _to_double(F.col(vec_col))
     tb = F.array(
         *[

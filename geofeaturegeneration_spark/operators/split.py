@@ -69,6 +69,8 @@ def negative_samples(
     broadcast equi-join to the item index -> one (entity, item) distinct ->
     left_anti on the visited pairs -> per-entity top-k window. No
     unconditioned join anywhere."""
+    if n_candidates is not None and n_candidates < 1:
+        raise ValueError("n_candidates must be >= 1 (or None for full enumeration)")
     entities = interactions.select(entity_col).distinct()
     visited = interactions.select(entity_col, item_col).distinct()
     items_d = items.select(item_col).distinct()

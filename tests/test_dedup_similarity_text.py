@@ -345,3 +345,14 @@ def test_ivf_trained_quantizers_on_clustered_data(spark):
         C = np.array([c[1] for c in cents], dtype=np.float64)
         C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
         assert (centers @ C.T).max(axis=1).min() >= 0.8
+
+
+def test_hp_dim_mismatch_fails_fast(spark, vectors):
+    """zip_with would silently null-pad a wrong-dim vector; the guard must
+    throw instead."""
+    from geofeaturegeneration_spark.operators import ann_lsh_multi_topk
+
+    with pytest.raises(Exception, match="hyperplane dim"):
+        ann_lsh_multi_topk(
+            vectors, "vec_id", "embedding", dim=8, k=3, n_tables=1, n_bits=2
+        ).collect()
