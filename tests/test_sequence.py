@@ -102,3 +102,44 @@ def test_ordered_tokens(spark):
     )
     assert list(got.loc["u1", "tokens"]) == [10, 11, 12, 13, 14]
     assert list(got.loc["u2", "tokens"]) == [20, 21, 22]
+
+
+def test_ordered_tokens_fast_path_matches_struct_path(spark):
+    """The packed-long fast path (int order, int token) must be
+    row-identical to the struct sort — including tie-break on duplicate
+    order values carrying NEGATIVE tokens (the offset-encoding property)
+    and negative order values. The struct path is forced by widening the
+    order column to bigint (which also exercises the overflow-safe
+    fallback the fast path refuses)."""
+    rng = np.random.default_rng(5)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 40, n),
+            # heavy duplication so ties are common; include negatives
+            "pos": rng.integers(-50, 50, n).astype("int32"),
+            "tok": rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype("int32"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    df = df.withColumn("pos", F.col("pos").cast("int")).withColumn(
+        "tok", F.col("tok").cast("int")
+    )
+    fast = ordered_tokens(df, ["uid"], "pos", "tok")
+    slow = ordered_tokens(
+        df.withColumn("pos", F.col("pos").cast("bigint")), ["uid"], "pos", "tok"
+    )
+    f = {r["uid"]: r["tokens"] for r in fast.collect()}
+    s = {r["uid"]: r["tokens"] for r in slow.collect()}
+    assert f == s
+
+
+def test_ordered_tokens_bigint_order_out_of_int32_range(spark):
+    """Epoch-micros-sized order values (outside int32) must take the struct
+    path and still order correctly — the old packed path silently discarded
+    high bits (ADVICE round 1)."""
+    base = 1_700_000_000_000_000  # epoch micros
+    rows = [("a", base + 3, 30), ("a", base + 1, 10), ("a", base + 2, 20)]
+    df = spark.createDataFrame(rows, "uid STRING, pos BIGINT, tok INT")
+    out = {r["uid"]: r["tokens"] for r in ordered_tokens(df, ["uid"], "pos", "tok").collect()}
+    assert out == {"a": [10, 20, 30]}
