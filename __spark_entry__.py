@@ -31,6 +31,7 @@ from geofeaturegeneration_spark.functions.grid import (
     cantor_pair,
     cantor_unpair_x,
     cantor_unpair_y,
+    geohash_encode,
     gps_to_latcol,
     gps_to_loncol,
     grid_to_centre_lat,
@@ -647,6 +648,17 @@ def q_grid(spark, sf_dir):
     )
 
 
+def q_geohash(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    lon = F.lit(116.0) + F.col("value") / 1000.0
+    lat = F.lit(39.5) + F.col("value") / 2000.0
+    return ev.select(
+        "event_id",
+        geohash_encode(lat, lon, precision=7).alias("gh7"),
+        geohash_encode(lat, lon, precision=5).alias("gh5"),
+    )
+
+
 def q_series_matrix(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = series_to_matrix(
@@ -779,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimate": q_decimate,
         "sliding_subseq": q_sliding,
         "grid_cantor": q_grid,
+        "geohash": q_geohash,
         "time_features": q_time_features,
         "series_matrix": q_series_matrix,
         "hash_split": q_hash_split,
@@ -971,6 +984,55 @@ r AS (SELECT vec_id, nn_id, cos, n_hit,
       FROM d)
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", n_hit
 FROM r WHERE rnk <= {k}
+"""
+
+
+# DuckDB mirror of functions/grid.geohash_encode — same quantization
+# association ((v-lo)/span*2^b), same clamp, same bit interleave.
+
+def _geohash_quant_sql(v: str, lo: float, span: float, b: int) -> str:
+    return (
+        f"greatest(0, least(floor((({v}) - ({lo})) / {span} * "
+        f"{float(1 << b)})::BIGINT, {(1 << b) - 1}))"
+    )
+
+
+def _geohash_concat_sql(lq: str, tq: str, precision: int) -> str:
+    n_bits = 5 * precision
+    b_lon = (n_bits + 1) // 2
+    b_lat = n_bits // 2
+
+    def bit(i: int) -> str:
+        if i % 2 == 0:
+            return f"(({lq} >> {b_lon - 1 - i // 2}) & 1)"
+        return f"(({tq} >> {b_lat - 1 - i // 2}) & 1)"
+
+    chars = []
+    for k in range(precision):
+        idx = " + ".join(f"({bit(5 * k + j)} << {4 - j})" for j in range(5))
+        chars.append(
+            f"substr('0123456789bcdefghjkmnpqrstuvwxyz', ({idx})::INT + 1, 1)"
+        )
+    return " || ".join(chars)
+
+
+def _geohash_oracle_sql() -> str:
+    q7l, q7t = (5 * 7 + 1) // 2, (5 * 7) // 2
+    q5l, q5t = (5 * 5 + 1) // 2, (5 * 5) // 2
+    return f"""
+WITH b AS (
+  SELECT event_id, (116.0 + value/1000.0) AS lon, (39.5 + value/2000.0) AS lat
+  FROM events),
+q AS (SELECT event_id,
+             {_geohash_quant_sql('lon', -180.0, 360.0, q7l)} AS lq7,
+             {_geohash_quant_sql('lat', -90.0, 180.0, q7t)} AS tq7,
+             {_geohash_quant_sql('lon', -180.0, 360.0, q5l)} AS lq5,
+             {_geohash_quant_sql('lat', -90.0, 180.0, q5t)} AS tq5
+      FROM b)
+SELECT event_id,
+       {_geohash_concat_sql('lq7', 'tq7', 7)} AS gh7,
+       {_geohash_concat_sql('lq5', 'tq5', 5)} AS gh5
+FROM q
 """
 
 
@@ -1473,6 +1535,7 @@ FROM allr a JOIN cnt c
 WHERE c.n_rows <= 24
 GROUP BY a.user_id, a.period_start, c.n_rows
 """,
+        "geohash": _geohash_oracle_sql(),
         "hash_split": f"""
 SELECT doc_id,
        (({_MD5L.format(x="doc_id::VARCHAR || 'split'")}) % 100)::INT AS split_bucket,

@@ -98,3 +98,47 @@ def in_bounds(lon: Column, lat: Column, bounds) -> Column:
     tbd.clean_outofbounds (Test/GeoFeatureGenerationClass.py:339-340)."""
     lon1, lat1, lon2, lat2 = bounds
     return (lon > lon1) & (lon < lon2) & (lat > lat1) & (lat < lat2)
+
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int = 7) -> Column:
+    """Standard geohash (base-32, interleaved lon/lat bits, lon first) as a
+    pure column expression — the reference's Foursquare venue bucketing
+    (PreviousVersion/UseFoursquare.ipynb cell 11 ``geohash.encode``).
+
+    The binary-search refinement is equivalent to quantizing each axis to
+    its bit budget (lon gets ceil(5p/2) bits, lat floor(5p/2)) and
+    interleaving: global bit i (MSB-first) is a lon bit for even i, lat for
+    odd. All integer shifts/masks — any engine reproduces it bit-exactly
+    (DuckDB oracle mirror in __spark_entry__). Out-of-range coordinates are
+    clamped to the valid cell like the reference implementations."""
+    n_bits = 5 * precision
+    b_lon = (n_bits + 1) // 2
+    b_lat = n_bits // 2
+
+    def quant(v: Column, lo: float, hi: float, b: int) -> Column:
+        q = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(1 << b)))
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(q.cast("long"), F.lit((1 << b) - 1)),
+        )
+
+    lon_q = quant(lon, -180.0, 180.0, b_lon)
+    lat_q = quant(lat, -90.0, 90.0, b_lat)
+
+    def bit_at(i: int) -> Column:
+        # global bit i, MSB-first: even -> lon, odd -> lat
+        if i % 2 == 0:
+            return F.shiftright(lon_q, b_lon - 1 - i // 2).bitwiseAND(F.lit(1))
+        return F.shiftright(lat_q, b_lat - 1 - i // 2).bitwiseAND(F.lit(1))
+
+    letters = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
+    chars = []
+    for k in range(precision):
+        idx = F.lit(0).cast("long")
+        for j in range(5):
+            idx = idx + F.shiftleft(bit_at(5 * k + j), 4 - j)
+        chars.append(F.element_at(letters, (idx + 1).cast("int")))
+    return F.concat(*chars)

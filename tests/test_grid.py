@@ -95,3 +95,26 @@ def test_centre_roundtrip(spark):
     )
     assert (got["loncol"] == got["loncol2"]).all()
     assert (got["latcol"] == got["latcol2"]).all()
+
+
+def test_geohash_known_vectors(spark):
+    """Canonical geohash test vectors (public): Wikipedia's ezs42 example
+    plus two widely used reference points."""
+    from geofeaturegeneration_spark.functions.grid import geohash_encode
+    from pyspark.sql import functions as F
+
+    rows = [
+        (42.605, -5.603, "ezs42", 5),
+        (39.92324, 116.3906, "wx4g0ec1", 8),
+        (57.64911, 10.40744, "u4pruydqqvj", 11),
+    ]
+    for lat, lon, want, p in rows:
+        df = spark.range(1).select(
+            geohash_encode(F.lit(lat), F.lit(lon), precision=p).alias("gh")
+        )
+        assert df.first()["gh"] == want, (want, p)
+    # prefix property: higher precision extends the lower-precision hash
+    df = spark.range(1).select(
+        geohash_encode(F.lit(42.605), F.lit(-5.603), 11).alias("long_gh")
+    )
+    assert df.first()["long_gh"].startswith("ezs42")
