@@ -356,3 +356,25 @@ def test_hp_dim_mismatch_fails_fast(spark, vectors):
         ann_lsh_multi_topk(
             vectors, "vec_id", "embedding", dim=8, k=3, n_tables=1, n_bits=2
         ).collect()
+
+
+def test_ann_ivf_nprobe_monotone_recall(spark):
+    """Probing more inverted lists can only widen each query's candidate
+    set, so recall vs the exact ground truth must be monotone in nprobe."""
+    from geofeaturegeneration_spark.operators import ann_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    gt = {
+        (r["vec_id"], r["nn_id"])
+        for r in cosine_topk(emb, "vec_id", "embedding", k=3).collect()
+    }
+
+    def recall(nprobe):
+        got = ann_ivf_topk(
+            emb, "vec_id", "embedding", k=3, n_centroids=8, nprobe=nprobe
+        ).collect()
+        return len({(r["vec_id"], r["nn_id"]) for r in got} & gt) / len(gt)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r4 > r1, (r1, r4)  # wider probes must actually help on this data
