@@ -444,6 +444,17 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=16, bands=4)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Pairwise near-dup hits -> connected components -> one keeper per
+    cluster (iterative min-label propagation; the oracle reaches the same
+    fixpoint with a recursive CTE)."""
+    from geofeaturegeneration_spark.operators import dedup_clusters
+
+    docs = _docs_wide(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=16, bands=4)
+    return dedup_clusters(docs, "doc_id", pairs)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _docs_wide(spark, sf_dir)
     return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
@@ -769,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_roundtrip": q_token_roundtrip,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1311,6 +1323,31 @@ band AS (SELECT doc_id, (i//4)::INT AS band,
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM band a JOIN band b ON a.band=b.band AND a.sig_str=b.sig_str
                         AND a.doc_id < b.doc_id
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip()},
+perm AS (SELECT i, (2*i+1)::BIGINT AS a, (i*i+1)::BIGINT AS b FROM range(16) t(i)),
+sig AS (SELECT doc_id, i, MIN((a*h+b) % 2147483647) AS mh
+        FROM sh, perm GROUP BY 1,2),
+band AS (SELECT doc_id, (i//4)::INT AS band,
+                string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig_str
+         FROM sig GROUP BY 1,2),
+prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b ON a.band=b.band AND a.sig_str=b.sig_str
+                                AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+cc AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(cc.component, d.doc_id) AS cluster_id,
+       (coalesce(cc.component, d.doc_id) = d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
 """,
         "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE.strip()},

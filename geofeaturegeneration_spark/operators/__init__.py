@@ -17,6 +17,8 @@ from geofeaturegeneration_spark.operators.sequence import (
 from geofeaturegeneration_spark.operators.dedup import (
     exact_dedup,
     minhash_signatures,
+    connected_components,
+    dedup_clusters,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -62,6 +64,8 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "connected_components",
+    "dedup_clusters",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",

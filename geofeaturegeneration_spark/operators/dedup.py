@@ -285,3 +285,74 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over a duplicate-pair table — the step that
+    turns pairwise near-dup hits (MinHash/SimHash/embedding) into dedup
+    CLUSTERS so exactly one document per group survives. Returns
+    ``(id, component)`` for every id appearing in ``pairs``, where
+    ``component`` = the smallest id in the node's component (deterministic,
+    engine-reproducible — a DuckDB recursive CTE reaches the same fixpoint).
+
+    Algorithm: min-label propagation. Each iteration every node takes the
+    minimum label among itself and its neighbors; convergence needs
+    O(component diameter) rounds — near-dup clusters are shallow (a hub
+    document links its variants), so a handful of rounds suffices at any
+    corpus size. Each round is one equi-join + one groupBy on the node id
+    (shuffle partitioning reused round to round), with a localCheckpoint
+    per round to cut the growing lineage and an O(1) driver-side
+    convergence count. This is the simple variant of the large-star /
+    small-star map-reduce CC algorithm; swap in star operations if
+    components with large diameter ever appear (they do not in dedup)."""
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=False)
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("id").alias("dst"), "component"), "dst"
+        ).select(F.col("src").alias("id"), "component")
+        new_labels = (
+            labels.select("id", "component")
+            .union(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            labels.select("id", F.col("component").alias("_old"))
+            .join(new_labels, "id")
+            .filter(F.col("_old") != F.col("component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Assign every document its dedup cluster: ``cluster_id`` = smallest
+    doc id in its near-dup component (itself for singletons), ``is_keeper``
+    marks the one survivor per cluster. Compose with any pair generator:
+    ``dedup_clusters(docs, "doc_id", minhash_lsh_pairs(docs, ...))``."""
+    cc = connected_components(pairs, a_col, b_col)
+    return (
+        docs.select(id_col)
+        .join(cc.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col("cluster_id") == F.col(id_col))
+    )

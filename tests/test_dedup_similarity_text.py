@@ -378,3 +378,33 @@ def test_ann_ivf_nprobe_monotone_recall(spark):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4, (r1, r2, r4)
     assert r4 > r1, (r1, r4)  # wider probes must actually help on this data
+
+
+def test_connected_components_and_dedup_clusters(spark):
+    from geofeaturegeneration_spark.operators import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a BIGINT, id_b BIGINT")
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id BIGINT")
+    cc = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    cl = dedup_clusters(docs, "doc_id", pairs)
+    m = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in cl.collect()}
+    assert m == {
+        1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True),
+        5: (5, True), 6: (5, False), 7: (7, True),
+    }
+    # an 11-node chain needs multiple propagation rounds to converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 20)], "id_a BIGINT, id_b BIGINT"
+    )
+    cc2 = {
+        r["id"]: r["component"]
+        for r in connected_components(chain, "id_a", "id_b").collect()
+    }
+    assert set(cc2.values()) == {10} and len(cc2) == 11
