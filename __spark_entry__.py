@@ -590,6 +590,18 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(X.dup_word_fraction(t), 6).alias("dup_word_frac"),
+        F.round(X.top_word_share(t), 6).alias("top_word_share"),
+        F.round(X.top_bigram_share(t), 6).alias("top_bigram_share"),
+        F.round(X.dup_line_fraction(t), 6).alias("dup_line_frac"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
@@ -795,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_multi": q_embedding_neardup_multi,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "repetition": q_repetition,
         "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
@@ -1461,6 +1474,31 @@ SELECT doc_id,
 FROM documents
 """,
         "lang_id": _lang_case(),
+        "repetition": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                  string_split(text, chr(10)) AS ls
+           FROM documents),
+b AS (SELECT doc_id, ws, ls,
+             CASE WHEN len(ws) >= 2
+                  THEN list_transform(generate_series(1, len(ws) - 1),
+                                      i -> ws[i] || ' ' || ws[i + 1])
+                  ELSE [] END AS bs
+      FROM w)
+SELECT doc_id,
+       round((len(ws) - len(list_distinct(ws))) / greatest(len(ws), 1), 6)
+         AS dup_word_frac,
+       round(list_max(list_transform(list_distinct(ws),
+                                     w2 -> len(list_filter(ws, x -> x = w2))))
+             / greatest(len(ws), 1), 6) AS top_word_share,
+       CASE WHEN len(bs) > 0
+            THEN round(list_max(list_transform(list_distinct(bs),
+                                b2 -> len(list_filter(bs, x -> x = b2))))
+                       / len(bs), 6)
+            ELSE 0.0 END AS top_bigram_share,
+       round((len(ls) - len(list_distinct(ls))) / greatest(len(ls), 1), 6)
+         AS dup_line_frac
+FROM b
+""",
         "fingerprint": f"""
 SELECT doc_id, {_MD5L.format(x=_NORM_TEXT)} AS fp FROM documents
 """,

@@ -77,6 +77,7 @@ HEADLINE = [
     "frame_sample",
     "embed_payload",
     "grid_cantor",
+    "geohash",
     "time_features",
 ]
 

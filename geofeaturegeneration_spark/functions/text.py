@@ -138,3 +138,55 @@ def lang_id(text: Column) -> Column:
     # note: iterating reversed + '>=' makes the LAST assignment (smallest
     # code) win exact ties, matching the documented tie rule.
     return best_lang
+
+
+# -- repetition signals (Gopher-style training-data quality rules) ---------
+# All integer-count ratios (no logs/entropy), so any engine reproduces the
+# exact doubles and the DuckDB oracle is value-exact.
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """1 - distinct_words/words — high for boilerplate/repetitive docs."""
+    ws = words(text)
+    n = F.size(ws)
+    return (n - F.size(F.array_distinct(ws))) / F.greatest(n, F.lit(1))
+
+
+def top_word_share(text: Column) -> Column:
+    """Share of the single most frequent word — spammy docs repeat one
+    token. O(distinct x words) per row, bounded by document size."""
+    ws = words(text)
+    n = F.size(ws)
+    counts = F.transform(
+        F.array_distinct(ws), lambda w: F.size(F.filter(ws, lambda x: x == w))
+    )
+    return F.array_max(counts) / F.greatest(n, F.lit(1))
+
+
+def top_bigram_share(text: Column) -> Column:
+    """Share of the most frequent word bigram (Gopher's top-2-gram rule).
+    Guarded for <2 words — Spark 4 ANSI ``sequence(1, 0)`` DESCENDS, so the
+    bigram index sequence must never be built on short docs."""
+    ws = words(text)
+    n = F.size(ws)
+    bs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    m = F.size(bs)
+    counts = F.transform(
+        F.array_distinct(bs), lambda b: F.size(F.filter(bs, lambda x: x == b))
+    )
+    return F.when(m > 0, F.array_max(counts) / m).otherwise(F.lit(0.0))
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """1 - distinct_lines/lines (duplicate-line boilerplate signal)."""
+    ls = F.split(text, "\n")
+    n = F.size(ls)
+    return (n - F.size(F.array_distinct(ls))) / F.greatest(n, F.lit(1))

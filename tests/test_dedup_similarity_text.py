@@ -408,3 +408,37 @@ def test_connected_components_and_dedup_clusters(spark):
         for r in connected_components(chain, "id_a", "id_b").collect()
     }
     assert set(cc2.values()) == {10} and len(cc2) == 11
+
+
+def test_repetition_signals_hand_computed(spark):
+    from geofeaturegeneration_spark.functions.text import (
+        dup_line_fraction,
+        dup_word_fraction,
+        top_bigram_share,
+        top_word_share,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "a a a b"),          # 4 words, 2 distinct; top word 3/4; bigram "a a" 2/3
+        (2, "x y"),              # no repetition, 1 bigram
+        (3, "solo"),             # single word: no bigrams -> share 0.0
+        (4, "l1\nl2\nl1"),       # duplicate line
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    t = F.col("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.round(dup_word_fraction(t), 6).alias("dwf"),
+            F.round(top_word_share(t), 6).alias("tws"),
+            F.round(top_bigram_share(t), 6).alias("tbs"),
+            F.round(dup_line_fraction(t), 6).alias("dlf"),
+        ).collect()
+    }
+    assert got[1]["dwf"] == 0.5 and got[1]["tws"] == 0.75
+    assert got[1]["tbs"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[2]["dwf"] == 0.0 and got[2]["tws"] == 0.5 and got[2]["tbs"] == 1.0
+    assert got[3]["tbs"] == 0.0 and got[3]["tws"] == 1.0
+    assert got[4]["dlf"] == pytest.approx(1 / 3, abs=1e-6)
