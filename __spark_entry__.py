@@ -896,8 +896,14 @@ def _sqnorm_sql() -> str:
 
 def _ivf_search_sql(cent_ctes: str, k: int = 3, nprobe: int = 1) -> str:
     """Shared IVF assignment+search SQL; ``cent_ctes`` must define a CTE
-    ``cent(cid, cv, cn)`` (may reference ``n``). Mirrors ann_ivf_topk."""
-    return f"""
+    ``cent(cid, cv, cn)`` (may reference ``n``). Mirrors ann_ivf_topk.
+
+    Every CTE is MATERIALIZED: DuckDB inlines CTEs referenced more than
+    once, and the farthest-point chain references each d_j twice (by
+    s_{j+1} AND d_{j+1}), exploding to 2^k re-evaluations of the 64-term
+    dot chains — measured 99.3 s plain vs 0.94 s materialized at sf0.01,
+    byte-identical results."""
+    sql = f"""
 WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
 {cent_ctes},
 asg AS (SELECT n.vec_id, n.embedding, n.nn, cent.cid,
@@ -918,6 +924,7 @@ r AS (SELECT vec_id, nn_id, list_id, cos,
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", list_id::BIGINT AS list_id
 FROM r WHERE rnk <= {k}
 """
+    return sql.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
 
 
 def _fps_cent_ctes(k: int = 8, salt: str = "ivfseed") -> str:
