@@ -332,6 +332,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # partially-propagated labels are silently wrong — refuse
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter; raise it or switch to "
+            "large-star/small-star)"
+        )
     return labels
 
 

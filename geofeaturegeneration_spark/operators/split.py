@@ -62,6 +62,9 @@ def negative_samples(
     anti-join and hash ranking then run on the sampled set only. Slots can
     collide or hit visited items, so an entity may yield fewer than k
     negatives — size k' >= ~4k + expected-visited for a comfortable margin.
+    NULL entities draw no samples on this path (their slot hash is null);
+    the enumeration path would rank candidates for them — filter null keys
+    upstream if that distinction matters.
     Membership is a pure function of (entity, item-vocab, salt): stable
     under re-runs, partitioning, and engines.
 
