@@ -141,4 +141,10 @@ def geohash_encode(lat: Column, lon: Column, precision: int = 7) -> Column:
         for j in range(5):
             idx = idx + F.shiftleft(bit_at(5 * k + j), 4 - j)
         chars.append(F.element_at(letters, (idx + 1).cast("int")))
-    return F.concat(*chars)
+    # NULL coordinates must yield NULL, not a legitimate-looking corner
+    # hash: Spark's greatest/least SKIP nulls, so the clamp would otherwise
+    # turn a null quantized value into the all-ones cell ('zzz...'), while
+    # SQL engines whose least/greatest propagate NULL (DuckDB) return NULL.
+    return F.when(
+        lat.isNull() | lon.isNull(), F.lit(None).cast("string")
+    ).otherwise(F.concat(*chars))

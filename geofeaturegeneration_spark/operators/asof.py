@@ -220,7 +220,32 @@ def _merge_asof(
     def _fill_time(s: pd.Series) -> pd.Series:
         if pd.api.types.is_datetime64_any_dtype(s):
             return s.fillna(pd.Timestamp.min)
+        if pd.api.types.is_integer_dtype(s):
+            return s  # integer dtype cannot hold NaN — nothing to fill
         return s.astype("float64").fillna(float("-inf"))
+
+    def _match_times(ls: pd.Series, rs: pd.Series) -> tuple[pd.Series, pd.Series]:
+        """merge_asof needs both match columns in one dtype. An int64 time
+        column with nulls arrives from Arrow as float64; when the OTHER
+        side stayed int64, casting it to float64 would collapse distinct
+        epoch-micro values above 2^53 (a probe could then match a future
+        row). Unify toward int64 instead: sentinel-fill the float side and
+        cast back — exact for every value that was exactly representable,
+        which is everything the float side could still distinguish anyway."""
+        ls, rs = _fill_time(ls), _fill_time(rs)
+        li, ri = (
+            pd.api.types.is_integer_dtype(ls),
+            pd.api.types.is_integer_dtype(rs),
+        )
+        if li != ri:
+            import numpy as np
+
+            int_min = np.iinfo("int64").min
+            if li:
+                rs = rs.replace(float("-inf"), float(int_min)).astype("int64")
+            else:
+                ls = ls.replace(float("-inf"), float(int_min)).astype("int64")
+        return ls, rs
 
     def _fill_key(s: pd.Series) -> pd.Series:
         return s.astype(object).where(s.notna(), _NULL_KEY)
@@ -261,16 +286,16 @@ def _merge_asof(
             return merged[out_names]
 
         l2 = l_pdf.copy()
-        l2["_ltm"] = _fill_time(l2[lt])
-        for c in on:
-            l2[f"_byl_{c}"] = _fill_key(l2[c])
-        l2 = l2.sort_values("_ltm", kind="mergesort")
         if r_pdf.empty:
+            l2 = l2.sort_values(lt, kind="mergesort", na_position="first")
             for c in value_cols:
                 l2[c] = None
             return l2[out_names]
         r2 = r_pdf.copy()
-        r2["_rtm"] = _fill_time(r2["_rt"])
+        l2["_ltm"], r2["_rtm"] = _match_times(l2[lt], r2["_rt"])
+        for c in on:
+            l2[f"_byl_{c}"] = _fill_key(l2[c])
+        l2 = l2.sort_values("_ltm", kind="mergesort")
         for k in r_keys:
             r2[f"_byr_{k}"] = _fill_key(r2[k])
         r2 = r2.sort_values("_rtm", kind="mergesort")

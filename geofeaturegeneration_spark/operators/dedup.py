@@ -310,6 +310,10 @@ def connected_components(
     edges = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # cut the upstream lineage ONCE: pairs is typically the expensive
+    # MinHash/SimHash candidate query, and every round's join + convergence
+    # count would otherwise re-execute it D times
+    edges = edges.localCheckpoint(eager=False)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=False)
     for _ in range(max_iter):

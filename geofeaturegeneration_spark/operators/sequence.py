@@ -36,7 +36,9 @@ def ordered_tokens(
 
     collect_list's order is whatever the partition delivers, so we collect
     (order, token) structs and array_sort — deterministic regardless of
-    shuffle nondeterminism.
+    shuffle nondeterminism. Rows with a null order or token are dropped
+    (identically on both code paths); an entity with only null rows emits
+    no output row.
 
     ``num_partitions`` forces an explicit hash partitioning on the entity
     key that the groupBy then reuses (no second exchange). Use it when the
@@ -57,6 +59,10 @@ def ordered_tokens(
     """
     if num_partitions is not None:
         df = df.repartition(num_partitions, *entity_cols)
+    # Null order/token rows are DROPPED in both paths (a null position is
+    # unorderable; the packed path could not represent it anyway, and the
+    # two paths must stay row-identical).
+    df = df.filter(F.col(order_col).isNotNull() & F.col(token_col).isNotNull())
     o_type = df.schema[order_col].dataType.simpleString()
     v_type = df.schema[token_col].dataType.simpleString()
     if o_type == "int" and v_type == "int":

@@ -124,11 +124,14 @@ def _hp_exploded(
     buckets are computed in ONE projection and posexploded, so the corpus is
     scanned once regardless of n_tables.
 
-    A row whose vector length differs from the hyperplane dim fails fast:
-    zip_with would otherwise pad the shorter side with nulls and every dot
-    (hence every bucket bit) would silently evaluate null/false."""
+    NULL embeddings are skipped (they cannot hash — same behavior as the
+    single-table bucket, where every sign bit of a null vector is false
+    only by accident). A non-null vector whose length differs from the
+    hyperplane dim fails fast: zip_with would otherwise pad the shorter
+    side with nulls and every dot (hence every bucket bit) would silently
+    evaluate null/false."""
     dim = len(tables[0][0])
-    df = df.filter(
+    df = df.filter(F.col(vec_col).isNotNull()).filter(
         F.assert_true(
             F.size(F.col(vec_col)) == dim,
             f"embedding length != hyperplane dim {dim}",

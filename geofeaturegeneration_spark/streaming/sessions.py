@@ -70,15 +70,18 @@ def stream_exact_dedup(
     lower-cased, whitespace-collapsed text -> 60-bit int), so a lambda
     architecture dedups consistently across the batch and streaming legs.
 
-    ``dropDuplicates`` keyed on the fingerprint uses the state store with
-    watermark-bounded eviction — state is one tiny (fp) row per distinct
-    document seen within the window, never the document bodies."""
+    ``dropDuplicatesWithinWatermark`` keyed on the fingerprint keeps one
+    tiny (fp) state row per distinct document and EVICTS it once the
+    watermark passes — plain ``dropDuplicates([fp])`` would never expire
+    state (Spark only bounds dedup state when the event-time column is part
+    of the key set or the within-watermark variant is used), growing one
+    row per distinct document for the life of the query."""
     from geofeaturegeneration_spark.functions.text import fingerprint
 
     return (
         docs.withColumn("_fp", fingerprint(F.col(text_col)))
         .withWatermark(time_col, watermark)
-        .dropDuplicates(["_fp"])
+        .dropDuplicatesWithinWatermark(["_fp"])
         .withColumnRenamed("_fp", "fp")
     )
 

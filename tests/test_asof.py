@@ -160,3 +160,29 @@ def test_strategies_agree_on_skewed_random_data(spark):
         b = o["val"].astype(float).to_numpy()
         assert np.array_equal(np.isnan(a), np.isnan(b)), s
         assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)]), s
+
+
+def test_merge_asof_bigint_times_above_2_53_with_nulls(spark):
+    """Integer time columns must not round-trip through float64 in the
+    null-sentinel path: epoch-micro-scale values differing by 1 would
+    collapse and let a probe match a right row from its future."""
+    base = (1 << 55) + 10  # above float64's 2^53 integer-exact range
+    left = spark.createDataFrame(
+        [("k", base, 1), ("k", base + 1, 2), (None, base, 3)],
+        "key STRING, pts BIGINT, rid INT",
+    )
+    right = spark.createDataFrame(
+        [("k", base + 1, 99.0), ("k", base - 5, 7.0)],
+        "key STRING, rts BIGINT, val DOUBLE",
+    )
+    got = {
+        r["rid"]: r["val"]
+        for r in asof_join(
+            left, right, ["key"], "pts", "rts", ["val"],
+            strategy="merge_asof", num_buckets=2,
+        ).collect()
+    }
+    # probe at base must NOT see the right row at base+1
+    assert got[1] == 7.0
+    assert got[2] == 99.0
+    assert got[3] is None  # null key, no null-key right rows

@@ -442,3 +442,17 @@ def test_repetition_signals_hand_computed(spark):
     assert got[2]["dwf"] == 0.0 and got[2]["tws"] == 0.5 and got[2]["tbs"] == 1.0
     assert got[3]["tbs"] == 0.0 and got[3]["tws"] == 1.0
     assert got[4]["dlf"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_hp_null_embedding_skipped(spark):
+    from geofeaturegeneration_spark.operators import ann_lsh_multi_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0, 0.0]), (2, None)],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    out = ann_lsh_multi_topk(
+        df, "vec_id", "embedding", dim=4, k=3, n_tables=2, n_bits=2
+    ).collect()
+    ids = {r["vec_id"] for r in out} | {r["nn_id"] for r in out}
+    assert 2 not in ids  # null vector neither queries nor matches

@@ -118,3 +118,23 @@ def test_geohash_known_vectors(spark):
         geohash_encode(F.lit(42.605), F.lit(-5.603), 11).alias("long_gh")
     )
     assert df.first()["long_gh"].startswith("ezs42")
+
+
+def test_geohash_null_coords_yield_null(spark):
+    """Spark greatest/least skip nulls — without the guard a null coord
+    would clamp to the all-ones cell and emit a legitimate-looking corner
+    hash instead of NULL (diverging from NULL-propagating SQL engines)."""
+    from geofeaturegeneration_spark.functions.grid import geohash_encode
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 42.605, -5.603), (2, None, -5.603), (3, 42.605, None)],
+        "id INT, lat DOUBLE, lon DOUBLE",
+    )
+    got = {
+        r["id"]: r["gh"]
+        for r in df.select(
+            "id", geohash_encode(F.col("lat"), F.col("lon"), 5).alias("gh")
+        ).collect()
+    }
+    assert got == {1: "ezs42", 2: None, 3: None}

@@ -143,3 +143,21 @@ def test_ordered_tokens_bigint_order_out_of_int32_range(spark):
     df = spark.createDataFrame(rows, "uid STRING, pos BIGINT, tok INT")
     out = {r["uid"]: r["tokens"] for r in ordered_tokens(df, ["uid"], "pos", "tok").collect()}
     assert out == {"a": [10, 20, 30]}
+
+
+def test_ordered_tokens_null_rows_dropped_consistently(spark):
+    """Null order/token rows are dropped identically by the packed and
+    struct paths; an all-null entity emits no row."""
+    rows = [
+        ("a", 2, 20), ("a", None, 99), ("a", 1, 10), ("a", 3, None),
+        ("b", None, 1),
+    ]
+    df = spark.createDataFrame(rows, "uid STRING, pos INT, tok INT")
+    fast = {r["uid"]: r["tokens"] for r in ordered_tokens(df, ["uid"], "pos", "tok").collect()}
+    slow = {
+        r["uid"]: r["tokens"]
+        for r in ordered_tokens(
+            df.withColumn("pos", F.col("pos").cast("bigint")), ["uid"], "pos", "tok"
+        ).collect()
+    }
+    assert fast == slow == {"a": [10, 20]}

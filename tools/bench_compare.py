@@ -41,14 +41,19 @@ def main() -> None:
             capture_output=True, text=True,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        doc = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(out.stderr[-4000:])
+            sys.exit(f"bench.py failed (rc={out.returncode}); stderr above")
+        doc = json.loads(lines[-1])
         cur = dict(doc["queries"], _total=doc.get("value"))
 
     flagged = []
     print(f"{'query':24s} {'base':>8s} {'cur':>8s} {'ratio':>6s}")
     for name in sorted(set(base) | set(cur)):
         b, c = base.get(name), cur.get(name)
+        if b is None and c is None:
+            continue
         if b is None:
             print(f"{name:24s} {'new':>8s} {c:8.3f}")
             continue
