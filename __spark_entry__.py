@@ -1363,11 +1363,12 @@ reach(a, b) AS (
   UNION
   SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
 ),
-cc AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a)
-SELECT d.doc_id,
-       coalesce(cc.component, d.doc_id) AS cluster_id,
-       (coalesce(cc.component, d.doc_id) = d.doc_id) AS is_keeper
-FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+cc AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+asg AS (SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS comp
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+reps AS (SELECT comp, min(doc_id) AS cluster_id FROM asg GROUP BY 1)
+SELECT a.doc_id, r.cluster_id, (a.doc_id = r.cluster_id) AS is_keeper
+FROM asg a JOIN reps r ON a.comp = r.comp
 """,
         "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE.strip()},

@@ -219,33 +219,49 @@ def _merge_asof(
 
     def _fill_time(s: pd.Series) -> pd.Series:
         if pd.api.types.is_datetime64_any_dtype(s):
-            return s.fillna(pd.Timestamp.min)
+            return s.fillna(pd.Timestamp.min) if s.isna().any() else s
         if pd.api.types.is_integer_dtype(s):
             return s  # integer dtype cannot hold NaN — nothing to fill
-        return s.astype("float64").fillna(float("-inf"))
+        return s.fillna(float("-inf")) if s.isna().any() else s
 
     def _match_times(ls: pd.Series, rs: pd.Series) -> tuple[pd.Series, pd.Series]:
-        """merge_asof needs both match columns in one dtype. An int64 time
-        column with nulls arrives from Arrow as float64; when the OTHER
-        side stayed int64, casting it to float64 would collapse distinct
-        epoch-micro values above 2^53 (a probe could then match a future
-        row). Unify toward int64 instead: sentinel-fill the float side and
-        cast back — exact for every value that was exactly representable,
-        which is everything the float side could still distinguish anyway."""
+        """merge_asof needs both match columns in one dtype; nulls fill to
+        the minimal sentinel first. An int64 time column WITH nulls arrives
+        from Arrow as float64 — when the other side stayed int64, casting
+        the int side to float64 would collapse distinct epoch-micro values
+        above 2^53 (a probe could then match a future row). So mixed
+        int/float sides unify toward int64 when the float side is integral
+        (exact), and toward float64 only when it holds genuinely fractional
+        times (then fractional-vs->2^53-int comparison is inherently lossy
+        and float is the honest common type). Same-kind width mismatches
+        (int32/int64, float32/float64) widen losslessly."""
+        import numpy as np
+
         ls, rs = _fill_time(ls), _fill_time(rs)
+        if ls.dtype == rs.dtype:
+            return ls, rs
+        ld = pd.api.types.is_datetime64_any_dtype(ls)
+        rd = pd.api.types.is_datetime64_any_dtype(rs)
+        if ld or rd:
+            return ls, rs  # datetime vs non-datetime: let pandas raise
         li, ri = (
             pd.api.types.is_integer_dtype(ls),
             pd.api.types.is_integer_dtype(rs),
         )
+        if li and ri:
+            return ls.astype("int64"), rs.astype("int64")
         if li != ri:
-            import numpy as np
-
-            int_min = np.iinfo("int64").min
-            if li:
-                rs = rs.replace(float("-inf"), float(int_min)).astype("int64")
-            else:
-                ls = ls.replace(float("-inf"), float(int_min)).astype("int64")
-        return ls, rs
+            f = rs if li else ls
+            vals = f.to_numpy(dtype="float64", copy=False)
+            finite = np.isfinite(vals)
+            if np.all(vals[finite] == np.floor(vals[finite])):
+                conv = f.replace(
+                    float("-inf"), float(np.iinfo("int64").min)
+                ).astype("int64")
+                return (ls, conv) if li else (conv, rs)
+            g = (ls if li else rs).astype("float64")
+            return (g, rs) if li else (ls, g)
+        return ls.astype("float64"), rs.astype("float64")
 
     def _fill_key(s: pd.Series) -> pd.Series:
         return s.astype(object).where(s.notna(), _NULL_KEY)
@@ -267,17 +283,25 @@ def _merge_asof(
             )
         )
         if not has_nulls:
-            l_sorted = l_pdf.sort_values(lt, kind="mergesort")
             if r_pdf.empty:
+                l_sorted = l_pdf.sort_values(lt, kind="mergesort")
                 for c in value_cols:
                     l_sorted[c] = None
                 return l_sorted[out_names]
-            r_sorted = r_pdf.sort_values("_rt", kind="mergesort")
+            # _match_times also here: a mixed int/float time schema must
+            # behave identically in every bucket, not crash only in the
+            # null-free ones (no-op when dtypes already agree)
+            l_sorted, r_sorted = l_pdf.copy(), r_pdf.copy()
+            l_sorted["_ltm"], r_sorted["_rtm"] = _match_times(
+                l_sorted[lt], r_sorted["_rt"]
+            )
+            l_sorted = l_sorted.sort_values("_ltm", kind="mergesort")
+            r_sorted = r_sorted.sort_values("_rtm", kind="mergesort")
             merged = pd.merge_asof(
                 l_sorted,
                 r_sorted,
-                left_on=lt,
-                right_on="_rt",
+                left_on="_ltm",
+                right_on="_rtm",
                 left_by=list(on),
                 right_by=r_keys,
                 direction="backward",

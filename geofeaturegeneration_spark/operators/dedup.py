@@ -333,6 +333,14 @@ def connected_components(
             .filter(F.col("_old") != F.col("component"))
             .count()
         )
+        # superseded checkpoint blocks are reclaimed by the ContextCleaner
+        # once the driver drops the reference; collect promptly so at most
+        # ~2 copies of the (id, component) table are live instead of one
+        # per round (worst case still bounded: D copies spilling to disk)
+        del labels
+        import gc
+
+        gc.collect()
         labels = new_labels
         if changed == 0:
             break
@@ -354,16 +362,27 @@ def dedup_clusters(
     b_col: str = "id_b",
 ) -> DataFrame:
     """Assign every document its dedup cluster: ``cluster_id`` = smallest
-    doc id in its near-dup component (itself for singletons), ``is_keeper``
-    marks the one survivor per cluster. Compose with any pair generator:
+    doc id of its near-dup component PRESENT IN ``docs`` (itself for
+    singletons), ``is_keeper`` marks the one survivor per cluster. The
+    representative is re-derived from the docs side rather than taken from
+    the component label, so every cluster has exactly one keeper even when
+    ``pairs`` references ids outside ``docs`` (pre-filtered corpus, pairs
+    mined from a superset) — otherwise a cluster whose component-min id is
+    absent would keep NOTHING and a downstream ``filter(is_keeper)`` would
+    drop every copy. Compose with any pair generator:
     ``dedup_clusters(docs, "doc_id", minhash_lsh_pairs(docs, ...))``."""
     cc = connected_components(pairs, a_col, b_col)
-    return (
+    assigned = (
         docs.select(id_col)
         .join(cc.withColumnRenamed("id", id_col), id_col, "left")
         .select(
             id_col,
-            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+            F.coalesce("component", F.col(id_col)).alias("_comp"),
         )
+    )
+    reps = assigned.groupBy("_comp").agg(F.min(id_col).alias("cluster_id"))
+    return (
+        assigned.join(reps, "_comp")
+        .select(id_col, "cluster_id")
         .withColumn("is_keeper", F.col("cluster_id") == F.col(id_col))
     )

@@ -387,6 +387,12 @@ def farthest_point_centroids(
     replays the selection EXACTLY — no cross-row float aggregation (a
     k-means mean would be summation-order-dependent across engines).
 
+    When k exceeds the number of distinct vector directions the argmin
+    re-selects the smallest-id farthest point, so the returned table can
+    contain repeated vectors — harmless for search (assignment ties break
+    by _cid) and kept deliberately: the selection rule must stay replayable
+    in SQL, and an early-exit would desynchronize the two engines.
+
     k-1 TakeOrdered passes over the corpus; each seed becomes a literal in
     the next pass's expression. Returns the ``centroids`` table that
     ``ann_ivf_topk`` accepts (``_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE``).
@@ -397,13 +403,16 @@ def farthest_point_centroids(
 
     normed = with_norm(df, id_col, vec_col)
     h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
-    first = (
+    first_rows = (
         normed.withColumn("_h", h)
         .orderBy("_h", id_col)
         .limit(1)
         .select("_v", "_n")
-        .collect()[0]
+        .collect()
     )
+    if not first_rows:
+        raise ValueError("farthest_point_centroids: empty corpus")
+    first = first_rows[0]
     seeds: list[tuple[int, list[float], float]] = [
         (1, [float(x) for x in first["_v"]], float(first["_n"]))
     ]

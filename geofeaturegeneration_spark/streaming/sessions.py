@@ -64,11 +64,15 @@ def stream_exact_dedup(
     time_col: str,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming exact dedup: first-seen document per normalized-content
-    fingerprint wins; later copies inside the watermark window are dropped.
-    Same fingerprint as the batch ``exact_dedup`` (md5 of trimmed,
-    lower-cased, whitespace-collapsed text -> 60-bit int), so a lambda
-    architecture dedups consistently across the batch and streaming legs.
+    """Streaming exact dedup: ONE survivor per normalized-content
+    fingerprint within the watermark window — the first row PROCESSED,
+    which among same-micro-batch duplicates is scheduling-dependent (an
+    inherent streaming-dedup property, not a bug). The fingerprint matches
+    the batch ``exact_dedup`` (md5 of trimmed, lower-cased,
+    whitespace-collapsed text -> 60-bit int), so the two legs of a lambda
+    architecture agree on the surviving fingerprint SET; the batch leg's
+    deterministic ``keep_id`` is the canonical survivor choice when row
+    identity matters.
 
     ``dropDuplicatesWithinWatermark`` keyed on the fingerprint keeps one
     tiny (fp) state row per distinct document and EVICTS it once the

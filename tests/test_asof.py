@@ -186,3 +186,28 @@ def test_merge_asof_bigint_times_above_2_53_with_nulls(spark):
     assert got[1] == 7.0
     assert got[2] == 99.0
     assert got[3] is None  # null key, no null-key right rows
+
+
+def test_merge_asof_fractional_double_times_with_int_left(spark):
+    """Mixed bigint/double time schema with genuinely fractional right
+    times: must NOT truncate 10.5 -> 10 (a probe at 10 would then see a
+    right row from its future), in null-bearing and null-free buckets
+    alike."""
+    left = spark.createDataFrame(
+        [("k", 10, 1), ("k", 11, 2), (None, 10, 3)],
+        "key STRING, pts BIGINT, rid INT",
+    )
+    right = spark.createDataFrame(
+        [("k", 10.5, 99.0), ("k", 9.0, 7.0)],
+        "key STRING, rts DOUBLE, val DOUBLE",
+    )
+    got = {
+        r["rid"]: r["val"]
+        for r in asof_join(
+            left, right, ["key"], "pts", "rts", ["val"],
+            strategy="merge_asof", num_buckets=2,
+        ).collect()
+    }
+    assert got[1] == 7.0    # 10 must not see the 10.5 row
+    assert got[2] == 99.0   # 11 sees it
+    assert got[3] is None

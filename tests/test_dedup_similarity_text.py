@@ -456,3 +456,22 @@ def test_hp_null_embedding_skipped(spark):
     ).collect()
     ids = {r["vec_id"] for r in out} | {r["nn_id"] for r in out}
     assert 2 not in ids  # null vector neither queries nor matches
+
+
+def test_dedup_clusters_keeper_exists_when_pairs_exceed_docs(spark):
+    """pairs mined from a superset corpus: the cluster representative is
+    re-derived from the docs side, so every cluster keeps exactly one
+    survivor even when the component-min id is absent from docs."""
+    from geofeaturegeneration_spark.operators import dedup_clusters
+
+    docs = spark.createDataFrame([(2,), (3,), (9,)], "doc_id BIGINT")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a BIGINT, id_b BIGINT")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+            for r in dedup_clusters(docs, "doc_id", pairs).collect()}
+    # component {1,2,3}: min PRESENT doc is 2 -> keeper
+    assert rows == {2: (2, True), 3: (2, False), 9: (9, True)}
+    # invariant: one keeper per cluster
+    from collections import Counter
+    keepers = Counter(c for c, k in rows.values() if k)
+    clusters = {c for c, _ in rows.values()}
+    assert set(keepers) == clusters and all(v == 1 for v in keepers.values())

@@ -121,7 +121,7 @@ def test_stream_running_features(spark, tmp_path, event_rows):
         assert r["running_sum"] == pytest.approx(0 + 1 + 2 + 10 + 11)
 
 
-def test_stream_exact_dedup_first_seen_wins(spark, tmp_path):
+def test_stream_exact_dedup_one_survivor_per_fp(spark, tmp_path):
     """Streaming dedup must agree with the batch fingerprint: one survivor
     per normalized-content group, fp values identical to batch exact_dedup
     (lambda-architecture consistency)."""
