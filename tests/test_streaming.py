@@ -158,3 +158,68 @@ def test_stream_exact_dedup_one_survivor_per_fp(spark, tmp_path):
     assert {r["fp"] for r in got} == {r["fp"] for r in batch}
     # survivors carry full rows; exactly one per fingerprint
     assert len({r["fp"] for r in got}) == len(got)
+
+
+def test_stream_asof_join_matches_batch(spark, tmp_path):
+    """Streaming as-of must reproduce the batch answer for every probe the
+    watermark has finalized: buffered until no earlier reference row can
+    arrive, <= tie rule, null for probes before any reference. Sentinel
+    rows far in the future push the final watermark past all real data so
+    every probe flushes (via the event-time timeout path — probes arrive
+    before the watermark advances)."""
+    from geofeaturegeneration_spark.operators import asof_join
+    from geofeaturegeneration_spark.streaming import stream_asof_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(m):
+        return t0 + timedelta(minutes=m)
+
+    lrows = [
+        ("a", 1, ts(5)), ("a", 2, ts(10)), ("a", 3, ts(2)),   # 3: before refs
+        ("b", 4, ts(7)), ("b", 5, ts(7)),                     # same-time probes
+        ("zzz", 99, ts(60)),                                  # sentinel
+    ]
+    rrows = [
+        ("a", ts(4), 1.0), ("a", ts(10), 2.0),                # tie with probe 2
+        ("b", ts(6), 3.0), ("b", ts(8), 4.0),
+        ("zzz", ts(60), 0.0),                                 # sentinel
+    ]
+    lschema = "key STRING, pid INT, pts TIMESTAMP"
+    rschema = "key STRING, rts TIMESTAMP, val DOUBLE"
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(lrows, lschema).coalesce(1).write.parquet(lpath)
+    spark.createDataFrame(rrows, rschema).coalesce(1).write.parquet(rpath)
+
+    out = stream_asof_join(
+        spark.readStream.schema(lschema).parquet(lpath),
+        spark.readStream.schema(rschema).parquet(rpath),
+        ["key"], "pid", "pts", "rts", ["val"], watermark="1 second",
+    )
+    name = f"sasof_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    # awaitTermination(timeout) returns False WITHOUT stopping the query if
+    # the timeout elapses — reading the memory table then races the final
+    # no-data batch that flushes the timeout path (observed under load)
+    assert q.awaitTermination(180), "streaming query did not finish"
+    got = {r["pid"]: r["val"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    batch = asof_join(
+        spark.createDataFrame([r for r in lrows if r[0] != "zzz"], lschema),
+        spark.createDataFrame([r for r in rrows if r[0] != "zzz"], rschema),
+        ["key"], "pts", "rts", ["val"],
+    ).collect()
+    want = {r["pid"]: r["val"] for r in batch}
+    # every real probe finalized (watermark pushed past them by sentinels)
+    got.pop(99, None)
+    assert got == want
+    assert want[3] is None        # probe before any reference
+    assert want[2] == 2.0         # reference at exactly t IS visible
+    # emitted event times round-trip
+    times = {
+        r["pid"]: r["pts"] for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert times[1] == ts(5)
