@@ -51,7 +51,7 @@ def test_stream_gap_sessions_matches_batch(spark, tmp_path, event_rows):
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180), "streaming query did not finish"
     # append mode only emits watermark-closed sessions; with a bounded input
     # the final watermark closes everything except sessions at the max ts —
     # feed a late sentinel far in the future to flush, or simply compare the
@@ -87,7 +87,7 @@ def test_stream_gap_sessions_completeness_tight_watermark(spark, tmp_path, event
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180), "streaming query did not finish"
     got = {
         (r["uid"], str(r["stime"])): (r["n_events"], r["sum_v"])
         for r in spark.sql(f"SELECT * FROM {name}").collect()
@@ -112,7 +112,7 @@ def test_stream_running_features(spark, tmp_path, event_rows):
         out.writeStream.format("memory").queryName(name)
         .outputMode("update").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180), "streaming query did not finish"
     rows = spark.sql(f"SELECT * FROM {name}").collect()
     final = {r["uid"]: r for r in rows}  # last update per uid wins in memory table? keep any
     for uid in ("a", "b"):
@@ -148,7 +148,7 @@ def test_stream_exact_dedup_one_survivor_per_fp(spark, tmp_path):
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(180), "streaming query did not finish"
     got = spark.sql(f"SELECT * FROM {name}").collect()
 
     batch = exact_dedup(
