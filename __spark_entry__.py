@@ -444,6 +444,19 @@ def q_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=16, bands=4)
 
 
+def q_minhash_cross(spark, sf_dir):
+    """Incremental-ingest dedup shape: screen the odd-id half (the 'new
+    batch') against the even-id half (the 'existing corpus')."""
+    from geofeaturegeneration_spark.operators import minhash_lsh_pairs_cross
+
+    docs = _docs_wide(spark, sf_dir)
+    return minhash_lsh_pairs_cross(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "doc_id", "text", k=3, n_hashes=16, bands=4,
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Pairwise near-dup hits -> connected components -> one keeper per
     cluster (iterative min-label propagation; the oracle reaches the same
@@ -792,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_roundtrip": q_token_roundtrip,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_cross": q_minhash_cross,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -1343,6 +1357,18 @@ band AS (SELECT doc_id, (i//4)::INT AS band,
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM band a JOIN band b ON a.band=b.band AND a.sig_str=b.sig_str
                         AND a.doc_id < b.doc_id
+""",
+        "minhash_cross": f"""
+WITH {_SHINGLE_CTE.strip()},
+perm AS (SELECT i, (2*i+1)::BIGINT AS a, (i*i+1)::BIGINT AS b FROM range(16) t(i)),
+sig AS (SELECT doc_id, i, MIN((a*h+b) % 2147483647) AS mh
+        FROM sh, perm GROUP BY 1,2),
+band AS (SELECT doc_id, (i//4)::INT AS band,
+                string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig_str
+         FROM sig GROUP BY 1,2)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM band a JOIN band b ON a.band=b.band AND a.sig_str=b.sig_str
+WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
 """,
         "dedup_clusters": f"""
 WITH RECURSIVE {_SHINGLE_CTE.strip()},

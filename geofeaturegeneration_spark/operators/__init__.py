@@ -20,6 +20,7 @@ from geofeaturegeneration_spark.operators.dedup import (
     connected_components,
     dedup_clusters,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_cross,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -64,6 +65,7 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_cross",
     "connected_components",
     "dedup_clusters",
     "ngram_jaccard_pairs",

@@ -112,6 +112,77 @@ def minhash_signatures(
     )
 
 
+def _band_sigs(
+    df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, sig_str): one row per (doc, band), sig_str = the band's
+    minhash values joined — the LSH bucket key. Built directly from the
+    wide signature row (no re-aggregation)."""
+    rpb = n_hashes // bands
+    wide = _minhash_wide(df, id_col, text_col, k, n_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"_mh_{i}").cast("string")
+                        for i in range(j * rpb, (j + 1) * rpb)
+                    ],
+                ).alias("sig_str"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return wide.select(
+        F.col(id_col), F.explode(band_structs).alias("_bs")
+    ).select(
+        F.col(id_col),
+        F.col("_bs.band").alias("band"),
+        F.col("_bs.sig_str").alias("sig_str"),
+    )
+
+
+def minhash_lsh_pairs_cross(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-corpus candidate pairs (id_a from ``left``, id_b from
+    ``right``) — the incremental-ingest dedup shape: screen a NEW batch
+    against the accumulated corpus without re-pairing the corpus with
+    itself (a self-join over corpus+batch grows quadratically with corpus
+    size; this plan's join is batch-bands x corpus-bands only, and corpus
+    band signatures can be precomputed/persisted between ingests).
+
+    ``max_bucket_size`` caps the CORPUS side's bucket population (a
+    degenerate corpus bucket — boilerplate shingles — would pair with
+    every matching batch doc). Signatures are per-document, so they equal
+    the self-join variant's for the same text."""
+    la = _band_sigs(left, id_col, text_col, k, n_hashes, bands).select(
+        "band", "sig_str", F.col(id_col).alias("id_a")
+    )
+    rb = _band_sigs(right, id_col, text_col, k, n_hashes, bands).select(
+        "band", "sig_str", F.col(id_col).alias("id_b")
+    )
+    if max_bucket_size is not None:
+        sizes = rb.groupBy("band", "sig_str").count()
+        keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
+        rb = rb.join(keep, ["band", "sig_str"], "inner")
+    return (
+        la.join(rb, ["band", "sig_str"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -130,26 +201,7 @@ def minhash_lsh_pairs(
     Band keys are built directly from the wide signature row (no
     re-aggregation): total plan = one shuffle for signatures + one for the
     bucket self-join."""
-    rpb = n_hashes // bands
-    wide = _minhash_wide(df, id_col, text_col, k, n_hashes)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.concat_ws(
-                    "-",
-                    *[
-                        F.col(f"_mh_{i}").cast("string")
-                        for i in range(j * rpb, (j + 1) * rpb)
-                    ],
-                ).alias("sig_str"),
-            )
-            for j in range(bands)
-        ]
-    )
-    band_sig = wide.select(
-        F.col(id_col), F.explode(band_structs).alias("_bs")
-    ).select(F.col(id_col), F.col("_bs.band").alias("band"), F.col("_bs.sig_str").alias("sig_str"))
+    band_sig = _band_sigs(df, id_col, text_col, k, n_hashes, bands)
     if max_bucket_size is not None:
         sizes = band_sig.groupBy("band", "sig_str").count()
         keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")

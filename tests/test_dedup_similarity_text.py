@@ -475,3 +475,34 @@ def test_dedup_clusters_keeper_exists_when_pairs_exceed_docs(spark):
     keepers = Counter(c for c, k in rows.values() if k)
     clusters = {c for c, _ in rows.values()}
     assert set(keepers) == clusters and all(v == 1 for v in keepers.values())
+
+
+def test_minhash_cross_consistent_with_self_join(spark, corpus):
+    """Cross-corpus pairs over a (left, right) split must equal the
+    self-join pairs restricted to one-side-each — signatures are
+    per-document, so splitting the corpus cannot change them."""
+    from geofeaturegeneration_spark.operators import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_cross,
+    )
+    from pyspark.sql import functions as F
+
+    left = corpus.filter(F.col("doc_id") % 2 == 1)
+    right = corpus.filter(F.col("doc_id") % 2 == 0)
+    cross = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs_cross(
+            left, right, "doc_id", "text", k=2, n_hashes=8, bands=4
+        ).collect()
+    }
+    full = minhash_lsh_pairs(
+        corpus, "doc_id", "text", k=2, n_hashes=8, bands=4
+    ).collect()
+    want = set()
+    for r in full:  # self-join emits a<b; cross emits (odd, even) any order
+        a, b = r["id_a"], r["id_b"]
+        if a % 2 == 1 and b % 2 == 0:
+            want.add((a, b))
+        elif a % 2 == 0 and b % 2 == 1:
+            want.add((b, a))
+    assert cross == want and cross  # non-empty on the dup-bearing corpus
