@@ -349,8 +349,15 @@ def q_lag_lead(spark, sf_dir):
 
 
 def q_rolling(spark, sf_dir):
+    """Row frame AND range frame in one contract query (folded so both
+    frame types keep a green driver row inside the 50-entry window; the
+    standalone range variant stays in extra_queries). Both windows share
+    partitionBy(user_id) — one exchange serves the stacked passes."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = rolling_features(ev, ["user_id"], "ts", "value", n_preceding=3)
+    out = rolling_features(
+        out, ["user_id"], "ts", "value", range_seconds=1800, out_prefix="rng_"
+    )
     return out.select(
         "event_id", "user_id", "ts",
         F.round("value_roll_avg", 6).alias("roll_avg"),
@@ -359,6 +366,10 @@ def q_rolling(spark, sf_dir):
         F.col("value_roll_max").alias("roll_max"),
         F.round("value_cum_sum", 6).alias("cum_sum"),
         "row_idx",
+        F.round("rng_roll_avg", 6).alias("rng_avg"),
+        F.round("rng_roll_sum", 6).alias("rng_sum"),
+        F.col("rng_roll_min").alias("rng_min"),
+        F.col("rng_roll_max").alias("rng_max"),
     )
 
 
@@ -781,21 +792,32 @@ def q_time_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver contract. HARD CONSTRAINT (measured in round 2): the
+    driver evaluates only the FIRST 50 dict entries — round 2 registered 55
+    and the last five got no CORRECTNESS row. This dict therefore holds
+    exactly 50 entries, with the five that had never been driver-verified
+    (series_matrix, contrastive, stay_enrich, hash_split, negative_samples)
+    moved to the front. Physical-strategy twins and folded variants live in
+    ``extra_queries()`` — same oracle discipline, checked by
+    tools/compare_oracle.py and pytest, just outside the driver window."""
     return {
+        # --- never driver-run before round 3: keep these first ---
+        "series_matrix": q_series_matrix,
+        "contrastive": q_contrastive,
+        "stay_enrich": q_stay_enrich,
+        "hash_split": q_hash_split,
+        "negative_samples": q_negative_samples,
+        # --- the rest of the contract ---
         "tpch_pricing": q_tpch_pricing,
         "orders_enrich": q_orders_enrich,
-        "top_customers": q_top_customers,
         "sessionize_gap": q_sessionize_gap,
         "sessionize_state": q_sessionize_state,
-        "sessionize_salted": q_sessionize_salted,
         "stay_move": q_stay_move,
         "stay_move_spliced": q_stay_move_spliced,
-        "asof_union": q_asof_union,
         "asof_salted": q_asof_salted,
         "asof_merge": q_asof_merge,
         "lag_lead": q_lag_lead,
-        "rolling": q_rolling,
-        "rolling_range": q_rolling_range,
+        "rolling": q_rolling,  # folded: rows frame + range frame
         "pivot_counts": q_pivot_counts,
         "interaction_matrix": q_interaction,
         "vocab": q_vocab,
@@ -811,7 +833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "minhash_sigs": q_minhash_sigs,
-        "interaction_wide": q_interaction_wide,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
         "ann_lsh_multi": q_ann_lsh_multi,
@@ -832,11 +853,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cantor": q_grid,
         "geohash": q_geohash,
         "time_features": q_time_features,
-        "series_matrix": q_series_matrix,
-        "hash_split": q_hash_split,
-        "negative_samples": q_negative_samples,
-        "contrastive": q_contrastive,
-        "stay_enrich": q_stay_enrich,
+    }
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-matched queries OUTSIDE the driver's 50-entry window: physical
+    twins of contract entries (identical output, different plan) and folded
+    standalone variants. Run by tools/compare_oracle.py and swept by
+    tests/test_plan_audit.py exactly like the contract."""
+    return {
+        # same output as sessionize_state via the time-range-salted plan
+        "sessionize_salted": q_sessionize_salted,
+        # same output as asof_salted/asof_merge via the union-window plan
+        "asof_union": q_asof_union,
+        # standalone range-frame rolling (contract 'rolling' folds both)
+        "rolling_range": q_rolling_range,
+        # wide pivot of contract 'interaction_matrix'
+        "interaction_wide": q_interaction_wide,
+        # TakeOrdered top-k + broadcast enrich (same family as orders_enrich)
+        "top_customers": q_top_customers,
     }
 
 
@@ -1262,17 +1297,23 @@ SELECT event_id, user_id, ts, value,
        ({sec_ts} - lag({sec_ts}) OVER w)::DOUBLE AS gap_s_lag1
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 """,
-        "rolling": """
+        "rolling": f"""
 SELECT event_id, user_id, ts,
        round(avg(value) OVER f,6) AS roll_avg,
        round(sum(value) OVER f,6) AS roll_sum,
        min(value) OVER f AS roll_min,
        max(value) OVER f AS roll_max,
        round(sum(value) OVER c,6) AS cum_sum,
-       (row_number() OVER (PARTITION BY user_id ORDER BY ts))::INT AS row_idx
+       (row_number() OVER (PARTITION BY user_id ORDER BY ts))::INT AS row_idx,
+       round(avg(value) OVER g,6) AS rng_avg,
+       round(sum(value) OVER g,6) AS rng_sum,
+       min(value) OVER g AS rng_min,
+       max(value) OVER g AS rng_max
 FROM events
 WINDOW f AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
-       c AS (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+       c AS (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING),
+       g AS (PARTITION BY user_id ORDER BY {_SEC.format(x='ts')}
+             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
 """,
         "rolling_range": f"""
 SELECT event_id, user_id, ts,

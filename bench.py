@@ -153,7 +153,7 @@ def main() -> None:
     names = names.split(",") if names else HEADLINE
 
     spark = get_spark("bench")
-    qs = E.queries()
+    qs = {**E.queries(), **E.extra_queries()}
 
     # warm the JVM + parquet footer caches so q1 isn't charged for startup
     spark.read.parquet(f"{sf_dir}/events.parquet").count()

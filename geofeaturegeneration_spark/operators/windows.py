@@ -51,6 +51,7 @@ def rolling_features(
     value_col: str,
     n_preceding: int = 3,
     range_seconds: int | None = None,
+    out_prefix: str | None = None,
 ) -> DataFrame:
     """Rolling aggregates over the entity's time-ordered history.
 
@@ -61,6 +62,12 @@ def rolling_features(
     Range frame (``range_seconds``): same aggregates over a trailing
     event-time window (rangeBetween on epoch seconds) — this is the frame
     that survives irregular sampling at scale.
+
+    ``out_prefix`` renames every output column to ``{out_prefix}roll_avg``
+    etc. (default keeps the historical ``{value_col}_roll_avg`` / ``row_idx``
+    names) so the row-frame and range-frame variants can be stacked on one
+    DataFrame without clobbering each other; both share the same
+    partitionBy, so Catalyst serves them from a single exchange.
     """
     base = W.partitionBy(*entity_cols).orderBy(time_col)
     if range_seconds is None:
@@ -72,14 +79,16 @@ def rolling_features(
         frame = base.rangeBetween(-range_seconds, W.currentRow)
     cum = base.rowsBetween(W.unboundedPreceding, W.currentRow)
     v = F.col(value_col)
+    p = out_prefix if out_prefix is not None else f"{value_col}_"
+    idx_name = "row_idx" if out_prefix is None else f"{out_prefix}row_idx"
     return df.withColumns(
         {
-            f"{value_col}_roll_avg": F.avg(v).over(frame),
-            f"{value_col}_roll_sum": F.sum(v).over(frame),
-            f"{value_col}_roll_min": F.min(v).over(frame),
-            f"{value_col}_roll_max": F.max(v).over(frame),
-            f"{value_col}_cum_sum": F.sum(v).over(cum),
-            "row_idx": F.row_number().over(base),
+            f"{p}roll_avg": F.avg(v).over(frame),
+            f"{p}roll_sum": F.sum(v).over(frame),
+            f"{p}roll_min": F.min(v).over(frame),
+            f"{p}roll_max": F.max(v).over(frame),
+            f"{p}cum_sum": F.sum(v).over(cum),
+            idx_name: F.row_number().over(base),
         }
     )
 

@@ -53,8 +53,22 @@ def test_vocab_encode_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def all_queries():
+    return {**E.queries(), **E.extra_queries()}
+
+
+def test_contract_fits_driver_window():
+    """Round-2 lesson: the driver evaluates only the FIRST 50 queries()
+    entries — anything past that silently gets no CORRECTNESS row."""
+    assert len(E.queries()) <= 50
+    # every contract and extra query has a DuckDB oracle registered
+    oracles = E.oracle_sql()
+    missing = [n for n in all_queries() if n not in oracles]
+    assert not missing, f"queries without oracle: {missing}"
+
+
 def test_asof_union_is_single_shuffle_no_join(spark):
-    plan = plan_str(E.queries()["asof_union"](spark, SF_DIR), "simple")
+    plan = plan_str(all_queries()["asof_union"](spark, SF_DIR), "simple")
     assert "Join" not in plan  # pure union + window, no join operator
     # one exchange for the (key) window; union sides scan independently
     n_exchanges = plan.count("Exchange hashpartitioning")
@@ -62,7 +76,7 @@ def test_asof_union_is_single_shuffle_no_join(spark):
 
 
 def test_bucketed_candidate_joins_not_cartesian(spark):
-    qs = E.queries()
+    qs = all_queries()
     for name in ["ann_lsh", "ann_ivf", "minhash_pairs", "ngram_jaccard"]:
         plan = plan_str(qs[name](spark, SF_DIR), "simple")
         assert "CartesianProduct" not in plan, name
@@ -83,10 +97,10 @@ _UNCONDITIONED_JOIN_ALLOWLIST = {"cosine_topk", "ann_ivf", "ann_ivf_trained"}
 
 def test_no_unconditioned_join_in_any_contract_query(spark):
     """Round-1 lesson: the audit checked selected plans and missed a
-    cross join in negative_samples. Sweep EVERY contract query: no
+    cross join in negative_samples. Sweep EVERY contract + extra query: no
     CartesianProduct, and no BroadcastNestedLoopJoin outside the
     documented bounded-small allowlist."""
-    qs = E.queries()
+    qs = all_queries()
     bad = {}
     for name, fn in qs.items():
         if name in _UNCONDITIONED_JOIN_ALLOWLIST:
@@ -103,7 +117,7 @@ def test_no_unconditioned_join_in_any_contract_query(spark):
 
 
 def test_narrow_exprs_no_exchange_codegen(spark):
-    qs = E.queries()
+    qs = all_queries()
     for name in ["grid_cantor", "time_features", "text_stats", "lang_id"]:
         df = qs[name](spark, SF_DIR)
         plan = plan_str(df, "simple")
@@ -118,7 +132,7 @@ def test_narrow_exprs_no_exchange_codegen(spark):
 
 
 def test_salted_paths_never_single_partition(spark):
-    qs = E.queries()
+    qs = all_queries()
     for name in ["asof_salted", "sessionize_salted", "stay_enrich"]:
         plan = plan_str(qs[name](spark, SF_DIR), "simple")
         assert "SinglePartition" not in plan, name
