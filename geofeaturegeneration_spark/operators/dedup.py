@@ -226,24 +226,36 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.4,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct k-word shingle sets for every
     pair sharing >= 1 shingle; keep pairs with jaccard >= threshold.
 
     The shingle equi-join means cost is sum over shingles of (docs sharing
-    it)^2 — bounded in real corpora; stopword-shingle hot keys are the skew
-    case and AQE skew-join splits them.
+    it)^2. ``max_doc_freq`` makes that bound EXPLICIT instead of
+    AQE-dependent: shingles shared by more than ``max_doc_freq`` documents
+    (stopword shingles are the documented hot-key case) are dropped from
+    the universe BEFORE sizes are computed, so the result is the exact
+    Jaccard over the filtered shingle universe — per-shingle pair cost is
+    then <= max_doc_freq^2 by construction. None keeps every shingle
+    (classic exact Jaccard).
 
-    Physical shape: set sizes are attached to the shingle rows with ONE
-    window (count over doc) and carried through the h-join as two extra
-    ints, instead of joining a separate sizes table onto the pair table
-    twice — the pair table is the big intermediate, so the carried-column
-    form removes the two most expensive joins of the naive plan. The two
-    join inputs are identical subplans, so the shuffle is computed once
-    (exchange reuse)."""
+    Physical shape: doc frequency and set sizes are attached to the shingle
+    rows with windows (count over shingle, then count over doc) and carried
+    through the h-join as extra ints, instead of joining separate frequency
+    tables onto the pair table — the pair table is the big intermediate, so
+    the carried-column form removes the most expensive joins of the naive
+    plan. The two join inputs are identical subplans, so the shuffle is
+    computed once (exchange reuse)."""
     from pyspark.sql import Window as W
 
     sh = shingle_hashes(df, id_col, text_col, k)
+    if max_doc_freq is not None:
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("h")))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(W.partitionBy(id_col)))
     a = sh.select(F.col(id_col).alias("id_a"), "h", F.col("n_sh").alias("n_a"))
     b = sh.select(F.col(id_col).alias("id_b"), "h", F.col("n_sh").alias("n_b"))

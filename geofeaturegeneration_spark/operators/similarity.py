@@ -155,6 +155,22 @@ def _hp_exploded(
     )
 
 
+def _cap_buckets(exploded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop degenerate (table, bucket) cells with more than ``max_bucket_size``
+    members before the candidate self-join. All-zero / constant embeddings
+    hash to the SAME bucket in EVERY table (their hyperplane dots tie), so
+    one pathological cluster makes the per-bucket self-join quadratic in all
+    T tables at once — the same hazard ``minhash_lsh_pairs`` caps with
+    ``max_bucket_size``, mirrored here. The cap side is a (t, bucket, count)
+    aggregate joined back as an equi-join, never a row expansion; None keeps
+    every bucket (exact small-scale behavior)."""
+    if max_bucket_size is None:
+        return exploded
+    sizes = exploded.groupBy("_t", "_bucket").count()
+    keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
+    return exploded.join(keep, ["_t", "_bucket"])
+
+
 def ann_lsh_multi_topk(
     df: DataFrame,
     id_col: str,
@@ -164,6 +180,7 @@ def ann_lsh_multi_topk(
     n_tables: int = 3,
     n_bits: int = 8,
     seed: str = "hp",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via MULTI-TABLE random-hyperplane sign-LSH:
     candidates are pairs co-bucketed in ANY of ``n_tables`` independent
@@ -175,9 +192,13 @@ def ann_lsh_multi_topk(
     over the corpus (n_tables rows per vector), one (table, bucket)
     equi-join, then a per-pair max-dedupe and per-query top-k window — no
     cross join at any scale. Output: (id, nn_id, cos_sim, rank, n_hit)
-    where n_hit = number of tables that co-bucketed the pair."""
+    where n_hit = number of tables that co-bucketed the pair (counted over
+    the tables whose bucket survived ``max_bucket_size``, see
+    ``_cap_buckets``)."""
     tables = hyperplane_tables(dim, n_tables, n_bits, seed)
-    exploded = _hp_exploded(df, id_col, vec_col, tables)
+    exploded = _cap_buckets(
+        _hp_exploded(df, id_col, vec_col, tables), max_bucket_size
+    )
     a = exploded.select(
         F.col(id_col), "_t", "_bucket",
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
@@ -217,13 +238,17 @@ def embedding_neardup_multi_pairs(
     n_tables: int = 3,
     n_bits: int = 8,
     seed: str = "hp",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Multi-table variant of ``embedding_neardup_pairs``: candidate pairs
     from the OR of ``n_tables`` random-hyperplane tables, exact-cosine
     verified, deduped. Same candidate/verify split, higher recall.
+    ``max_bucket_size`` drops degenerate buckets (``_cap_buckets``).
     Output: (id_a, id_b, cos_sim)."""
     tables = hyperplane_tables(dim, n_tables, n_bits, seed)
-    exploded = _hp_exploded(df, id_col, vec_col, tables)
+    exploded = _cap_buckets(
+        _hp_exploded(df, id_col, vec_col, tables), max_bucket_size
+    )
     a = exploded.select(
         F.col(id_col).alias("id_a"), "_t", "_bucket",
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),

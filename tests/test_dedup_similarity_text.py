@@ -275,6 +275,77 @@ def test_embedding_neardup_multi_pairs(spark, vectors):
     assert pairs[(0, 1)] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
 
 
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """Adversarial constant vectors co-bucket in EVERY hyperplane table
+    (identical sign patterns), so without a cap the per-bucket self-join is
+    quadratic in the cluster size across all T tables at once.
+    max_bucket_size drops those cells while genuinely small buckets (the
+    real near-dup pair) survive, and the plan stays equi-join only."""
+    from geofeaturegeneration_spark.operators import (
+        ann_lsh_multi_topk,
+        embedding_neardup_multi_pairs,
+    )
+
+    const = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(30)]
+    neardup = [(100, [1.0, -1.0, 0.5, -0.5]), (101, [1.0, -1.0, 0.5, -0.4])]
+    df = spark.createDataFrame(
+        const + neardup, "vec_id INT, embedding ARRAY<FLOAT>"
+    )
+
+    capped = embedding_neardup_multi_pairs(
+        df, "vec_id", "embedding", dim=4, threshold=0.9,
+        n_tables=3, n_bits=4, max_bucket_size=5,
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs              # small bucket survives the cap
+    assert not any(a < 100 for a, _ in pairs)   # constant cluster dropped
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # uncapped keeps the quadratic cluster: 30*29/2 constant pairs
+    uncapped = embedding_neardup_multi_pairs(
+        df, "vec_id", "embedding", dim=4, threshold=0.9, n_tables=3, n_bits=4
+    ).count()
+    assert uncapped == 30 * 29 // 2 + 1
+
+    # same guard on the top-k variant
+    topk = ann_lsh_multi_topk(
+        df, "vec_id", "embedding", dim=4, k=3,
+        n_tables=3, n_bits=4, max_bucket_size=5,
+    )
+    got = {(r["vec_id"], r["nn_id"]) for r in topk.collect()}
+    assert got == {(100, 101), (101, 100)}
+
+
+def test_ngram_max_doc_freq_cap(spark):
+    """A shingle shared by more than max_doc_freq docs is removed from the
+    universe BEFORE sizes: 4 docs tied together only by one stopword-like
+    shingle produce 6 pairs uncapped and none capped, making the
+    per-shingle pair bound explicit instead of AQE-dependent."""
+    rows = [(i, f"common shingle words tail{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1)
+    vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped.collect()}
+    # each doc: 2 shingles, 1 shared -> jaccard 1/3 for all 6 pairs
+    assert len(vals) == 6
+    assert all(v == pytest.approx(1 / 3, abs=1e-6) for v in vals.values())
+
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.1, max_doc_freq=3
+    )
+    assert capped.count() == 0
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    # a cap above the hot shingle's doc freq changes nothing
+    loose = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.1, max_doc_freq=4
+    )
+    assert {(r["id_a"], r["id_b"]): r["jaccard"] for r in loose.collect()} == vals
+
+
 def test_ivf_trained_quantizers_on_clustered_data(spark):
     """The first-N-by-id seed quantizer is pathological exactly when id
     order correlates with the data source (the production norm): if the
