@@ -255,6 +255,20 @@ def _merge_asof(
             vals = f.to_numpy(dtype="float64", copy=False)
             finite = np.isfinite(vals)
             if np.all(vals[finite] == np.floor(vals[finite])):
+                # The float side is integral, but if it STARTED as
+                # int64-with-nulls it already passed through Arrow's
+                # int->float64 conversion, which is lossy above 2^53
+                # (adjacent epoch-nano values collapse, so a probe could
+                # silently match a future row). Precision is gone before
+                # this function runs — refuse to merge silently.
+                if finite.any() and np.abs(vals[finite]).max() >= 2.0**53:
+                    raise ValueError(
+                        "merge_asof: nullable integer time column exceeds "
+                        "2^53 after float64 conversion — ordering is no "
+                        "longer exact (e.g. epoch nanos with nulls). Use "
+                        "epoch micros/millis, or make the column "
+                        "non-nullable so it stays int64 end-to-end."
+                    )
                 conv = f.replace(
                     float("-inf"), float(np.iinfo("int64").min)
                 ).astype("int64")

@@ -62,9 +62,10 @@ def negative_samples(
     anti-join and hash ranking then run on the sampled set only. Slots can
     collide or hit visited items, so an entity may yield fewer than k
     negatives — size k' >= ~4k + expected-visited for a comfortable margin.
-    NULL entities draw no samples on this path (their slot hash is null);
-    the enumeration path would rank candidates for them — filter null keys
-    upstream if that distinction matters.
+    NULL entities are filtered out on BOTH paths (a null key's slot hash is
+    null, so the sampled path could never draw for it — the enumeration
+    path now matches, so switching n_candidates never changes null-key
+    semantics).
     Membership is a pure function of (entity, item-vocab, salt): stable
     under re-runs, partitioning, and engines.
 
@@ -74,7 +75,11 @@ def negative_samples(
     unconditioned join anywhere."""
     if n_candidates is not None and n_candidates < 1:
         raise ValueError("n_candidates must be >= 1 (or None for full enumeration)")
-    entities = interactions.select(entity_col).distinct()
+    entities = (
+        interactions.select(entity_col)
+        .filter(F.col(entity_col).isNotNull())
+        .distinct()
+    )
     visited = interactions.select(entity_col, item_col).distinct()
     items_d = items.select(item_col).distinct()
 

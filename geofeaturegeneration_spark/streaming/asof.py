@@ -24,8 +24,25 @@ union strategy uses:
    watermark advances past them even if the key receives no further rows.
 
 Tie rule matches batch: a reference row at exactly t IS visible to a probe
-at t. Null keys/event-times are not supported on streams (the watermark
-machinery drops/rejects them upstream).
+at t. Finalization is therefore STRICT (watermark must pass the probe's
+event time, not merely reach it): Spark only drops rows strictly older
+than the watermark, so a reference row stamped exactly at the watermark
+can still legally arrive — emitting at ``t == wm`` would miss it and
+violate the tie rule at the boundary. Null keys/event-times are not
+supported on streams (the watermark machinery drops/rejects them
+upstream).
+
+State hygiene: the per-key reference buffer is kept sorted by MERGING the
+(sorted) new micro-batch into it — O(state + batch log batch), never a
+re-sort of state that is already ordered. ``max_pending`` bounds the
+pending-probe buffer against a stalled watermark (one slow side holds the
+min-watermark back while probes accumulate): exceeding it fails the query
+with a clear error — honest backpressure instead of unbounded state.
+``ref_ttl`` evicts keys that hold ONLY reference history (no pending
+probes) once their newest reference row is that far behind the watermark;
+without it, total state grows with the distinct-key cardinality of the
+stream's lifetime. An evicted key's very late probe sees nulls — the
+documented trade.
 """
 
 from __future__ import annotations
@@ -45,10 +62,18 @@ def stream_asof_join(
     right_time: str,
     value_cols: list[str],
     watermark: str = "1 hour",
+    max_pending: int | None = None,
+    ref_ttl_ms: int | None = None,
 ) -> DataFrame:
     """For each left (probe) row, attach the latest right ``value_cols``
     with ``right[right_time] <= left[left_time]`` per ``on`` key, emitted
-    once the watermark passes the probe's event time.
+    once the watermark STRICTLY passes the probe's event time (see module
+    docstring: a reference row at exactly the watermark can still arrive).
+
+    ``max_pending``: per-key cap on buffered unfinalized probes; exceeding
+    it raises (stalled-watermark guard). ``ref_ttl_ms``: evict a key's
+    reference-only state once its newest reference row is this many ms
+    behind the watermark (None = keep forever, the pre-TTL behavior).
 
     Output: (*on, left_id, left_time, *value_cols), append mode.
     """
@@ -119,6 +144,7 @@ def stream_asof_join(
         rts = list(st[2] or [])
         rvs = [list(st[3 + i] or []) for i in range(n_vals)]
 
+        new_rows: list[tuple] = []
         for pdf in pdfs:  # empty when invoked by timeout
             is_left = pdf["_tag"] == 1
             lpart = pdf.loc[is_left]
@@ -128,22 +154,40 @@ def stream_asof_join(
             lids.extend(new_ids)
             lts.extend(int(t.value) // 1000 for t in lpart["_t"])
             rpart = pdf.loc[~is_left]
-            new_rts = [int(t.value) // 1000 for t in rpart["_t"]]
-            new_rvs = [rpart[f"_rv_{i}"].tolist() for i in range(n_vals)]
-            # keep the reference buffer time-sorted (stable insertion)
-            merged = sorted(
-                list(zip(rts, *rvs)) + list(zip(new_rts, *new_rvs)),
-                key=lambda x: x[0],
+            new_rows.extend(
+                zip(
+                    (int(t.value) // 1000 for t in rpart["_t"]),
+                    *[rpart[f"_rv_{i}"].tolist() for i in range(n_vals)],
+                )
             )
+        if new_rows:
+            # state is already time-sorted: sort only the new batch, then a
+            # single two-pointer merge — O(state + batch log batch), not a
+            # re-sort of the whole buffer every micro-batch
+            new_rows.sort(key=lambda x: x[0])
+            old_rows = list(zip(rts, *rvs)) if rts else []
+            merged: list[tuple] = []
+            i = j = 0
+            while i < len(old_rows) and j < len(new_rows):
+                if old_rows[i][0] <= new_rows[j][0]:  # stable: state first
+                    merged.append(old_rows[i]); i += 1
+                else:
+                    merged.append(new_rows[j]); j += 1
+            merged.extend(old_rows[i:])
+            merged.extend(new_rows[j:])
             rts = [m[0] for m in merged]
             rvs = [[m[1 + i] for m in merged] for i in range(n_vals)]
 
-        wm_us = state.getCurrentWatermarkMs() * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
 
         rows = []
         pend_ids, pend_ts = [], []
         for lid, t_us in zip(lids, lts):
-            if t_us <= wm_us:
+            # STRICT: a reference row stamped exactly at the watermark can
+            # still arrive (Spark drops only rows strictly older), so a
+            # probe is final only once the watermark has passed its time
+            if t_us < wm_us:
                 pos = bisect.bisect_right(rts, t_us) - 1  # <= rule: tie visible
                 vals = [rvs[i][pos] if pos >= 0 else None for i in range(n_vals)]
                 rows.append(
@@ -153,20 +197,37 @@ def stream_asof_join(
                 pend_ids.append(lid)
                 pend_ts.append(t_us)
 
+        if max_pending is not None and len(pend_ids) > max_pending:
+            raise RuntimeError(
+                f"stream_asof_join: {len(pend_ids)} pending probes for key "
+                f"{key} exceed max_pending={max_pending} — the watermark "
+                "has stalled (one input side is idle or far behind). "
+                "Raise max_pending, fix the lagging source, or shorten the "
+                "watermark delay."
+            )
+
         # prune refs: the latest at-or-before the watermark + all after it
         cut = bisect.bisect_right(rts, wm_us) - 1
         keep_from = max(cut, 0)
         rts = rts[keep_from:]
         rvs = [v[keep_from:] for v in rvs]
 
-        if pend_ids or rts:
+        if pend_ids:
             state.update((pend_ids, pend_ts, rts, *rvs))
-            if pend_ids:
-                # re-invoke once the watermark can finalize the oldest probe
+            # re-invoke once the watermark can finalize the oldest probe
+            state.setTimeoutTimestamp(max(min(pend_ts) // 1000, wm_ms + 1))
+        elif rts and (
+            ref_ttl_ms is None or wm_us < rts[-1] + ref_ttl_ms * 1000
+        ):
+            state.update((pend_ids, pend_ts, rts, *rvs))
+            if ref_ttl_ms is not None:
+                # arm eviction so a quiescent key is re-visited and dropped
+                # even if it never receives another row
                 state.setTimeoutTimestamp(
-                    max(min(pend_ts) // 1000, state.getCurrentWatermarkMs() + 1)
+                    max(rts[-1] // 1000 + ref_ttl_ms, wm_ms + 1)
                 )
         elif state.exists:
+            # no pending probes and (no refs, or refs past their TTL)
             state.remove()
 
         yield pd.DataFrame(rows, columns=out_names)

@@ -188,6 +188,29 @@ def test_merge_asof_bigint_times_above_2_53_with_nulls(spark):
     assert got[3] is None  # null key, no null-key right rows
 
 
+def test_merge_asof_nullable_bigint_times_above_2_53_raise(spark):
+    """A time column that is int64 WITH nulls reaches the worker as float64
+    (Arrow conversion) — above 2^53 adjacent values have already collapsed
+    before any fix can run, so a probe could silently match a future row.
+    The worker must refuse to merge instead of guessing."""
+    import pytest as _pytest
+
+    base = (1 << 55) + 10
+    left = spark.createDataFrame(
+        [("k", base, 1), ("k", None, 2)],
+        "key STRING, pts BIGINT, rid INT",
+    )
+    right = spark.createDataFrame(
+        [("k", base - 5, 7.0)], "key STRING, rts BIGINT, val DOUBLE"
+    )
+    out = asof_join(
+        left, right, ["key"], "pts", "rts", ["val"],
+        strategy="merge_asof", num_buckets=2,
+    )
+    with _pytest.raises(Exception, match="2\\^53"):
+        out.collect()
+
+
 def test_merge_asof_fractional_double_times_with_int_left(spark):
     """Mixed bigint/double time schema with genuinely fractional right
     times: must NOT truncate 10.5 -> 10 (a probe at 10 would then see a

@@ -79,6 +79,24 @@ def test_negative_samples_unvisited_only(spark):
     assert got == again
 
 
+def test_negative_samples_null_entity_same_on_both_paths(spark):
+    """A NULL entity draws no samples on EITHER path — the sampled path's
+    slot hash is null by construction, and the enumeration path now filters
+    identically, so switching n_candidates never changes null-key rows."""
+    inter = spark.createDataFrame(
+        [("u1", "g1"), (None, "g1")], "uid STRING, item STRING"
+    )
+    items = spark.createDataFrame(
+        [("g1",), ("g2",), ("g3",)], "item STRING"
+    )
+    enum = negative_samples(inter, items, "uid", "item", k=2)
+    sampled = negative_samples(
+        inter, items, "uid", "item", k=2, n_candidates=16
+    )
+    assert all(r["uid"] is not None for r in enum.collect())
+    assert all(r["uid"] is not None for r in sampled.collect())
+
+
 def test_contrastive_samples(spark):
     from geofeaturegeneration_spark.operators.split import contrastive_samples
     import pyspark.sql.functions as F

@@ -223,3 +223,79 @@ def test_stream_asof_join_matches_batch(spark, tmp_path):
         r["pid"]: r["pts"] for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert times[1] == ts(5)
+
+
+def test_stream_asof_max_pending_guards_stalled_watermark(spark, tmp_path):
+    """With a stalled watermark (here: batch 1 arrives before any watermark
+    advance, the degenerate stall) pending probes accumulate per key;
+    max_pending must fail the query with a clear error instead of letting
+    state grow without bound."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from geofeaturegeneration_spark.streaming import stream_asof_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    lrows = [("a", i, t0 + timedelta(minutes=i)) for i in range(8)]
+    rrows = [("a", t0, 1.0)]
+    lschema = "key STRING, pid INT, pts TIMESTAMP"
+    rschema = "key STRING, rts TIMESTAMP, val DOUBLE"
+    lpath, rpath = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(lrows, lschema).coalesce(1).write.parquet(lpath)
+    spark.createDataFrame(rrows, rschema).coalesce(1).write.parquet(rpath)
+
+    out = stream_asof_join(
+        spark.readStream.schema(lschema).parquet(lpath),
+        spark.readStream.schema(rschema).parquet(rpath),
+        ["key"], "pid", "pts", "rts", ["val"],
+        watermark="1 second", max_pending=3,
+    )
+    name = f"sasof_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    with pytest.raises(StreamingQueryException, match="max_pending"):
+        q.awaitTermination(180)
+
+
+def test_stream_asof_ref_ttl_evicts_quiescent_keys(spark, tmp_path):
+    """A key that holds ONLY reference history (no pending probes) must be
+    evicted once its newest reference row falls ref_ttl_ms behind the
+    watermark — otherwise total state grows with the stream's lifetime
+    distinct-key cardinality. Observable via the state-store row count of
+    the final micro-batch: the quiescent key 'a' is gone, only the
+    still-in-window sentinel key remains."""
+    from geofeaturegeneration_spark.streaming import stream_asof_join
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    far = t0 + timedelta(hours=5)
+    lrows = [("zzz", 99, far)]                       # sentinel probe
+    rrows = [("a", t0, 1.0), ("a", t0 + timedelta(minutes=1), 2.0),
+             ("zzz", far, 0.0)]                      # 'a' = ref-only key
+    lschema = "key STRING, pid INT, pts TIMESTAMP"
+    rschema = "key STRING, rts TIMESTAMP, val DOUBLE"
+
+    def run(ttl):
+        lpath = str(tmp_path / f"l_{ttl}")
+        rpath = str(tmp_path / f"r_{ttl}")
+        spark.createDataFrame(lrows, lschema).coalesce(1).write.parquet(lpath)
+        spark.createDataFrame(rrows, rschema).coalesce(1).write.parquet(rpath)
+        out = stream_asof_join(
+            spark.readStream.schema(lschema).parquet(lpath),
+            spark.readStream.schema(rschema).parquet(rpath),
+            ["key"], "pid", "pts", "rts", ["val"],
+            watermark="1 second", ref_ttl_ms=ttl,
+        )
+        name = f"sasof_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180), "streaming query did not finish"
+        return q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+
+    # TTL 1 min: 'a' refs are hours behind the final watermark -> evicted;
+    # only the sentinel key (pending probe at the watermark) remains
+    assert run(60_000) == 1
+    # no TTL: 'a' is retained forever alongside the sentinel
+    assert run(None) == 2
