@@ -17,6 +17,8 @@ from geofeaturegeneration_spark.operators.sequence import (
 from geofeaturegeneration_spark.operators.dedup import (
     exact_dedup,
     minhash_signatures,
+    minhash_band_signatures,
+    lsh_pairs_from_band_sigs,
     connected_components,
     dedup_clusters,
     minhash_lsh_pairs,
@@ -64,6 +66,8 @@ __all__ = [
     "reassemble_chunks",
     "exact_dedup",
     "minhash_signatures",
+    "minhash_band_signatures",
+    "lsh_pairs_from_band_sigs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_cross",
     "connected_components",

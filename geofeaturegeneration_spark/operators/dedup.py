@@ -144,6 +144,24 @@ def _band_sigs(
     )
 
 
+def minhash_band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Public band-signature stage: ``(id, band, sig_str)``, one row per
+    (document, band). Per-document and embarrassingly parallel — the
+    persistable/resumable first stage of a staged dedup pipeline
+    (jobs/run_dedup.py); feed the stored table to
+    ``lsh_pairs_from_band_sigs``. Signatures are identical to what
+    ``minhash_lsh_pairs`` computes inline, so staged and single-shot runs
+    agree exactly."""
+    return _band_sigs(df, id_col, text_col, k, n_hashes, bands)
+
+
 def minhash_lsh_pairs_cross(
     left: DataFrame,
     right: DataFrame,
@@ -202,6 +220,19 @@ def minhash_lsh_pairs(
     re-aggregation): total plan = one shuffle for signatures + one for the
     bucket self-join."""
     band_sig = _band_sigs(df, id_col, text_col, k, n_hashes, bands)
+    return lsh_pairs_from_band_sigs(band_sig, id_col, max_bucket_size)
+
+
+def lsh_pairs_from_band_sigs(
+    band_sig: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a ``(id, band, sig_str)`` band
+    signature table — the second half of ``minhash_lsh_pairs``, split out
+    so a staged pipeline can PERSIST signatures (the per-document,
+    embarrassingly-parallel, resumable stage) and run the global bucket
+    self-join over the stored table (jobs/run_dedup.py)."""
     if max_bucket_size is not None:
         sizes = band_sig.groupBy("band", "sig_str").count()
         keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")

@@ -77,6 +77,78 @@ def test_resume_skips_done_and_output_identical(spark, seq, tmp_path):
     assert all(rows[s]["status"] == "done" and rows[s]["rows"] > 0 for s in sources)
 
 
+def _read_sorted_rows(spark, path, drop=("part_key",)):
+    df = spark.read.parquet(path).drop(*drop)
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.select(cols).collect())
+
+
+def test_dedup_pipeline_kill_resume_identical(spark, tmp_path, monkeypatch):
+    """The composed corpus-dedup job (signatures -> clusters -> keeper
+    filter, jobs/run_dedup.py) must survive a mid-stage-1 crash: the resumed
+    run skips finished buckets and produces output identical to an
+    uninterrupted run AND to the single-shot in-memory operators."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100)
+
+    # uninterrupted run
+    out1, ck1 = str(tmp_path / "out1"), str(tmp_path / "ck1")
+    r_sig, r_clu, r_out = RD.run_dedup_pipeline(spark, docs, out1, ck1, **kw)
+    assert all(not r.skipped for r in r_sig + r_clu + r_out)
+
+    # interrupted run: crash while computing the SECOND signature bucket
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    real = RD.minhash_band_signatures
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return real(*a, **k)
+
+    monkeypatch.setattr(RD, "minhash_band_signatures", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        RD.run_dedup_pipeline(spark, docs, out2, ck2, **kw)
+    monkeypatch.setattr(RD, "minhash_band_signatures", real)
+
+    # resume: bucket 0 of stage 1 skipped, everything else runs
+    r_sig2, r_clu2, r_out2 = RD.run_dedup_pipeline(spark, docs, out2, ck2, **kw)
+    assert [r.skipped for r in r_sig2] == [True, False, False]
+    assert all(not r.skipped for r in r_clu2 + r_out2)
+
+    # identical artifacts at every stage
+    for sub in ("signatures", "clusters", "deduped"):
+        assert _read_sorted_rows(spark, f"{out1}/{sub}") == _read_sorted_rows(
+            spark, f"{out2}/{sub}"
+        ), sub
+
+    # staged pipeline == single-shot operators on the same corpus
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=16, bands=4, max_bucket_size=100
+    )
+    inline = dedup_clusters(docs, "doc_id", pairs)
+    keep_inline = sorted(
+        (r["doc_id"], r["cluster_id"])
+        for r in inline.filter("is_keeper").collect()
+    )
+    # deduped rows are (cluster_id, doc_id, text) after column sort
+    keep_staged = sorted(
+        (r[1], r[0]) for r in _read_sorted_rows(spark, f"{out1}/deduped")
+    )
+    assert keep_staged == keep_inline
+    # dedup actually removed something on this corpus
+    assert len(keep_staged) < docs.count()
+
+
 def test_rerun_partition_is_idempotent(spark, seq, tmp_path):
     out = str(tmp_path / "out")
     ck = str(tmp_path / "ck")
