@@ -36,6 +36,7 @@ from geofeaturegeneration_spark.functions.grid import (
     gps_to_loncol,
     grid_to_centre_lat,
     grid_to_centre_lon,
+    with_geohash,
 )
 from geofeaturegeneration_spark.operators import (
     ann_ivf_topk,
@@ -704,10 +705,8 @@ def q_geohash(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     lon = F.lit(116.0) + F.col("value") / 1000.0
     lat = F.lit(39.5) + F.col("value") / 2000.0
-    return ev.select(
-        "event_id",
-        geohash_encode(lat, lon, precision=7).alias("gh7"),
-        geohash_encode(lat, lon, precision=5).alias("gh5"),
+    return with_geohash(ev, lat, lon, {"gh7": 7, "gh5": 5}).select(
+        "event_id", "gh7", "gh5"
     )
 
 

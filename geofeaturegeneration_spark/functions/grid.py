@@ -112,8 +112,18 @@ def geohash_encode(lat: Column, lon: Column, precision: int = 7) -> Column:
     its bit budget (lon gets ceil(5p/2) bits, lat floor(5p/2)) and
     interleaving: global bit i (MSB-first) is a lon bit for even i, lat for
     odd. All integer shifts/masks — any engine reproduces it bit-exactly
-    (DuckDB oracle mirror in __spark_entry__). Out-of-range coordinates are
-    clamped to the valid cell like the reference implementations."""
+    (DuckDB oracle mirror in __spark_entry__; the oracle keeps the
+    per-bit formulation, the values are what must agree). Out-of-range
+    coordinates are clamped to the valid cell like the reference
+    implementations.
+
+    Column-expression form: linear per-bit extraction with a substr lookup
+    on a literal alphabet (no per-row CreateArray). Fine for unit tests and
+    one-off use; the contract/scale path is ``with_geohash`` below, whose
+    staged intermediate columns keep the codegen tree small (an inline
+    O(log b) magic-mask spread is NOT usable here — each level references
+    its input twice, so a pure expression tree duplicates the whole
+    upstream subtree 2^5 times and planning/codegen dominates runtime)."""
     n_bits = 5 * precision
     b_lon = (n_bits + 1) // 2
     b_lat = n_bits // 2
@@ -134,13 +144,14 @@ def geohash_encode(lat: Column, lon: Column, precision: int = 7) -> Column:
             return F.shiftright(lon_q, b_lon - 1 - i // 2).bitwiseAND(F.lit(1))
         return F.shiftright(lat_q, b_lat - 1 - i // 2).bitwiseAND(F.lit(1))
 
-    letters = F.array(*[F.lit(c) for c in GEOHASH_ALPHABET])
     chars = []
     for k in range(precision):
         idx = F.lit(0).cast("long")
         for j in range(5):
             idx = idx + F.shiftleft(bit_at(5 * k + j), 4 - j)
-        chars.append(F.element_at(letters, (idx + 1).cast("int")))
+        chars.append(
+            F.substr(F.lit(GEOHASH_ALPHABET), (idx + 1).cast("int"), F.lit(1))
+        )
     # NULL coordinates must yield NULL, not a legitimate-looking corner
     # hash: Spark's greatest/least SKIP nulls, so the clamp would otherwise
     # turn a null quantized value into the all-ones cell ('zzz...'), while
@@ -148,3 +159,86 @@ def geohash_encode(lat: Column, lon: Column, precision: int = 7) -> Column:
     return F.when(
         lat.isNull() | lon.isNull(), F.lit(None).cast("string")
     ).otherwise(F.concat(*chars))
+
+
+def with_geohash(
+    df,
+    lat: Column,
+    lon: Column,
+    outputs: dict[str, int],
+):
+    """Scale path for geohash: add one base-32 geohash column per
+    ``{output_name: precision}`` entry using the O(log b) magic-mask bit
+    interleave, STAGED as intermediate DataFrame columns.
+
+    Staging is the point, not a convenience: each spread level computes
+    ``x | x<<sh & mask`` — referencing its input twice — so inlined into a
+    single Column expression the upstream subtree doubles per level (2^5x)
+    and Catalyst planning + Janino codegen dominate wall time (measured:
+    the inline form was 4x SLOWER end-to-end than the naive 150-node
+    per-bit form purely on plan/compile cost). As withColumn aliases the
+    duplication is bounded: CollapseProject declines to inline a non-cheap
+    alias referenced more than once, so every level stays a 3-op
+    projection and whole-stage codegen names it once. Same bit semantics
+    as ``geohash_encode`` (shared quantization; NULL coords -> NULL hash).
+    """
+    spreads = (
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    )
+
+    def quant(v: Column, lo: float, hi: float, b: int) -> Column:
+        q = F.floor((v - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(1 << b)))
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.least(q.cast("long"), F.lit((1 << b) - 1)),
+        )
+
+    tmp: list[str] = []
+    for out, precision in outputs.items():
+        n_bits = 5 * precision
+        b_lon = (n_bits + 1) // 2
+        b_lat = n_bits // 2
+        lon_c, lat_c = f"_ghq_lon_{out}", f"_ghq_lat_{out}"
+        tmp += [lon_c, lat_c]
+        df = df.withColumn(lon_c, quant(lon, -180.0, 180.0, b_lon))
+        df = df.withColumn(lat_c, quant(lat, -90.0, 90.0, b_lat))
+        for sh, mask in spreads:
+            for c in (lon_c, lat_c):
+                df = df.withColumn(
+                    c,
+                    F.col(c)
+                    .bitwiseOR(F.shiftleft(F.col(c), sh))
+                    .bitwiseAND(F.lit(mask)),
+                )
+        # MSB-first global bit i sits at LSB position n_bits-1-i; lon owns
+        # even i, so lon lands on even LSB positions iff n_bits is odd
+        g_c = f"_ghg_{out}"
+        tmp.append(g_c)
+        if n_bits % 2:
+            g = F.col(lon_c).bitwiseOR(F.shiftleft(F.col(lat_c), 1))
+        else:
+            g = F.col(lat_c).bitwiseOR(F.shiftleft(F.col(lon_c), 1))
+        df = df.withColumn(g_c, g)
+        chars = [
+            F.substr(
+                F.lit(GEOHASH_ALPHABET),
+                (
+                    F.shiftright(F.col(g_c), 5 * (precision - 1 - k))
+                    .bitwiseAND(F.lit(31))
+                    + 1
+                ).cast("int"),
+                F.lit(1),
+            )
+            for k in range(precision)
+        ]
+        df = df.withColumn(
+            out,
+            F.when(
+                lat.isNull() | lon.isNull(), F.lit(None).cast("string")
+            ).otherwise(F.concat(*chars)),
+        )
+    return df.drop(*tmp)

@@ -120,6 +120,57 @@ def test_geohash_known_vectors(spark):
     assert df.first()["long_gh"].startswith("ezs42")
 
 
+def test_with_geohash_matches_column_form(spark):
+    """The staged magic-mask scale path (with_geohash) must be bit-exact
+    with the linear per-bit Column form (geohash_encode) across odd and
+    even precisions (odd/even n_bits flips which side owns the LSB of the
+    interleave) and must propagate NULL coords identically."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geofeaturegeneration_spark.functions.grid import (
+        geohash_encode,
+        with_geohash,
+    )
+
+    pts = pd.DataFrame(
+        {
+            "lat": [42.605, 39.92324, 57.64911, -89.9, 89.9, 0.0, -0.0001]
+            + [(-90.0 + 7.31 * i) % 180.0 - 90.0 for i in range(40)],
+            "lon": [-5.603, 116.3906, 10.40744, -179.9, 179.9, 0.0, 0.0001]
+            + [(-180.0 + 13.57 * i) % 360.0 - 180.0 for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pts)
+    # precisions 5 (odd n_bits=25? no: 25 odd), 6 (30 even), 7 (35 odd)
+    out = with_geohash(
+        df, F.col("lat"), F.col("lon"), {"g5": 5, "g6": 6, "g7": 7}
+    )
+    for p, name in ((5, "g5"), (6, "g6"), (7, "g7")):
+        out = out.withColumn(
+            f"ref{p}", geohash_encode(F.col("lat"), F.col("lon"), p)
+        )
+        out = out.withColumn(f"ok{p}", F.col(name) == F.col(f"ref{p}"))
+    got = out.toPandas()
+    for p in (5, 6, 7):
+        assert got[f"ok{p}"].all(), got.loc[
+            ~got[f"ok{p}"], ["lat", "lon", f"g{p}" if p != 6 else "g6"]
+        ]
+
+    # NULL coords -> NULL hash, same as the column form
+    ndf = spark.createDataFrame(
+        [(1, 42.605, -5.603), (2, None, -5.603), (3, 42.605, None)],
+        "id INT, lat DOUBLE, lon DOUBLE",
+    )
+    ngot = {
+        r["id"]: r["gh"]
+        for r in with_geohash(
+            ndf, F.col("lat"), F.col("lon"), {"gh": 5}
+        ).collect()
+    }
+    assert ngot == {1: "ezs42", 2: None, 3: None}
+
+
 def test_geohash_null_coords_yield_null(spark):
     """Spark greatest/least skip nulls — without the guard a null coord
     would clamp to the all-ones cell and emit a legitimate-looking corner
