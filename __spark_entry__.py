@@ -1017,7 +1017,8 @@ def _fps_cent_ctes(k: int = 8, salt: str = "ivfseed") -> str:
 def _hp_bucket_sql(planes: list[list[float]]) -> str:
     """One hash table's bucket id as DuckDB SQL — each bit's hyperplane dot
     is the SAME left-associated fold (0.0 + t1 + t2 + ...) as the Spark
-    aggregate in operators/similarity._hp_bucket, so signs match bitwise."""
+    per-plane aggregate in operators/similarity._hp_exploded, so signs
+    match bitwise."""
     bits = []
     for bit, coefs in enumerate(planes):
         dot = "0.0 + " + " + ".join(
