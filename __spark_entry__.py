@@ -860,12 +860,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_decontaminate(spark, sf_dir):
+    """Test-set decontamination: flag training docs sharing any 3-word
+    shingle with a benchmark set (here: every 97th doc plays the eval
+    set — both sides derive deterministically from the documents table).
+    The benchmark shingle set is broadcast; corpus side is one explode +
+    one groupBy — the C4/GPT-3 n-gram-overlap rule at corpus scale."""
+    from geofeaturegeneration_spark.operators import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    return decontaminate(train, "doc_id", "text", bench, "bid", "btext", k=3)
+
+
+def q_source_quota(spark, sf_dir):
+    """Mixing-recipe primitive: keep at most 50 docs per source, chosen by
+    the smallest md5(id#mix) — a deterministic draw reproducible across
+    engines, re-runs, and cluster sizes."""
+    from geofeaturegeneration_spark.operators import source_quota
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_quota(docs, "doc_id", quota=50, by="source")
+
+
+def q_rare_tokens(spark, sf_dir):
+    """Corpus-frequency quality signal: per-doc fraction of tokens whose
+    total corpus count <= 2. Counts table is vocabulary-sized and
+    broadcast, so the zipf-skewed token key is never a shuffle key."""
+    from geofeaturegeneration_spark.operators import rare_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return rare_token_stats(docs, "doc_id", "text", rare_below=2)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-matched queries OUTSIDE the driver's 50-entry window: physical
     twins of contract entries (identical output, different plan) and folded
-    standalone variants. Run by tools/compare_oracle.py and swept by
-    tests/test_plan_audit.py exactly like the contract."""
+    standalone variants, plus round-3 curation operators added after the
+    window filled (decontaminate / source_quota / rare_tokens — distinct
+    operators, full oracle + pytest coverage, driver slot pending). Run by
+    tools/compare_oracle.py and swept by tests/test_plan_audit.py exactly
+    like the contract."""
     return {
+        # corpus-curation family (operators/curation.py)
+        "decontaminate": q_decontaminate,
+        "source_quota": q_source_quota,
+        "rare_tokens": q_rare_tokens,
         # same output as sessionize_state via the time-range-salted plan
         "sessionize_salted": q_sessionize_salted,
         # same output as asof_salted/asof_merge via the union-window plan
@@ -1774,6 +1817,54 @@ SELECT event_id,
        month(ts)::INT AS "month",
        hour(ts)::INT AS "hour"
 FROM events
+""",
+        # mirrors operators/curation.decontaminate: distinct 3-shingle
+        # hashes (md5 % MERSENNE31, same as the dedup family) on both
+        # sides, benchmark = every 97th doc
+        "decontaminate": f"""
+WITH
+dw AS (SELECT doc_id, string_split(text,' ') ws FROM documents WHERE doc_id % 97 <> 0),
+dsh AS (SELECT DISTINCT doc_id, ({_MD5L.format(x='s')}) % 2147483647 AS h
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(ws)-2),
+                                           i -> array_to_string(ws[i:i+2],' '))) AS s
+              FROM dw)),
+bw AS (SELECT doc_id, string_split(text,' ') ws FROM documents WHERE doc_id % 97 = 0),
+bsh AS (SELECT DISTINCT ({_MD5L.format(x='s')}) % 2147483647 AS h
+        FROM (SELECT unnest(list_transform(generate_series(1, len(ws)-2),
+                                           i -> array_to_string(ws[i:i+2],' '))) AS s
+              FROM bw)),
+hits AS (SELECT doc_id, count(*)::INT AS n_hits
+         FROM dsh JOIN bsh USING (h) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0)::INT AS n_hits,
+       coalesce(h.n_hits, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+""",
+        # mirrors operators/curation.source_quota (quota=50, salt 'mix')
+        "source_quota": f"""
+WITH rk AS (
+  SELECT doc_id, source,
+         (row_number() OVER (PARTITION BY source ORDER BY
+            ({_MD5L.format(x="doc_id::VARCHAR || '#mix'")}) ASC,
+            doc_id ASC))::INT AS mix_rank
+  FROM documents)
+SELECT doc_id, source, mix_rank FROM rk WHERE mix_rank <= 50
+""",
+        # mirrors operators/curation.rare_token_stats (rare_below=2);
+        # rare_frac is one IEEE division of two exact bigints — identical
+        # in any engine
+        "rare_tokens": """
+WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+j AS (SELECT t.doc_id, c.cnt FROM t JOIN c USING (w))
+SELECT doc_id,
+       count(*)::INT AS n_tokens,
+       sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::INT AS n_rare,
+       (sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::DOUBLE
+          / count(*)::DOUBLE) AS rare_frac
+FROM j GROUP BY doc_id
 """,
     }
 

@@ -39,6 +39,11 @@ from geofeaturegeneration_spark.operators.similarity import (
     hyperplane_tables,
     lsh_bucket,
 )
+from geofeaturegeneration_spark.operators.curation import (
+    decontaminate,
+    source_quota,
+    rare_token_stats,
+)
 from geofeaturegeneration_spark.operators.multimodal import (
     attach_payload,
     extract_meta,
@@ -85,6 +90,9 @@ __all__ = [
     "train_ivf_centroids",
     "hyperplane_tables",
     "lsh_bucket",
+    "decontaminate",
+    "source_quota",
+    "rare_token_stats",
     "attach_payload",
     "extract_meta",
     "sample_frames",

@@ -1,0 +1,190 @@
+"""Corpus-curation operators for training-data pipelines: test-set
+decontamination, per-source mixing quotas, and corpus-frequency quality
+signals.
+
+These close the gap between per-document quality scoring
+(functions/text.py) and cross-document dedup (operators/dedup.py): a real
+pretraining pipeline also has to (a) strip documents that leak evaluation
+data, (b) enforce a mixing recipe (at most N docs per source/domain), and
+(c) score documents against CORPUS-level statistics, not just their own
+text. All three are pure DataFrame compositions — no Python rows, no
+cross join, every join keyed.
+
+Scale shapes (the reason each is written the way it is):
+
+* decontaminate — the benchmark side is tiny (eval sets are thousands of
+  docs) and is broadcast as a DISTINCT shingle-hash set; the corpus side
+  is one shingle explode + one groupBy(id). The 100-TB cost is the same
+  as one minhash pass.
+* source_quota — rank-within-source needs a per-source sort, so the hash
+  rank is windowed per source partition. Skewed sources are the hazard
+  (one giant crawl dump = one giant window): ``prefilter`` bounds the
+  window input by hash-thresholding each source to ~``prefilter`` times
+  the quota first (a per-source count + broadcast threshold), which turns
+  an O(n log n) sort of the whole source into a sort of O(quota) rows.
+* rare_token_stats — the token-count table is vocabulary-sized (millions
+  of rows, not corpus-sized) and is broadcast by default, so the corpus
+  token stream is never shuffled on the (zipf-skewed) token key; the only
+  wide shuffle is the final groupBy(id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from geofeaturegeneration_spark.functions.text import md5_long, words
+from geofeaturegeneration_spark.operators.dedup import shingle_hashes
+
+
+def decontaminate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that overlap an evaluation/benchmark set on
+    any k-word shingle (test-set decontamination, the n-gram-overlap rule
+    used by GPT-3/C4-style pipelines).
+
+    Returns one row per input doc: (id_col, n_hits, contaminated) where
+    n_hits = number of DISTINCT doc shingles that also appear anywhere in
+    the benchmark set and contaminated = n_hits >= min_hits. Docs shorter
+    than k words have no shingles, hence n_hits = 0.
+
+    Shingles hash with the same md5 % MERSENNE31 as the dedup family
+    (dedup.shingle_hashes), so the overlap test is engine-reproducible.
+    The benchmark shingle set is DISTINCT and broadcast — the corpus-side
+    plan is one explode + one broadcast semi-join + one groupBy(id),
+    linear in corpus size regardless of how many docs each hot shingle
+    appears in (the join key is unique on the broadcast side)."""
+    doc_sh = shingle_hashes(docs, id_col, text_col, k, distinct=True)
+    bench_sh = (
+        shingle_hashes(bench, bench_id_col, bench_text_col, k, distinct=False)
+        .select("h")
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def source_quota(
+    df: DataFrame,
+    id_col: str,
+    quota: int,
+    by: str = "source",
+    salt: str = "mix",
+    prefilter: int | None = None,
+) -> DataFrame:
+    """Deterministic per-``by`` sampling cap — the mixing-recipe primitive
+    ("at most ``quota`` documents per source/domain"). Keeps the ``quota``
+    docs with the smallest md5(id#salt) within each group (a stable
+    pseudo-random draw: independent of row order, reproducible across
+    engines and re-runs), exposing the draw order as ``mix_rank``.
+
+    Returns the input columns + mix_rank (1-based within group), filtered
+    to mix_rank <= quota.
+
+    ``prefilter`` (e.g. 4) bounds the rank window against skewed sources:
+    each group is first cut to the hash range expected to contain
+    ~``prefilter * quota`` rows (per-group counts aggregated once and
+    broadcast back), so the window sorts O(prefilter*quota) rows instead
+    of the whole group. The cut is on the SAME hash the rank orders by,
+    and keeps strictly more than ``quota`` rows with overwhelming margin
+    (binomial tail at ``prefilter``x the needed mass); if a pathological
+    draw ever left a group short, the result would under-fill that group's
+    quota from the same deterministic prefix — it cannot reorder or admit
+    different rows. None (default) ranks the full group: exact for tests
+    and small groups, and what the oracle replays."""
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
+    df = df.withColumn("_mix_h", h)
+    if prefilter is not None:
+        # hash is uniform on [0, 2^60): keep the prefix of the hash range
+        # sized to ~prefilter*quota of the group's rows, never less than
+        # the whole range for small groups
+        counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("_grp_n"))
+        hi = F.lit(1 << 60)
+        cut = F.least(
+            hi,
+            (hi / F.col("_grp_n") * F.lit(float(prefilter * quota))).cast(
+                "long"
+            ),
+        )
+        df = df.join(F.broadcast(counts.withColumn("_mix_cut", cut)), by).filter(
+            F.col("_mix_h") < F.col("_mix_cut")
+        )
+    w = W.partitionBy(by).orderBy(F.col("_mix_h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= quota)
+        .drop("_mix_h", "_grp_n", "_mix_cut")
+    )
+
+
+def rare_token_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rare_below: int = 2,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Corpus-frequency quality signal: per document, the fraction of its
+    (whitespace) tokens whose TOTAL corpus occurrence count is <=
+    ``rare_below``. A high rare-token fraction marks gibberish, OCR noise,
+    and boilerplate-free junk the per-document heuristics
+    (functions/text.quality_score) cannot see, because the evidence is
+    corpus-level — the CCNet/Gopher-style counterpart of an LM-perplexity
+    filter, built from counts only so every value is integer-exact across
+    engines (no transcendental functions; the fraction is one IEEE
+    division of two bigints).
+
+    Returns (id_col, n_tokens, n_rare, rare_frac). Docs with no tokens
+    (empty text splits to one '' token — counted like any other) cannot
+    occur, so no 0/0 guard is needed.
+
+    Plan: pass 1 builds the vocabulary-sized count table (one groupBy);
+    pass 2 joins it back to the token stream — BROADCAST by default so the
+    zipf-skewed token key is never a shuffle key — and aggregates per doc.
+    Set ``broadcast_counts=False`` when the vocabulary genuinely exceeds
+    executor memory; the shuffle join then relies on AQE skew splitting
+    for hot tokens."""
+    tok = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("_w"))
+    counts = tok.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
+    if broadcast_counts:
+        counts = F.broadcast(counts)
+    return (
+        tok.join(counts, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_cnt") <= rare_below, 1).otherwise(0)
+            ).cast("int").alias("n_rare"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("n_rare"),
+            (F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")
+             ).alias("rare_frac"),
+        )
+    )

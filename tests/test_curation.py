@@ -1,0 +1,155 @@
+"""Unit tests for corpus-curation operators: test-set decontamination,
+per-source mixing quotas, rare-token corpus-frequency stats. Hand-built
+corpora with known answers; the DuckDB value-exact check runs separately
+via tools/compare_oracle.py."""
+
+import hashlib
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from geofeaturegeneration_spark.operators import (
+    decontaminate,
+    rare_token_stats,
+    source_quota,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon", "web"),
+        (2, "alpha beta gamma zeta eta", "web"),          # shares "alpha beta gamma"
+        (3, "one two three four five six", "web"),
+        (4, "totally unrelated words here now", "books"),
+        (5, "one two", "books"),                          # shorter than shingle k
+        (6, "seven eight nine one two three", "books"),   # shares "one two three"
+    ]
+    return spark.createDataFrame(rows, "doc_id INT, text STRING, source STRING")
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    rows = [
+        (100, "alpha beta gamma"),        # 3-gram hits docs 1 and 2
+        (101, "four five six seven"),     # hits doc 3 twice? no: '4 5 6' once
+    ]
+    return spark.createDataFrame(rows, "bid INT, btext STRING")
+
+
+def test_decontaminate_exact_counts(spark, docs, bench):
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(
+            docs, "doc_id", "text", bench, "bid", "btext", k=3
+        ).collect()
+    }
+    assert len(out) == 6  # one row per input doc, hit or not
+    # doc 3 shingles: "one two three","two three four","three four five",
+    # "four five six"; bench 101 shingles: "four five six","five six seven"
+    assert out[1] == (1, True)   # "alpha beta gamma"
+    assert out[2] == (1, True)
+    assert out[3] == (1, True)   # only "four five six"
+    assert out[4] == (0, False)
+    assert out[5] == (0, False)  # no shingles at all
+    assert out[6] == (0, False)  # shares "one two three" with DOC 3 only —
+    # cross-doc overlap is dedup's job, not decontamination's
+
+
+def test_decontaminate_min_hits_threshold(spark, docs, bench):
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(
+            docs, "doc_id", "text", bench, "bid", "btext", k=3, min_hits=2
+        ).collect()
+    }
+    assert all(not c for c in out.values())  # nobody reaches 2 hits
+
+
+def _mix_hash(doc_id: int, salt: str = "mix") -> int:
+    h = hashlib.md5(f"{doc_id}#{salt}".encode()).hexdigest()
+    return int(h[:15], 16)
+
+
+def test_source_quota_keeps_smallest_hashes(spark, docs):
+    out = source_quota(docs, "doc_id", quota=2, by="source").collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append((r["mix_rank"], r["doc_id"]))
+    # web has docs 1,2,3 -> keep the 2 with smallest md5(id#mix)
+    web_ids = sorted([1, 2, 3], key=lambda i: (_mix_hash(i), i))[:2]
+    assert sorted(i for _, i in by_source["web"]) == sorted(web_ids)
+    # books has 3 docs too
+    book_ids = sorted([4, 5, 6], key=lambda i: (_mix_hash(i), i))[:2]
+    assert sorted(i for _, i in by_source["books"]) == sorted(book_ids)
+    # ranks are 1..quota and follow hash order
+    for src, pairs in by_source.items():
+        assert sorted(r for r, _ in pairs) == [1, 2]
+
+
+def test_source_quota_prefilter_same_result(spark, docs):
+    """The hash prefilter must select the identical rows (it cuts on the
+    same hash the rank orders by, with margin)."""
+    base = {
+        (r["source"], r["doc_id"]): r["mix_rank"]
+        for r in source_quota(docs, "doc_id", quota=2, by="source").collect()
+    }
+    pre = {
+        (r["source"], r["doc_id"]): r["mix_rank"]
+        for r in source_quota(
+            docs, "doc_id", quota=2, by="source", prefilter=4
+        ).collect()
+    }
+    assert base == pre
+
+
+def test_source_quota_columns_preserved(spark, docs):
+    out = source_quota(docs, "doc_id", quota=10, by="source")
+    assert set(out.columns) == {"doc_id", "text", "source", "mix_rank"}
+    assert out.count() == 6  # quota above group size keeps everything
+
+
+def test_rare_token_stats_exact(spark):
+    rows = [
+        (1, "a a b"),      # a:x3 total? corpus: a appears 4x, b 2x, c 1x
+        (2, "a b c"),
+        (3, "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_rare"], r["rare_frac"])
+        for r in rare_token_stats(df, "doc_id", "text", rare_below=2).collect()
+    }
+    # corpus counts: a=4 (not rare), b=2 (rare), c=1 (rare)
+    assert out[1] == (3, 1, 1 / 3)
+    assert out[2] == (3, 2, 2 / 3)
+    assert out[3] == (1, 0, 0.0)
+
+
+def test_rare_token_stats_broadcast_off_same_values(spark):
+    rows = [(1, "x y z"), (2, "x x q")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    a = sorted(
+        rare_token_stats(df, "doc_id", "text", rare_below=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        rare_token_stats(
+            df, "doc_id", "text", rare_below=1, broadcast_counts=False
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_decontaminate_plan_broadcasts_bench(spark, docs, bench):
+    """The benchmark shingle set must be the BROADCAST side — a shuffle
+    join here would shuffle the whole corpus on the shingle key."""
+    plan = decontaminate(
+        docs, "doc_id", "text", bench, "bid", "btext"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
