@@ -18,6 +18,8 @@ from geofeaturegeneration_spark.operators.dedup import (
     exact_dedup,
     minhash_signatures,
     minhash_band_signatures,
+    minhash_band_signatures_rowwise,
+    with_band_sigs,
     lsh_pairs_from_band_sigs,
     connected_components,
     dedup_clusters,
@@ -72,6 +74,8 @@ __all__ = [
     "exact_dedup",
     "minhash_signatures",
     "minhash_band_signatures",
+    "minhash_band_signatures_rowwise",
+    "with_band_sigs",
     "lsh_pairs_from_band_sigs",
     "minhash_lsh_pairs",
     "minhash_lsh_pairs_cross",

@@ -72,6 +72,98 @@ def shingle_hashes(
     return out.distinct() if distinct else out
 
 
+def _shingles_expr(text_col: str, k: int):
+    """array<string> of the k-word shingles of ``text_col`` — the
+    non-exploded core of ``shingle_hashes`` (same CASE guard: docs shorter
+    than k words yield an EMPTY array, not a descending sequence)."""
+    return F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
+        f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' ')) "
+        f"ELSE array() END"
+    )
+
+
+def with_band_sigs(
+    df: DataFrame,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    out_col: str = "_bands",
+) -> DataFrame:
+    """Per-ROW banded minhash signatures: adds ``out_col`` =
+    array<struct<band int, sig_str string>> (empty for docs with no
+    shingles), computed entirely inside one row — no explode, no groupBy.
+
+    This is the STREAM-SAFE form of ``_band_sigs``: the batch path's
+    explode+groupBy(min) would be a stateful aggregation on a stream,
+    while here each minhash is an ``array_min`` over the doc's own
+    shingle-hash array — bitwise the same values (min over the same
+    multiset under the same (2i+1)*h+i²+1 mod M permutations), pinned by
+    test_streaming parity. The shingle-hash array is STAGED as a real
+    column so the md5-per-shingle work runs once, not once per
+    permutation (CollapseProject keeps a non-cheap alias referenced 16
+    times un-inlined — same reasoning as functions/grid.with_geohash)."""
+    rpb = n_hashes // bands
+    hcol = f"_gfs_shh_{out_col}"
+    df = df.withColumn(
+        hcol,
+        F.transform(
+            _shingles_expr(text_col, k), lambda s: md5_long(s) % MERSENNE31
+        ),
+    )
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col(hcol),
+                lambda h: (F.lit(2 * i + 1) * h + F.lit(i * i + 1)) % MERSENNE31,
+            )
+        )
+        for i in range(n_hashes)
+    ]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.concat_ws(
+                    "-",
+                    *[mh[i].cast("string") for i in range(j * rpb, (j + 1) * rpb)],
+                ).alias("sig_str"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return df.withColumn(
+        out_col,
+        F.when(F.size(F.col(hcol)) > 0, band_structs).otherwise(
+            F.array().cast("array<struct<band:int,sig_str:string>>")
+        ),
+    ).drop(hcol)
+
+
+def minhash_band_signatures_rowwise(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, sig_str) from the per-row path — identical rows to
+    ``minhash_band_signatures`` (shingle-less docs absent), usable on both
+    batch and streaming DataFrames."""
+    return (
+        with_band_sigs(df, text_col, k, n_hashes, bands)
+        .select(F.col(id_col), F.explode(F.col("_bands")).alias("_bs"))
+        .select(
+            F.col(id_col),
+            F.col("_bs.band").alias("band"),
+            F.col("_bs.sig_str").alias("sig_str"),
+        )
+    )
+
+
 def _minhash_wide(
     df: DataFrame, id_col: str, text_col: str, k: int, n_hashes: int
 ) -> DataFrame:

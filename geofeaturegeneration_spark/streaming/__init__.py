@@ -1,4 +1,5 @@
 from geofeaturegeneration_spark.streaming.asof import stream_asof_join
+from geofeaturegeneration_spark.streaming.screen import stream_minhash_screen
 from geofeaturegeneration_spark.streaming.sessions import (
     stream_exact_dedup,
     stream_gap_sessions,
@@ -10,4 +11,5 @@ __all__ = [
     "stream_running_features",
     "stream_exact_dedup",
     "stream_asof_join",
+    "stream_minhash_screen",
 ]

@@ -1,0 +1,84 @@
+"""Streaming cross-corpus dedup screen: flag incoming documents that
+near-duplicate an EXISTING corpus, as they arrive.
+
+Batch analog: ``operators/dedup.minhash_lsh_pairs_cross`` (screen a new
+batch against precomputed corpus band signatures). The streaming form is
+the continuous-ingest shape of the same idea — docs stream in, each is
+banded STATELESSLY (``with_band_sigs``: per-row array_min minhashes, no
+groupBy), and a stream-static equi-join against the persisted corpus band
+table yields candidate matches immediately.
+
+Scale shape: the per-doc banding is embarrassingly parallel; the
+stream-static join re-broadcasts/streams the static side per micro-batch
+under Spark's stream-static join rules, with the corpus band table
+typically a bucketed parquet table so the join is a local lookup. The
+only stateful operator is the final within-watermark pair dedup (a doc
+matching a corpus doc in several bands must emit once), whose state is
+one tiny (doc_id, corpus_id) row per emitted pair, EVICTED at the
+watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geofeaturegeneration_spark.operators.dedup import with_band_sigs
+
+
+def stream_minhash_screen(
+    stream_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    time_col: str,
+    corpus_bands: DataFrame,
+    corpus_id_col: str = "doc_id",
+    watermark: str = "1 hour",
+    k: int = 3,
+    n_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate matches (id_col, time_col, corpus_id) for a
+    document stream against a static ``(corpus_id_col, band, sig_str)``
+    band table (build it with ``minhash_band_signatures`` and persist it —
+    signatures are identical between the batch and per-row paths, so the
+    corpus table needs no special preparation).
+
+    ``max_bucket_size`` caps the CORPUS side's (band, sig_str) bucket
+    population exactly like the batch cross screen: a degenerate corpus
+    bucket (boilerplate shingles) would otherwise match every arriving
+    doc. The cap is computed once on the static side — no streaming state.
+
+    Emits each (arriving doc, corpus doc) pair once per watermark window
+    (multi-band hits are deduped by ``dropDuplicatesWithinWatermark``;
+    its state is evicted as event time passes, unlike a plain
+    dropDuplicates whose state would grow for the query's lifetime)."""
+    cb = corpus_bands.select(
+        "band", "sig_str", F.col(corpus_id_col).alias("corpus_id")
+    )
+    if max_bucket_size is not None:
+        sizes = cb.groupBy("band", "sig_str").count()
+        keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
+        cb = cb.join(keep, ["band", "sig_str"], "inner")
+    sigs = (
+        with_band_sigs(
+            stream_docs.withWatermark(time_col, watermark),
+            text_col,
+            k,
+            n_hashes,
+            bands,
+        )
+        .select(F.col(id_col), F.col(time_col), F.explode("_bands").alias("_bs"))
+        .select(
+            F.col(id_col),
+            F.col(time_col),
+            F.col("_bs.band").alias("band"),
+            F.col("_bs.sig_str").alias("sig_str"),
+        )
+    )
+    return (
+        sigs.join(cb, ["band", "sig_str"])
+        .dropDuplicatesWithinWatermark([id_col, "corpus_id"])
+        .select(id_col, time_col, "corpus_id")
+    )

@@ -299,3 +299,88 @@ def test_stream_asof_ref_ttl_evicts_quiescent_keys(spark, tmp_path):
     assert run(60_000) == 1
     # no TTL: 'a' is retained forever alongside the sentinel
     assert run(None) == 2
+
+
+def test_rowwise_band_sigs_match_batch(spark):
+    """The stream-safe per-row banding (array_min minhashes) must produce
+    the IDENTICAL (id, band, sig_str) rows as the batch explode+groupBy
+    path — the guarantee that lets a persisted corpus band table serve
+    both legs of a lambda architecture."""
+    from geofeaturegeneration_spark.operators import (
+        minhash_band_signatures,
+        minhash_band_signatures_rowwise,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content about spark engines"),
+            (4, "a b"),  # shorter than shingle k -> no rows on either path
+        ],
+        "doc_id INT, text STRING",
+    )
+    batch = sorted(
+        tuple(r)
+        for r in minhash_band_signatures(docs, "doc_id", "text").collect()
+    )
+    roww = sorted(
+        tuple(r)
+        for r in minhash_band_signatures_rowwise(docs, "doc_id", "text").collect()
+    )
+    assert batch == roww
+    assert not any(t[0] == 4 for t in roww)
+
+
+def test_stream_minhash_screen_matches_batch_cross(spark, tmp_path):
+    """Streaming screen vs the batch cross screen on the same data: the
+    set of (arriving doc, corpus doc) candidate pairs must be identical,
+    and each pair must be emitted exactly once despite multi-band hits."""
+    from geofeaturegeneration_spark.operators import (
+        minhash_band_signatures,
+        minhash_lsh_pairs_cross,
+    )
+    from geofeaturegeneration_spark.streaming import stream_minhash_screen
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "an entirely unrelated corpus document about engines"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    arriving = [
+        (1, "the quick brown fox jumps over the lazy dog", t0),   # exact dup of 100
+        (2, "fresh novel text with no corpus overlap at all", t0),
+        (3, "an entirely unrelated corpus document about engines", t0),  # dup of 101
+    ]
+    schema = "doc_id INT, text STRING, ts TIMESTAMP"
+    path = str(tmp_path / "screen_in")
+    spark.createDataFrame(arriving, schema).coalesce(1).write.parquet(path)
+
+    corpus_bands = minhash_band_signatures(corpus, "doc_id", "text")
+    out = stream_minhash_screen(
+        spark.readStream.schema(schema).parquet(path),
+        "doc_id", "text", "ts", corpus_bands,
+        corpus_id_col="doc_id", watermark="1 hour",
+    )
+    name = f"screen_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "streaming query did not finish"
+    got = sorted(
+        (r["doc_id"], r["corpus_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    batch = minhash_lsh_pairs_cross(
+        spark.createDataFrame(
+            [(i, t) for i, t, _ in arriving], "doc_id INT, text STRING"
+        ),
+        corpus, "doc_id", "text",
+    )
+    want = sorted((r["id_a"], r["id_b"]) for r in batch.collect())
+    assert got == want
+    assert got == [(1, 100), (3, 101)]  # each pair exactly once
