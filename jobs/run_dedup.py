@@ -6,11 +6,12 @@
         [--force]
 
 The flagship 100 TB story — MinHash LSH pairs -> connected components ->
-keeper filter — composed as ONE resumable pipeline behind the checkpoint
-store (reference analog: the stage-separated pipeline of
-AttachFeature.py:1046-1112), not just unit operators. Three stages, each
-recorded per partition in the CheckpointStore so a crash resumes without
-recomputing finished work:
+(optional) test-set decontamination -> keeper filter — composed as ONE
+resumable pipeline behind the checkpoint store (reference analog: the
+stage-separated pipeline of AttachFeature.py:1046-1112), not just unit
+operators. Three stages (four with ``--bench``), each recorded per
+partition in the CheckpointStore so a crash resumes without recomputing
+finished work:
 
 1. ``signatures`` (per doc-id hash bucket, embarrassingly parallel): band
    signatures via ``minhash_band_signatures`` written partitioned by
@@ -47,6 +48,7 @@ from pyspark.sql import functions as F
 
 from geofeaturegeneration_spark.checkpoint import CheckpointStore, run_partitioned
 from geofeaturegeneration_spark.operators import (
+    decontaminate,
     dedup_clusters,
     lsh_pairs_from_band_sigs,
     minhash_band_signatures,
@@ -67,19 +69,29 @@ def run_dedup_pipeline(
     job_id: str = "corpus_dedup",
     lineage: str = "xform=v1",
     force: bool = False,
+    bench=None,
+    decon_min_hits: int = 1,
 ):
-    """Run the three dedup stages with per-stage checkpointed resume.
+    """Run the dedup stages with per-stage checkpointed resume.
 
     ``docs`` must carry (doc_id, text); every column of ``docs`` is
-    preserved on the surviving rows plus (cluster_id). Returns the
-    per-stage PartitionResult lists."""
+    preserved on the surviving rows plus (cluster_id). ``bench`` (optional,
+    (doc_id, text)) adds a checkpointed DECONTAMINATION stage: docs sharing
+    >= ``decon_min_hits`` k-shingles with the benchmark set are dropped
+    from the final output alongside dedup losers (resumable unit = corpus
+    bucket, same as signatures — the bench shingle set is broadcast, so
+    the stage is embarrassingly parallel too). Returns the per-stage
+    PartitionResult lists (3 or 4 of them)."""
     store = CheckpointStore(spark, ckpt_path)
     sig_path = os.path.join(out_root, "signatures")
     clu_path = os.path.join(out_root, "clusters")
+    con_path = os.path.join(out_root, "contaminated")
     out_path = os.path.join(out_root, "deduped")
     bucket_keys = [str(b) for b in range(buckets)]
     bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("string")
     lineage = f"{lineage};buckets={buckets};k={k};h={n_hashes};b={bands}"
+    if bench is not None:
+        lineage += f";decon={decon_min_hits}"
 
     # stage 1: band signatures per corpus bucket (resumable unit = bucket)
     def sig_one(key: str):
@@ -106,21 +118,44 @@ def run_dedup_pipeline(
         clu_path, "part_key", lineage, force=force,
     )
 
-    # stage 3: keeper filter per corpus bucket (only stage touching text
-    # bytes besides stage 1)
+    # stage 2.5 (optional): contaminated doc ids per corpus bucket —
+    # broadcast bench shingle set, embarrassingly parallel like stage 1
+    r_con = None
+    if bench is not None:
+        def con_one(key: str):
+            part = docs.filter(bucket_of == key)
+            rep = decontaminate(
+                part, "doc_id", "text", bench, "doc_id", "text",
+                k=k, min_hits=decon_min_hits,
+            )
+            return rep.filter(F.col("contaminated")).select("doc_id", "n_hits")
+
+        r_con = run_partitioned(
+            spark, store, f"{job_id}/contamination", bucket_keys, con_one,
+            con_path, "part_key", lineage, force=force,
+        )
+
+    # final stage: keeper filter (minus contaminated docs) per corpus
+    # bucket (only stage touching text bytes besides 1 and 2.5)
     def out_one(key: str):
         clusters = spark.read.parquet(clu_path).drop("part_key")
         part = docs.filter(bucket_of == key)
-        return (
+        out = (
             part.join(clusters, "doc_id")
             .filter(F.col("is_keeper"))
             .drop("is_keeper")
         )
+        if bench is not None:
+            bad = spark.read.parquet(con_path).select("doc_id")
+            out = out.join(bad, "doc_id", "left_anti")
+        return out
 
     r_out = run_partitioned(
         spark, store, f"{job_id}/output", bucket_keys, out_one,
         out_path, "part_key", lineage, force=force,
     )
+    if r_con is not None:
+        return r_sig, r_clu, r_con, r_out
     return r_sig, r_clu, r_out
 
 
@@ -136,23 +171,37 @@ def main(argv=None) -> int:
     p.add_argument("--max-bucket-size", type=int, default=1000)
     p.add_argument("--force", action="store_true")
     p.add_argument("--job-id", default="corpus_dedup")
+    p.add_argument("--bench", default=None,
+                   help="optional eval-set parquet (doc_id, text); adds the "
+                        "decontamination stage")
+    p.add_argument("--decon-min-hits", type=int, default=1)
     args = p.parse_args(argv)
 
     spark = get_spark("run_dedup")
     docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.bench) if args.bench else None
     t0 = time.perf_counter()
-    r_sig, r_clu, r_out = run_dedup_pipeline(
+    results = run_dedup_pipeline(
         spark, docs, args.output, args.checkpoint,
         buckets=args.buckets, k=args.shingle_k, n_hashes=args.n_hashes,
         bands=args.bands, max_bucket_size=args.max_bucket_size,
         job_id=args.job_id, force=args.force,
+        bench=bench, decon_min_hits=args.decon_min_hits,
+    )
+    names = (
+        ["signatures", "clusters", "contamination", "output"]
+        if bench is not None
+        else ["signatures", "clusters", "output"]
     )
     summary = {
         "job_id": args.job_id,
         "stages": {
-            "signatures": {"partitions": len(r_sig), "skipped": sum(r.skipped for r in r_sig), "rows": sum(r.rows for r in r_sig)},
-            "clusters": {"partitions": len(r_clu), "skipped": sum(r.skipped for r in r_clu), "rows": sum(r.rows for r in r_clu)},
-            "output": {"partitions": len(r_out), "skipped": sum(r.skipped for r in r_out), "rows": sum(r.rows for r in r_out)},
+            n: {
+                "partitions": len(r),
+                "skipped": sum(x.skipped for x in r),
+                "rows": sum(x.rows for x in r),
+            }
+            for n, r in zip(names, results)
         },
         "wall_s": round(time.perf_counter() - t0, 2),
     }

@@ -165,3 +165,56 @@ def test_rerun_partition_is_idempotent(spark, seq, tmp_path):
         spark, store, "j", sources, run_one, out, "part_key", "v1", force=True
     )
     assert _collect_features(spark, out) == before
+
+
+def test_dedup_pipeline_with_decontamination_stage(spark, tmp_path):
+    """--bench adds the checkpointed contamination stage: final output =
+    dedup keepers MINUS docs overlapping the bench set, identical to the
+    inline operators composed by hand, and an immediate re-run skips all
+    four stages."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators import (
+        decontaminate,
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # every 7th doc plays the eval set; the corpus keeps all docs (the
+    # stage must flag TRAINING docs that overlap bench, not remove bench
+    # rows themselves — bench membership is a separate concern)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100)
+
+    out, ck = str(tmp_path / "out_dc"), str(tmp_path / "ck_dc")
+    r_sig, r_clu, r_con, r_out = RD.run_dedup_pipeline(
+        spark, docs, out, ck, bench=bench, **kw
+    )
+    assert all(not r.skipped for r in r_sig + r_clu + r_con + r_out)
+
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/deduped").collect()
+    )
+    # inline composition of the same operators
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=16, bands=4, max_bucket_size=100
+    )
+    keepers = dedup_clusters(docs, "doc_id", pairs).filter("is_keeper")
+    bad = decontaminate(
+        docs, "doc_id", "text", bench, "doc_id", "text", k=3
+    ).filter("contaminated")
+    want = sorted(
+        r["doc_id"]
+        for r in keepers.join(bad.select("doc_id"), "doc_id", "left_anti")
+        .collect()
+    )
+    assert got == want
+    assert len(got) < keepers.count()  # the stage actually removed docs
+
+    # re-run resumes: every stage skips
+    r2 = RD.run_dedup_pipeline(spark, docs, out, ck, bench=bench, **kw)
+    assert all(r.skipped for stage in r2 for r in stage)
