@@ -868,7 +868,7 @@ def q_decontaminate(spark, sf_dir):
     one groupBy — the C4/GPT-3 n-gram-overlap rule at corpus scale."""
     from geofeaturegeneration_spark.operators import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     train = docs.filter(F.col("doc_id") % 97 != 0)
     bench = docs.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bid"), F.col("text").alias("btext")
@@ -892,7 +892,7 @@ def q_rare_tokens(spark, sf_dir):
     broadcast, so the zipf-skewed token key is never a shuffle key."""
     from geofeaturegeneration_spark.operators import rare_token_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     return rare_token_stats(docs, "doc_id", "text", rare_below=2)
 
 

@@ -79,6 +79,9 @@ HEADLINE = [
     "grid_cantor",
     "geohash",
     "time_features",
+    "decontaminate",
+    "source_quota",
+    "rare_tokens",
 ]
 
 
