@@ -886,6 +886,19 @@ def q_source_quota(spark, sf_dir):
     return source_quota(docs, "doc_id", quota=50, by="source")
 
 
+def q_source_sample(spark, sf_dir):
+    """Ratio form of the mixing recipe: src0 kept at 80%, src1 at 30%,
+    everything else dropped — one broadcast join + a filter, the draw a
+    pure function of doc_id so the sample is stable and monotone under
+    rate increases."""
+    from geofeaturegeneration_spark.operators import source_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return source_sample(
+        docs, "doc_id", {"src0": 800_000, "src1": 300_000}
+    )
+
+
 def q_rare_tokens(spark, sf_dir):
     """Corpus-frequency quality signal: per-doc fraction of tokens whose
     total corpus count <= 2. Counts table is vocabulary-sized and
@@ -908,6 +921,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-curation family (operators/curation.py)
         "decontaminate": q_decontaminate,
         "source_quota": q_source_quota,
+        "source_sample": q_source_sample,
         "rare_tokens": q_rare_tokens,
         # same output as sessionize_state via the time-range-salted plan
         "sessionize_salted": q_sessionize_salted,
@@ -1851,6 +1865,15 @@ WITH rk AS (
             doc_id ASC))::INT AS mix_rank
   FROM documents)
 SELECT doc_id, source, mix_rank FROM rk WHERE mix_rank <= 50
+""",
+        # mirrors operators/curation.source_sample (ppm rates, salt
+        # 'mixrate'): integer ppm threshold — exact in any engine
+        "source_sample": f"""
+SELECT doc_id, source
+FROM documents
+WHERE ({_MD5L.format(x="doc_id::VARCHAR || '#mixrate'")}) % 1000000
+      < (CASE source WHEN 'src0' THEN 800000
+                     WHEN 'src1' THEN 300000 ELSE 0 END)
 """,
         # mirrors operators/curation.rare_token_stats (rare_below=2);
         # rare_frac is one IEEE division of two exact bigints — identical

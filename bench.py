@@ -81,6 +81,7 @@ HEADLINE = [
     "time_features",
     "decontaminate",
     "source_quota",
+    "source_sample",
     "rare_tokens",
 ]
 

@@ -44,6 +44,7 @@ from geofeaturegeneration_spark.operators.similarity import (
 from geofeaturegeneration_spark.operators.curation import (
     decontaminate,
     source_quota,
+    source_sample,
     rare_token_stats,
 )
 from geofeaturegeneration_spark.operators.multimodal import (
@@ -96,6 +97,7 @@ __all__ = [
     "lsh_bucket",
     "decontaminate",
     "source_quota",
+    "source_sample",
     "rare_token_stats",
     "attach_payload",
     "extract_meta",

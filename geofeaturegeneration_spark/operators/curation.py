@@ -140,6 +140,41 @@ def source_quota(
     )
 
 
+def source_sample(
+    df: DataFrame,
+    id_col: str,
+    rates_ppm: dict[str, int],
+    by: str = "source",
+    salt: str = "mixrate",
+    default_ppm: int = 0,
+) -> DataFrame:
+    """Weighted mixing sampler: keep each row with a per-``by`` probability
+    given in integer parts-per-million — the ratio form of the mixing
+    recipe (``source_quota`` is the cap form). A row survives iff
+    md5(id#salt) % 1e6 < ppm(group); the draw is a pure function of the
+    row id, so the sample is reproducible across engines, re-runs, cluster
+    sizes, and is CONSISTENT under rate increases (raising a group's ppm
+    only ADDS rows — the kept set at 200k ppm is a superset of the kept
+    set at 100k ppm, which lets a mixing recipe be tuned without churning
+    previously selected data).
+
+    Integer ppm (not a float fraction) keeps the comparison exact in any
+    engine — no float rounding at the threshold. Groups absent from
+    ``rates_ppm`` get ``default_ppm`` (0 = drop). Plan: one broadcast join
+    against the tiny rate table + a filter; no shuffle, no window."""
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(rates_ppm.items())],
+        f"{by} STRING, _ppm INT",
+    )
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
+    return (
+        df.join(F.broadcast(rates), by, "left")
+        .filter(h % 1_000_000 < F.coalesce(F.col("_ppm"), F.lit(default_ppm)))
+        .drop("_ppm")
+    )
+
+
 def rare_token_stats(
     df: DataFrame,
     id_col: str,

@@ -153,3 +153,36 @@ def test_decontaminate_plan_broadcasts_bench(spark, docs, bench):
         docs, "doc_id", "text", bench, "bid", "btext"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_source_sample_rates_and_monotonicity(spark):
+    """The ppm draw must hit ~the requested rate, be a pure function of
+    doc_id (stable), and be MONOTONE under rate increases: the kept set
+    at a lower ppm is a subset of the kept set at a higher ppm — the
+    property that lets a mixing recipe be retuned without churning
+    already-selected data."""
+    from geofeaturegeneration_spark.operators import source_sample
+
+    rows = [(i, f"doc {i}", "web" if i % 2 else "books") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING, source STRING")
+
+    half = source_sample(df, "doc_id", {"web": 500_000}, default_ppm=0)
+    kept_half = {r["doc_id"] for r in half.collect()}
+    # only web docs survive; rate within a loose binomial band of 50%
+    assert all(i % 2 for i in kept_half)
+    assert 350 <= len(kept_half) <= 650
+
+    more = source_sample(df, "doc_id", {"web": 800_000}, default_ppm=0)
+    kept_more = {r["doc_id"] for r in more.collect()}
+    assert kept_half <= kept_more  # monotone growth
+
+    # deterministic across calls
+    again = {r["doc_id"] for r in
+             source_sample(df, "doc_id", {"web": 500_000}).collect()}
+    assert again == kept_half
+
+    # default_ppm admits unlisted groups at the default rate
+    both = source_sample(df, "doc_id", {"web": 500_000}, default_ppm=1_000_000)
+    assert {r["doc_id"] for r in both.collect()} >= {
+        i for i in range(2000) if not i % 2
+    }  # every books doc kept at 100%
