@@ -811,15 +811,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_enrich": q_stay_enrich,
         "hash_split": q_hash_split,
         "negative_samples": q_negative_samples,
+        # --- new operators round 3 (never driver-run): next in line ---
+        "decontaminate": q_decontaminate,
+        "rare_tokens": q_rare_tokens,
         # --- the rest of the contract ---
         "tpch_pricing": q_tpch_pricing,
         "orders_enrich": q_orders_enrich,
         "sessionize_gap": q_sessionize_gap,
         "sessionize_state": q_sessionize_state,
-        "stay_move": q_stay_move,
         "stay_move_spliced": q_stay_move_spliced,
         "asof_salted": q_asof_salted,
-        "asof_merge": q_asof_merge,
         "lag_lead": q_lag_lead,
         "rolling": q_rolling,  # folded: rows frame + range frame
         "pivot_counts": q_pivot_counts,
@@ -918,11 +919,16 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/compare_oracle.py and swept by tests/test_plan_audit.py exactly
     like the contract."""
     return {
-        # corpus-curation family (operators/curation.py)
-        "decontaminate": q_decontaminate,
+        # corpus-curation family (operators/curation.py); decontaminate
+        # and rare_tokens hold driver slots — freed by folding the
+        # strategy twins below into their siblings' rows
         "source_quota": q_source_quota,
         "source_sample": q_source_sample,
-        "rare_tokens": q_rare_tokens,
+        # same output as stay_move_spliced minus the first/last raw-point
+        # splice (the simpler variant; spliced is the full reference rule)
+        "stay_move": q_stay_move,
+        # same output as asof_salted via the bucketed merge_asof plan
+        "asof_merge": q_asof_merge,
         # same output as sessionize_state via the time-range-salted plan
         "sessionize_salted": q_sessionize_salted,
         # same output as asof_salted/asof_merge via the union-window plan
