@@ -517,6 +517,17 @@ def q_interaction_wide(spark, sf_dir):
 
 
 def q_cosine_topk(spark, sf_dir):
+    """Exact top-k, blocked-GEMM plan: tiles meet in a cogrouped Arrow
+    batch and score via one numpy matmul — no join node, the scale form of
+    exact brute force (round 3; the BroadcastNestedLoopJoin form this
+    replaced survives as extra query cosine_topk_join, same oracle)."""
+    from geofeaturegeneration_spark.operators import cosine_topk_blocked
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_blocked(emb, "vec_id", "embedding", k=5)
+
+
+def q_cosine_topk_join(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return cosine_topk(emb, "vec_id", "embedding", k=5)
 
@@ -910,6 +921,78 @@ def q_rare_tokens(spark, sf_dir):
     return rare_token_stats(docs, "doc_id", "text", rare_below=2)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over the documents corpus. The synthetic text carries
+    no PII, so the query SPIKES deterministic emails / phones / IPs / SSNs /
+    card numbers into a doc_id-keyed subset first (identically in the SQL
+    oracle) — the redaction and the per-pattern counters are then exercised
+    on every pattern, not vacuously green on untouched text."""
+    from geofeaturegeneration_spark.operators import pii_scrub
+
+    docs = _docs_wide(spark, sf_dir)
+    did = F.col("doc_id")
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" or 415-555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 9 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 17 == 0, F.lit(" card 4111111111111111")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return pii_scrub(spiked, "doc_id", "text")
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level duplicate-line removal. The synthetic docs are single
+    lines, so the query first LINE-IFIES each doc (newline after every 8
+    words) and appends one shared boilerplate line to every doc — the C4
+    shape: the boilerplate survives only in the lowest-(doc_id, line_no)
+    position corpus-wide, organic 8-gram collisions dedup too."""
+    from geofeaturegeneration_spark.operators import line_dedup
+
+    docs = _docs_wide(spark, sf_dir)
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", "$1\n"),
+            F.lit("\nsubscribe to our newsletter today"),
+        ).alias("text"),
+    )
+    return line_dedup(lined, "doc_id", "text")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-matched queries OUTSIDE the driver's 50-entry window: physical
     twins of contract entries (identical output, different plan) and folded
@@ -939,6 +1022,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interaction_wide": q_interaction_wide,
         # TakeOrdered top-k + broadcast enrich (same family as orders_enrich)
         "top_customers": q_top_customers,
+        # contract 'cosine_topk' now runs the blocked-GEMM plan; the
+        # original expression-fold self-join stays here as its exactness twin
+        "cosine_topk_join": q_cosine_topk_join,
+        # round-3 curation additions after the driver window filled:
+        # PII redaction and C4-style corpus-level line dedup
+        "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -1211,11 +1301,27 @@ def oracle_sql() -> dict[str, str]:
     # same logical semantics, different physical strategy — the salted
     # two-pass plan must reproduce the unsalted answer exactly
     d["sessionize_salted"] = d["sessionize_state"]
+    # blocked-GEMM and fold-join cosine top-k share one oracle: identical
+    # output by construction (rank flips would need two distinct candidate
+    # cosines within ~1e-13 — verified exact at sf0.01 and sf0.1)
+    d["cosine_topk_join"] = d["cosine_topk"]
     return d
 
 
 def _oracle_sql() -> dict[str, str]:
     sec_ts = _SEC.format(x="ts")
+    # PII oracle pieces are GENERATED from the operator's own pattern table
+    # so the two sides cannot drift; every pattern is RE2-and-Java identical
+    # (no lookaround/backrefs — see curation.PII_PATTERNS)
+    from geofeaturegeneration_spark.operators.curation import PII_PATTERNS
+
+    pii_clean = "text"
+    for _n, _p, _t in PII_PATTERNS:
+        pii_clean = f"regexp_replace({pii_clean}, '{_p}', '{_t}', 'g')"
+    pii_counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{_p}'))::INT AS n_{_n}"
+        for _n, _p, _t in PII_PATTERNS
+    )
     lsh_bucket_sql = " + ".join(
         f"(CASE WHEN embedding[{k + 1}] > 0 THEN {1 << k} ELSE 0 END)"
         for k in range(8)
@@ -1894,6 +2000,42 @@ SELECT doc_id,
        (sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END)::DOUBLE
           / count(*)::DOUBLE) AS rare_frac
 FROM j GROUP BY doc_id
+""",
+        "pii_scrub": f"""
+WITH spiked AS (SELECT doc_id, text
+ || CASE WHEN doc_id%7=0 THEN ' reach me at user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+ || CASE WHEN doc_id%5=0 THEN ' or 415-555-' || lpad((doc_id%10000)::VARCHAR,4,'0') ELSE '' END
+ || CASE WHEN doc_id%9=0 THEN ' from 10.0.' || (doc_id%256)::VARCHAR || '.' || ((doc_id*7)%256)::VARCHAR ELSE '' END
+ || CASE WHEN doc_id%13=0 THEN ' ssn 123-45-' || lpad((doc_id%10000)::VARCHAR,4,'0') ELSE '' END
+ || CASE WHEN doc_id%17=0 THEN ' card 4111111111111111' ELSE '' END AS text
+ FROM documents),
+cnt AS (SELECT doc_id, {pii_clean} AS clean,
+       {pii_counts}
+       FROM spiked)
+SELECT doc_id, clean, n_email, n_ssn, n_phone, n_ip, n_num,
+       (n_email + n_ssn + n_phone + n_ip + n_num)::INT AS pii_total
+FROM cnt
+""",
+        "line_dedup": """
+WITH lined AS (SELECT doc_id,
+        regexp_replace(text, '((\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g')
+        || chr(10) || 'subscribe to our newsletter today' AS text
+      FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined),
+lines AS (SELECT doc_id, unnest(arr) AS line,
+                 unnest(generate_series(0, len(arr)-1)) AS line_no FROM ls),
+h AS (SELECT doc_id, line_no, line,
+             ('0x' || substr(md5(line),1,15))::BIGINT AS hh FROM lines),
+win AS (SELECT doc_id, line_no, line,
+               row_number() OVER (PARTITION BY hh ORDER BY doc_id, line_no) AS rn
+        FROM h),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean,
+               count(*)::INT AS n_kept
+        FROM win WHERE rn=1 GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*)::INT AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.clean,'') AS clean, t.n_lines,
+       coalesce(a.n_kept,0)::INT AS n_kept
+FROM tot t LEFT JOIN agg a USING (doc_id)
 """,
     }
 

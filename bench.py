@@ -70,6 +70,7 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_trained",
     "embedding_neardup",
+    "cosine_topk",
     "text_stats",
     "lang_id",
     "fingerprint",
@@ -83,6 +84,8 @@ HEADLINE = [
     "source_quota",
     "source_sample",
     "rare_tokens",
+    "pii_scrub",
+    "line_dedup",
 ]
 
 

@@ -1,6 +1,6 @@
 """Corpus-curation operators for training-data pipelines: test-set
-decontamination, per-source mixing quotas, and corpus-frequency quality
-signals.
+decontamination, per-source mixing quotas, corpus-frequency quality
+signals, PII scrubbing, and corpus-level line dedup.
 
 These close the gap between per-document quality scoring
 (functions/text.py) and cross-document dedup (operators/dedup.py): a real
@@ -173,6 +173,123 @@ def source_sample(
         .filter(h % 1_000_000 < F.coalesce(F.col("_ppm"), F.lit(default_ppm)))
         .drop("_ppm")
     )
+
+
+# PII patterns, applied in THIS order (earlier redactions remove text later
+# patterns could otherwise partially match — e.g. digits inside an email).
+# Every pattern is valid and IDENTICAL in meaning under both Java regex
+# (Spark) and RE2 (DuckDB oracle): no lookaround, no backreferences, ASCII
+# \d / \b only.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("num", r"\b\d{13,19}\b", "<NUM>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Redact personally identifiable substrings before a corpus ships to
+    training: emails, SSN-shaped ids, phone numbers, IPv4 addresses, and
+    13-19 digit runs (card/account numbers) each collapse to a typed token
+    (``<EMAIL>``, ``<SSN>``, ...). The standard pretraining scrub pass —
+    the redaction TOKEN stays in the text so the LM sees the slot, not the
+    value.
+
+    Returns (id_col, clean, n_email, n_ssn, n_phone, n_ip, n_num,
+    pii_total). ``clean`` applies the patterns sequentially in
+    ``PII_PATTERNS`` order; the per-pattern counts are measured on the RAW
+    text independently (so a 13-digit run inside an email counts under
+    both — the counts are per-pattern detectors, the scrub is one pass).
+
+    Plan: a chain of ``regexp_replace`` / ``regexp_count`` column
+    expressions — narrow, zero shuffle, whole-stage codegen; scales as a
+    pure map over any corpus size."""
+    clean = F.col(text_col)
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias(f"n_{name}")
+        )
+        clean = F.regexp_replace(clean, pat, tok)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return df.select(F.col(id_col), clean.alias("clean"), *counts).withColumn(
+        "pii_total", total.cast("int")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    keep_empty_docs: bool = True,
+) -> DataFrame:
+    """Corpus-level duplicate-line removal (the C4 rule): every distinct
+    line keeps exactly ONE occurrence across the whole corpus — the one in
+    the smallest (doc_id, line_no) position — and every other copy is
+    dropped; each document is then reassembled from its surviving lines in
+    original order. Kills boilerplate (cookie banners, nav menus, license
+    headers) that per-document dedup cannot see.
+
+    Returns (id_col, clean, n_lines, n_kept): the reassembled text, the
+    doc's original line count, and how many lines survived. Docs whose
+    every line lost join ``clean = ''`` when ``keep_empty_docs`` (the
+    caller decides whether an emptied doc is dropped).
+
+    Scale shape: one explode (doc -> lines), ONE groupBy on the 60-bit
+    line hash whose partial (map-side) min-struct aggregation shrinks hot
+    boilerplate lines before the shuffle — a line duplicated 10^8 times
+    moves one row per map task, never 10^8 rows to one reducer (the window
+    row_number formulation would) — then an equi-join of winners back to
+    the line stream and a groupBy(doc) reassembly. Two shuffles total,
+    both on uniform keys (hash, doc id)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "_line_no", "_line"
+        ),
+    )
+    h = md5_long(F.col("_line"))
+    keyed = lines.withColumn("_h", h)
+    winners = keyed.groupBy("_h").agg(
+        F.min(F.struct(F.col(id_col), F.col("_line_no"))).alias("_w")
+    ).select(
+        F.col("_h"),
+        F.col(f"_w.{id_col}").alias(id_col),
+        F.col("_w._line_no").alias("_line_no"),
+    )
+    kept = keyed.join(winners, ["_h", id_col, "_line_no"])
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_line_no"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias("clean"),
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines")
+    )
+    out = totals.join(reassembled, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean"), F.lit("")).alias("clean"),
+        F.col("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+    )
+    if not keep_empty_docs:
+        out = out.filter(F.col("n_kept") > 0)
+    return out
 
 
 def rare_token_stats(

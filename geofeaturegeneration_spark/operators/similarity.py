@@ -72,6 +72,117 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blocked(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 5, n_blocks: int = 8
+) -> DataFrame:
+    """Exact top-k cosine neighbors via block-partitioned matrix multiply —
+    the SCALE form of :func:`cosine_topk`, same output, no join node.
+
+    The n x n similarity matrix is tiled into ``n_blocks**2`` block pairs:
+    the query side replicates each row to every corpus block and the corpus
+    side to every query block (a narrow explode over a B-literal array — no
+    join, no cartesian), the two sides meet in ``cogroup().applyInPandas``
+    keyed on (query_block, corpus_block), and each Arrow batch scores its
+    (n/B x n/B) tile with ONE float64 numpy GEMM instead of n^2/B^2 row-wise
+    expression evaluations. Each tile emits its local top-k per query; a
+    final window over the <= B*k survivors per query picks the global top-k.
+
+    Scale accounting vs the join form: shuffle volume drops from O(n^2)
+    rows through a BroadcastNestedLoopJoin to 2*B*n replicated vectors plus
+    B*k*n candidate rows, compute runs at BLAS speed, and B is the memory
+    knob — pick B so an (n/B)^2 float64 tile fits an executor (~1 GB tiles
+    at n/B ~ 11k). Exact all-pairs stays O(n^2) FLOPs by definition: at
+    10^9 vectors use ann_lsh_multi_topk / ann_ivf_topk; this is the exact
+    path for the 10^5-10^7 range where brute force is right but the join
+    plan is not.
+
+    Determinism: ranking orders by raw float64 cosine (desc, nn_id asc),
+    exactly like cosine_topk. GEMM sums in a different association than the
+    sequential fold, but a rank flip needs two DISTINCT candidate cosines
+    within ~1e-13 of each other — below any plausible data resolution — so
+    the DuckDB fold oracle stays value-exact (verified at sf0.01 and
+    sf0.1)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    out_partial = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("nn_id", id_type),
+            T.StructField("_cos", T.DoubleType()),
+        ]
+    )
+    # literal block ids are cast to LONG to match pmod(xxhash64)'s type:
+    # cogroup matches groups via the shuffle hash of the RAW key columns, so
+    # an int-vs-bigint key mismatch silently lands the two sides of the same
+    # (qb, ob) tile in different groups (measured: whole blocks vanish).
+    blocks = F.array(*[F.lit(j).cast("long") for j in range(n_blocks)])
+    own = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    q_side = (
+        df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+        .withColumn("_qb", own)
+        .withColumn("_ob", F.explode(blocks))
+    )
+    # fresh names on the corpus side: cogroup's attribute dedup drops
+    # right-side columns whose exprIds match the left (same-scan self-pair)
+    c_side = (
+        df.select(
+            F.col(id_col).alias("_rid"),
+            _to_double(F.col(vec_col)).alias("_rv"),
+        )
+        .withColumn("_ob", F.pmod(F.xxhash64(F.col("_rid")), F.lit(n_blocks)))
+        .withColumn("_qb", F.explode(blocks))
+    )
+
+    def score_tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({c: [] for c in [id_col, "nn_id", "_cos"]})
+        qid = lpdf[id_col].to_numpy()
+        rid = rpdf["_rid"].to_numpy()
+        Q = np.stack(lpdf["_v"].to_numpy()).astype(np.float64, copy=False)
+        X = np.stack(rpdf["_rv"].to_numpy()).astype(np.float64, copy=False)
+        cos = (Q @ X.T) / np.outer(
+            np.sqrt(np.einsum("ij,ij->i", Q, Q)),
+            np.sqrt(np.einsum("ij,ij->i", X, X)),
+        )
+        cos[qid[:, None] == rid[None, :]] = -np.inf  # exclude self
+        kk = min(k, cos.shape[1])
+        # per-query local top-k, ties on nn_id ascending (matches the window)
+        rows = []
+        for i in range(cos.shape[0]):
+            order = np.lexsort((rid, -cos[i]))[:kk]
+            keep = order[np.isfinite(cos[i][order])]
+            rows.append((np.full(len(keep), qid[i]), rid[keep], cos[i][keep]))
+        if not rows:
+            return pd.DataFrame({c: [] for c in [id_col, "nn_id", "_cos"]})
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate([r[0] for r in rows]),
+                "nn_id": np.concatenate([r[1] for r in rows]),
+                "_cos": np.concatenate([r[2] for r in rows]),
+            }
+        )
+
+    partial = (
+        q_side.groupBy("_qb", "_ob")
+        .cogroup(c_side.groupBy("_qb", "_ob"))
+        .applyInPandas(score_tile, schema=out_partial)
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("nn_id"),
+            F.round(F.col("_cos"), 6).alias("cos_sim"),
+            F.col("rank"),
+        )
+    )
+
+
 def lsh_bucket(vec_col: str, n_bits: int = 8) -> Column:
     """Sign-LSH bucket id from the signs of the first n_bits dimensions:
     bit k set iff vec[k] > 0. Cheap, deterministic, engine-portable; at

@@ -186,3 +186,79 @@ def test_source_sample_rates_and_monotonicity(spark):
     assert {r["doc_id"] for r in both.collect()} >= {
         i for i in range(2000) if not i % 2
     }  # every books doc kept at 100%
+
+
+def test_pii_scrub_patterns_and_counts(spark):
+    """Each pattern redacts to its typed token; counts are per-pattern on
+    the RAW text; patterns apply in order (email first, so its digits never
+    leak into the number detectors)."""
+    from geofeaturegeneration_spark.operators import pii_scrub
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org today"),
+        (2, "ssn 123-45-6789 and phone 415-555-0123"),
+        (3, "host 192.168.0.1 card 4111111111111111"),
+        (4, "no pii here at all"),
+        (5, "digits 1234567890123 inside text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r.asDict() for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert out[1]["clean"] == "mail <EMAIL> today"
+    assert out[1]["n_email"] == 1 and out[1]["pii_total"] == 1
+    assert out[2]["clean"] == "ssn <SSN> and phone <PHONE>"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1
+    assert out[3]["clean"] == "host <IP> card <NUM>"
+    assert out[3]["n_ip"] == 1 and out[3]["n_num"] == 1
+    assert out[4]["clean"] == "no pii here at all" and out[4]["pii_total"] == 0
+    assert out[5]["clean"] == "digits <NUM> inside text"
+
+
+def test_pii_scrub_order_email_before_numbers(spark):
+    """An all-digit email local part must redact as ONE <EMAIL>, not leave
+    a partially-eaten number; the raw-text counters still see both."""
+    from geofeaturegeneration_spark.operators import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "x 1234567890123@mail.example.com y")], "doc_id INT, text STRING"
+    )
+    r = pii_scrub(df, "doc_id", "text").collect()[0]
+    assert r["clean"] == "x <EMAIL> y"
+    assert r["n_email"] == 1
+    assert r["n_num"] == 1  # raw-text detector fires too — documented
+
+
+def test_line_dedup_global_first_occurrence(spark):
+    """A line duplicated across docs survives only at the smallest
+    (doc_id, line_no); within-doc repeats dedup too; empty-line handling
+    and doc reassembly preserve order."""
+    from geofeaturegeneration_spark.operators import line_dedup
+
+    rows = [
+        (1, "keep me\nboilerplate footer\nunique one"),
+        (2, "boilerplate footer\nunique two"),
+        (3, "repeat\nrepeat\nunique three"),
+        (4, "boilerplate footer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r.asDict() for r in line_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["clean"] == "keep me\nboilerplate footer\nunique one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert out[2]["clean"] == "unique two"  # footer lost to doc 1
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["clean"] == "repeat\nunique three"  # within-doc dedup
+    assert out[4]["clean"] == "" and out[4]["n_kept"] == 0  # fully emptied
+
+    dropped = line_dedup(df, "doc_id", "text", keep_empty_docs=False)
+    assert {r["doc_id"] for r in dropped.collect()} == {1, 2, 3}
+
+
+def test_line_dedup_no_window_on_line_hash(spark):
+    """Scale guard: the winner per line hash must come from a partial-agg
+    groupBy (map-side combine shrinks hot boilerplate lines), never a
+    window sort over the exploded line stream."""
+    from geofeaturegeneration_spark.operators import line_dedup
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id INT, text STRING")
+    plan = line_dedup(df, "doc_id", "text")._jdf.queryExecution().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan or "partial" in plan.lower()

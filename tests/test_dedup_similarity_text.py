@@ -106,6 +106,24 @@ def test_cosine_topk_ordering(spark, vectors):
     assert for_zero[2][2] == -1.0
 
 
+def test_cosine_topk_blocked_matches_join(spark, vectors):
+    """The blocked-GEMM plan is an exactness twin of the fold-join plan:
+    identical rows on the canonical 4-vector fixture AND on the sf0.001
+    embeddings table (500 dense random vectors, every block pair hit,
+    including blocks with k-boundary candidates in multiple tiles)."""
+    from geofeaturegeneration_spark.operators import cosine_topk_blocked
+
+    a = sorted(map(tuple, cosine_topk(vectors, "vec_id", "embedding", k=3).collect()))
+    b = sorted(map(tuple, cosine_topk_blocked(
+        vectors, "vec_id", "embedding", k=3, n_blocks=3).collect()))
+    assert a == b
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ra = sorted(map(tuple, cosine_topk(emb, "vec_id", "embedding", k=5).collect()))
+    rb = sorted(map(tuple, cosine_topk_blocked(
+        emb, "vec_id", "embedding", k=5, n_blocks=8).collect()))
+    assert ra == rb
+
+
 def test_ann_lsh_restricts_to_bucket(spark, vectors):
     out = ann_lsh_topk(vectors, "vec_id", "embedding", k=3, n_bits=4)
     rows = out.collect()

@@ -88,11 +88,20 @@ def test_bucketed_candidate_joins_not_cartesian(spark):
 
 # Queries whose plans INTENTIONALLY contain an unconditioned join, each
 # against a bounded-small broadcast side:
-#   cosine_topk — the documented O(n^2) exact baseline (ann_lsh / ann_ivf
-#     are the scale path); stays in the contract as the recall oracle.
+#   cosine_topk_join — the documented O(n^2) exact fold-join baseline,
+#     kept as the exactness twin of the contract's blocked-GEMM plan.
 #   ann_ivf / ann_ivf_trained — vectors x k=8 centroids assignment; the
 #     nested-loop build side is the k-row quantizer, never the corpus.
-_UNCONDITIONED_JOIN_ALLOWLIST = {"cosine_topk", "ann_ivf", "ann_ivf_trained"}
+_UNCONDITIONED_JOIN_ALLOWLIST = {"cosine_topk_join", "ann_ivf", "ann_ivf_trained"}
+
+
+def test_cosine_topk_blocked_has_no_join(spark):
+    """Round-3: the contract's exact top-k is the blocked-GEMM plan — tiles
+    form by narrow explode + cogroup shuffle, so the plan must carry NO join
+    operator of any kind (the n^2 meeting happens inside Arrow batches)."""
+    plan = plan_str(E.queries()["cosine_topk"](spark, SF_DIR), "simple")
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_no_unconditioned_join_in_any_contract_query(spark):
