@@ -825,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new operators round 3 (never driver-run): next in line ---
         "decontaminate": q_decontaminate,
         "rare_tokens": q_rare_tokens,
+        "pii_scrub": q_pii_scrub,
+        "line_dedup": q_line_dedup,
         # --- the rest of the contract ---
         "tpch_pricing": q_tpch_pricing,
         "orders_enrich": q_orders_enrich,
@@ -850,11 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_sigs": q_minhash_sigs,
         "cosine_topk": q_cosine_topk,
-        "ann_lsh": q_ann_lsh,
         "ann_lsh_multi": q_ann_lsh_multi,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
-        "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_multi": q_embedding_neardup_multi,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1025,10 +1025,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract 'cosine_topk' now runs the blocked-GEMM plan; the
         # original expression-fold self-join stays here as its exactness twin
         "cosine_topk_join": q_cosine_topk_join,
-        # round-3 curation additions after the driver window filled:
-        # PII redaction and C4-style corpus-level line dedup
-        "pii_scrub": q_pii_scrub,
-        "line_dedup": q_line_dedup,
+        # single-table variants of the multi-table ANN contract entries —
+        # folded here (round 3) to free driver slots for pii_scrub and
+        # line_dedup, mirroring the round-2 strategy-twin folds; both were
+        # driver-green in r02 and stay under the local oracle gate
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
     }
 
 
