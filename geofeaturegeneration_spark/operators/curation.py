@@ -189,6 +189,16 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def pii_clean_col(text: Column) -> Column:
+    """The redaction expression alone (no counters): sequential
+    ``regexp_replace`` over ``PII_PATTERNS`` — for embedding the scrub pass
+    inline in wider jobs (e.g. the composed dedup pipeline's output stage)
+    without a join back to a separate scrub table."""
+    for _name, pat, tok in PII_PATTERNS:
+        text = F.regexp_replace(text, pat, tok)
+    return text
+
+
 def pii_scrub(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -208,13 +218,11 @@ def pii_scrub(
     Plan: a chain of ``regexp_replace`` / ``regexp_count`` column
     expressions — narrow, zero shuffle, whole-stage codegen; scales as a
     pure map over any corpus size."""
-    clean = F.col(text_col)
-    counts = []
-    for name, pat, tok in PII_PATTERNS:
-        counts.append(
-            F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias(f"n_{name}")
-        )
-        clean = F.regexp_replace(clean, pat, tok)
+    clean = pii_clean_col(F.col(text_col))
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat, _tok in PII_PATTERNS
+    ]
     total = None
     for name, _, _ in PII_PATTERNS:
         c = F.col(f"n_{name}")

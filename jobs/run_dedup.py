@@ -26,7 +26,9 @@ finished work:
    tiny signature rows, never the corpus text.
 3. ``output`` (per doc-id hash bucket): keeper filter — each bucket of the
    corpus equi-joins its slice of the cluster table and keeps survivors.
-   Text bytes are only touched here and in stage 1.
+   Text bytes are only touched here and in stage 1. ``--scrub`` folds PII
+   redaction (curation.pii_clean_col) into this same pass: at 100 TB the
+   scrub is free when it rides a stage that already rewrites text.
 
 Determinism: signatures, pairs, components, and keeper choice are all pure
 functions of the corpus (md5 hashing, min-label components, min-id
@@ -53,6 +55,7 @@ from geofeaturegeneration_spark.operators import (
     lsh_pairs_from_band_sigs,
     minhash_band_signatures,
 )
+from geofeaturegeneration_spark.operators.curation import pii_clean_col
 from geofeaturegeneration_spark.session import get_spark
 
 
@@ -71,6 +74,7 @@ def run_dedup_pipeline(
     force: bool = False,
     bench=None,
     decon_min_hits: int = 1,
+    scrub: bool = False,
 ):
     """Run the dedup stages with per-stage checkpointed resume.
 
@@ -92,6 +96,10 @@ def run_dedup_pipeline(
     lineage = f"{lineage};buckets={buckets};k={k};h={n_hashes};b={bands}"
     if bench is not None:
         lineage += f";decon={decon_min_hits}"
+    if scrub:
+        # scrub changes output BYTES, so it must invalidate the output
+        # stage's checkpoints when toggled — hence part of the lineage key
+        lineage += ";scrub=1"
 
     # stage 1: band signatures per corpus bucket (resumable unit = bucket)
     def sig_one(key: str):
@@ -148,6 +156,10 @@ def run_dedup_pipeline(
         if bench is not None:
             bad = spark.read.parquet(con_path).select("doc_id")
             out = out.join(bad, "doc_id", "left_anti")
+        if scrub:
+            # PII redaction rides the same pass that already touches text
+            # bytes — a pure column expression, no extra stage or join
+            out = out.withColumn("text", pii_clean_col(F.col("text")))
         return out
 
     r_out = run_partitioned(
@@ -175,6 +187,9 @@ def main(argv=None) -> int:
                    help="optional eval-set parquet (doc_id, text); adds the "
                         "decontamination stage")
     p.add_argument("--decon-min-hits", type=int, default=1)
+    p.add_argument("--scrub", action="store_true",
+                   help="redact PII (curation.pii_clean_col) in the output "
+                        "stage — same pass that already writes text bytes")
     args = p.parse_args(argv)
 
     spark = get_spark("run_dedup")
@@ -186,7 +201,7 @@ def main(argv=None) -> int:
         buckets=args.buckets, k=args.shingle_k, n_hashes=args.n_hashes,
         bands=args.bands, max_bucket_size=args.max_bucket_size,
         job_id=args.job_id, force=args.force,
-        bench=bench, decon_min_hits=args.decon_min_hits,
+        bench=bench, decon_min_hits=args.decon_min_hits, scrub=args.scrub,
     )
     names = (
         ["signatures", "clusters", "contamination", "output"]

@@ -218,3 +218,48 @@ def test_dedup_pipeline_with_decontamination_stage(spark, tmp_path):
     # re-run resumes: every stage skips
     r2 = RD.run_dedup_pipeline(spark, docs, out, ck, bench=bench, **kw)
     assert all(r.skipped for stage in r2 for r in stage)
+
+
+def test_dedup_pipeline_scrub_stage(spark, tmp_path):
+    """--scrub redacts PII inside the output stage: surviving text carries
+    no raw emails, equals the hand-composed keeper+pii_clean_col result,
+    and scrub participates in the lineage key (a re-run with the same flag
+    skips every stage; the flag OFF on the same checkpoint would rerun)."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators.curation import pii_clean_col
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    docs = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" leak to user@example.com")),
+        ).otherwise(F.col("text")),
+    )
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100)
+
+    out, ck = str(tmp_path / "out_sc"), str(tmp_path / "ck_sc")
+    r_sig, r_clu, r_out = RD.run_dedup_pipeline(
+        spark, docs, out, ck, scrub=True, **kw
+    )
+    assert all(not r.skipped for r in r_sig + r_clu + r_out)
+    final = spark.read.parquet(os.path.join(out, "deduped"))
+    assert final.filter(F.col("text").contains("@example.com")).count() == 0
+    assert final.filter(F.col("text").contains("<EMAIL>")).count() > 0
+
+    # equals the unscrubbed pipeline with the scrub expression applied
+    out2, ck2 = str(tmp_path / "out_ns"), str(tmp_path / "ck_ns")
+    RD.run_dedup_pipeline(spark, docs, out2, ck2, scrub=False, **kw)
+    plain = spark.read.parquet(os.path.join(out2, "deduped")).withColumn(
+        "text", pii_clean_col(F.col("text"))
+    )
+    got = sorted((r["doc_id"], r["text"]) for r in final.collect())
+    want = sorted((r["doc_id"], r["text"]) for r in plain.collect())
+    assert got == want
+
+    # same flags resume: everything skips
+    r2 = RD.run_dedup_pipeline(spark, docs, out, ck, scrub=True, **kw)
+    assert all(r.skipped for stage in r2 for r in stage)
