@@ -993,6 +993,23 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(lined, "doc_id", "text")
 
 
+def q_quality_filter(spark, sf_dir):
+    """C4/Gopher keep decision over the documents corpus; thresholds tuned
+    so the synthetic docs split into keeps AND drops on several rules
+    (word count, stopword share, duplicate-word fraction) — not a
+    vacuously-true verdict."""
+    from geofeaturegeneration_spark.operators import quality_filter
+
+    docs = _docs_wide(spark, sf_dir)
+    return quality_filter(
+        docs, "doc_id", "text",
+        min_words=30, max_words=70,
+        min_avg_word_len=3.0, max_avg_word_len=6.0,
+        max_punct_ratio=0.05, max_stopword_ratio=0.2,
+        max_dup_word_fraction=0.8,
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-matched queries OUTSIDE the driver's 50-entry window: physical
     twins of contract entries (identical output, different plan) and folded
@@ -1025,6 +1042,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract 'cosine_topk' now runs the blocked-GEMM plan; the
         # original expression-fold self-join stays here as its exactness twin
         "cosine_topk_join": q_cosine_topk_join,
+        # C4/Gopher-style composed keep decision (curation.quality_filter)
+        "quality_filter": q_quality_filter,
         # single-table variants of the multi-table ANN contract entries —
         # folded here (round 3) to free driver slots for pii_scrub and
         # line_dedup, mirroring the round-2 strategy-twin folds; both were
@@ -2038,6 +2057,30 @@ tot AS (SELECT doc_id, count(*)::INT AS n_lines FROM lines GROUP BY doc_id)
 SELECT t.doc_id, coalesce(a.clean,'') AS clean, t.n_lines,
        coalesce(a.n_kept,0)::INT AS n_kept
 FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        "quality_filter": f"""
+WITH s AS (SELECT doc_id,
+       len(string_split(text,' ')) AS nw,
+       round(length(replace(text,' ',''))::DOUBLE
+             / greatest(len(string_split(text,' ')),1)::DOUBLE, 6) AS awl,
+       round((length(text) - length(regexp_replace(text,'[^A-Za-z0-9 ]','','g')))::DOUBLE
+             / greatest(length(text),1)::DOUBLE, 6) AS pr,
+       round(len(list_filter(string_split(text,' '), w -> w IN {_STOP}))::DOUBLE
+             / greatest(len(string_split(text,' ')),1)::DOUBLE, 6) AS sr,
+       round((len(string_split(text,' ')) - len(list_distinct(string_split(text,' '))))
+             / greatest(len(string_split(text,' ')), 1), 6) AS dwf
+  FROM documents),
+f AS (SELECT doc_id, nw::INT AS n_words,
+       nw < 30 AS too_short, nw > 70 AS too_long,
+       (awl < 3.0 OR awl > 6.0) AS bad_word_len,
+       pr > 0.05 AS too_punct, sr > 0.2 AS stop_stuffed,
+       dwf > 0.8 AS repetitive
+  FROM s)
+SELECT doc_id, n_words, too_short, too_long, bad_word_len, too_punct,
+       stop_stuffed, repetitive,
+       (NOT too_short AND NOT too_long AND NOT bad_word_len AND NOT too_punct
+        AND NOT stop_stuffed AND NOT repetitive) AS keep
+FROM f
 """,
     }
 

@@ -300,6 +300,66 @@ def line_dedup(
     return out
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 2.0,
+    max_avg_word_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+    max_stopword_ratio: float = 0.6,
+    max_dup_word_fraction: float = 0.5,
+) -> DataFrame:
+    """The C4/Gopher-style KEEP decision: compose the per-document quality
+    signals (functions/text.py) into named boolean rules and one ``keep``
+    verdict — the document-filter stage every pretraining pipeline runs
+    before dedup. Rules (a doc is kept iff NONE fires):
+
+    * ``too_short`` / ``too_long`` — word count outside [min, max]
+    * ``bad_word_len`` — mean word length outside [min, max] (Gopher's
+      3..10 rule, thresholds parametric)
+    * ``too_punct`` — non-alphanumeric character share above threshold
+    * ``stop_stuffed`` — stopword share above threshold
+    * ``repetitive`` — duplicate-word fraction above threshold (Gopher
+      repetition family; see text.dup_word_fraction)
+
+    Ratios are ROUNDED to 6 decimals before comparison so the verdict is
+    engine-exact (the same rounded ratios the text_stats contract already
+    hash-matches against DuckDB); thresholds land strictly on literals.
+    Returns (id_col, n_words, the six rule booleans, keep). Pure column
+    expressions — zero shuffle, one codegen span at any corpus size."""
+    from geofeaturegeneration_spark.functions.text import (
+        avg_word_len,
+        dup_word_fraction,
+        n_words,
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    t = F.col(text_col)
+    nw = n_words(t)
+    awl = F.round(avg_word_len(t), 6)
+    flags = {
+        "too_short": nw < min_words,
+        "too_long": nw > max_words,
+        "bad_word_len": (awl < min_avg_word_len) | (awl > max_avg_word_len),
+        "too_punct": F.round(punct_ratio(t), 6) > max_punct_ratio,
+        "stop_stuffed": F.round(stopword_ratio(t), 6) > max_stopword_ratio,
+        "repetitive": F.round(dup_word_fraction(t), 6) > max_dup_word_fraction,
+    }
+    keep = None
+    for c in flags.values():
+        keep = ~c if keep is None else keep & ~c
+    return df.select(
+        F.col(id_col),
+        nw.cast("int").alias("n_words"),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
 def rare_token_stats(
     df: DataFrame,
     id_col: str,

@@ -262,3 +262,41 @@ def test_line_dedup_no_window_on_line_hash(spark):
     plan = line_dedup(df, "doc_id", "text")._jdf.queryExecution().toString()
     assert "Window" not in plan
     assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_quality_filter_each_rule_and_keep(spark):
+    """Every rule fires on a doc crafted to trip exactly it (plus any
+    logically-entangled ones); a clean doc keeps."""
+    from geofeaturegeneration_spark.operators import quality_filter
+
+    rows = [
+        (1, "solid sentence with interesting varied wording across topics"),
+        (2, "too tiny"),
+        (3, " ".join(f"w{i}" for i in range(40))),        # too_long at max=20
+        (4, "aaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbbb"),  # avg len ~22
+        (5, "!!! ??? ### $$$ %%% word"),                   # punct heavy
+        (6, "the the the of of of a a a and and and"),     # stopword stuffed
+        (7, "spam spam spam spam spam spam spam ham"),     # repetitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in quality_filter(
+            df, "doc_id", "text",
+            min_words=3, max_words=20,
+            min_avg_word_len=2.0, max_avg_word_len=12.0,
+            max_punct_ratio=0.3, max_stopword_ratio=0.6,
+            max_dup_word_fraction=0.5,
+        ).collect()
+    }
+    assert out[1]["keep"] and not any(
+        out[1][f] for f in ["too_short", "too_long", "bad_word_len",
+                            "too_punct", "stop_stuffed", "repetitive"]
+    )
+    assert out[2]["too_short"] and not out[2]["keep"]
+    assert out[3]["too_long"] and not out[3]["keep"]
+    assert out[4]["bad_word_len"] and not out[4]["keep"]
+    assert out[5]["too_punct"] and not out[5]["keep"]
+    assert out[6]["stop_stuffed"] and not out[6]["keep"]
+    assert out[7]["repetitive"] and not out[7]["keep"]
+    assert out[7]["n_words"] == 8
