@@ -152,37 +152,61 @@ def dup_word_fraction(text: Column) -> Column:
     return (n - F.size(F.array_distinct(ws))) / F.greatest(n, F.lit(1))
 
 
+def _let(val: Column, body) -> Column:
+    """Evaluate ``val`` ONCE and pass the result to ``body`` as a bound
+    lambda variable — a let-binding built from a single-element
+    ``transform``. Needed when an expensive expression is referenced
+    inside a higher-order-function lambda: HOF lambdas are CodegenFallback
+    with no subexpression elimination, so a captured EXPRESSION re-executes
+    per element, while a captured lambda VARIABLE is an already-evaluated
+    value. Without this, ``top_bigram_share`` re-derived the whole bigram
+    array (itself re-splitting the text per index) for every distinct
+    bigram — O(words^3) characters per doc; bound, it is the intended
+    O(distinct x words) comparisons."""
+    return F.transform(F.array(val), body)[0]
+
+
 def top_word_share(text: Column) -> Column:
     """Share of the single most frequent word — spammy docs repeat one
     token. O(distinct x words) per row, bounded by document size."""
-    ws = words(text)
-    n = F.size(ws)
-    counts = F.transform(
-        F.array_distinct(ws), lambda w: F.size(F.filter(ws, lambda x: x == w))
+    return _let(
+        words(text),
+        lambda ws: F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda w: F.size(F.filter(ws, lambda x: x == w)),
+            )
+        )
+        / F.greatest(F.size(ws), F.lit(1)),
     )
-    return F.array_max(counts) / F.greatest(n, F.lit(1))
 
 
 def top_bigram_share(text: Column) -> Column:
     """Share of the most frequent word bigram (Gopher's top-2-gram rule).
     Guarded for <2 words — Spark 4 ANSI ``sequence(1, 0)`` DESCENDS, so the
     bigram index sequence must never be built on short docs."""
-    ws = words(text)
-    n = F.size(ws)
-    bs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat(
-                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+
+    def from_bigrams(bs: Column) -> Column:
+        m = F.size(bs)
+        counts = F.transform(
+            F.array_distinct(bs), lambda b: F.size(F.filter(bs, lambda x: x == b))
+        )
+        return F.when(m > 0, F.array_max(counts) / m).otherwise(F.lit(0.0))
+
+    def from_words(ws: Column) -> Column:
+        n = F.size(ws)
+        bs = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat(
+                    F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    m = F.size(bs)
-    counts = F.transform(
-        F.array_distinct(bs), lambda b: F.size(F.filter(bs, lambda x: x == b))
-    )
-    return F.when(m > 0, F.array_max(counts) / m).otherwise(F.lit(0.0))
+        ).otherwise(F.array().cast("array<string>"))
+        return _let(bs, from_bigrams)
+
+    return _let(words(text), from_words)
 
 
 def dup_line_fraction(text: Column) -> Column:

@@ -56,30 +56,35 @@ def shingle_hashes(
     shingles (empty sequence), matching the SQL generate_series semantics.
     ``distinct=False`` skips the dedup shuffle — correct for consumers whose
     aggregate is duplicate-insensitive (min for minhash)."""
-    # NB: guarded with CASE, not greatest(..., 0): Spark's sequence(1, 0)
-    # yields a DESCENDING [1, 0] (step defaults to -1), unlike DuckDB's
-    # empty generate_series — docs shorter than k words must yield [].
-    shingles = F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
-        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' ')) "
-        f"ELSE array() END"
-    )
     out = (
-        df.select(F.col(id_col), F.explode(shingles).alias("_sh"))
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_gfs_w"))
+        .select(F.col(id_col), F.explode(_shingles_expr("_gfs_w", k)).alias("_sh"))
         .select(F.col(id_col), (md5_long(F.col("_sh")) % MERSENNE31).alias("h"))
     )
     return out.distinct() if distinct else out
 
 
-def _shingles_expr(text_col: str, k: int):
-    """array<string> of the k-word shingles of ``text_col`` — the
-    non-exploded core of ``shingle_hashes`` (same CASE guard: docs shorter
-    than k words yield an EMPTY array, not a descending sequence)."""
+def _shingles_expr(words_col: str, k: int):
+    """array<string> of the k-word shingles of the PRE-SPLIT word-array
+    column ``words_col`` (same CASE guard as shingle_hashes: docs shorter
+    than k words yield an EMPTY array, not a descending sequence — Spark's
+    ``sequence(1, 0)`` DESCENDS).
+
+    Takes a staged words COLUMN, not the raw text: higher-order-function
+    lambdas are CodegenFallback with no subexpression elimination, so a
+    ``split(text)`` written inside the lambda body is re-executed for
+    EVERY shingle index — O(words^2) characters per document. Splitting
+    once into a real column (an O(1) attribute read inside the lambda)
+    makes shingling linear; measured 9.1x on 300-word docs (see BASELINE.md
+    "Shingle staging"), and the gap grows with document length — at
+    pretraining-scale docs (10^3..10^4 words) the quadratic form is the
+    difference between a linear scan and an unusable stage. The column must
+    be referenced >1 time in the produced expression (it is: size twice +
+    slice) so CollapseProject keeps the staged alias un-inlined."""
     return F.expr(
-        f"CASE WHEN size(split({text_col}, ' ')) >= {k} THEN "
-        f"transform(sequence(1, size(split({text_col}, ' ')) - {k - 1}), "
-        f"i -> array_join(slice(split({text_col}, ' '), i, {k}), ' ')) "
+        f"CASE WHEN size({words_col}) >= {k} THEN "
+        f"transform(sequence(1, size({words_col}) - {k - 1}), "
+        f"i -> array_join(slice({words_col}, i, {k}), ' ')) "
         f"ELSE array() END"
     )
 
@@ -107,10 +112,11 @@ def with_band_sigs(
     times un-inlined — same reasoning as functions/grid.with_geohash)."""
     rpb = n_hashes // bands
     hcol = f"_gfs_shh_{out_col}"
-    df = df.withColumn(
+    wcol = f"_gfs_w_{out_col}"
+    df = df.withColumn(wcol, F.split(F.col(text_col), " ")).withColumn(
         hcol,
         F.transform(
-            _shingles_expr(text_col, k), lambda s: md5_long(s) % MERSENNE31
+            _shingles_expr(wcol, k), lambda s: md5_long(s) % MERSENNE31
         ),
     )
     mh = [
@@ -139,7 +145,7 @@ def with_band_sigs(
         F.when(F.size(F.col(hcol)) > 0, band_structs).otherwise(
             F.array().cast("array<struct<band:int,sig_str:string>>")
         ),
-    ).drop(hcol)
+    ).drop(hcol, wcol)
 
 
 def minhash_band_signatures_rowwise(
@@ -152,10 +158,23 @@ def minhash_band_signatures_rowwise(
 ) -> DataFrame:
     """(id, band, sig_str) from the per-row path — identical rows to
     ``minhash_band_signatures`` (shingle-less docs absent), usable on both
-    batch and streaming DataFrames."""
+    batch and streaming DataFrames.
+
+    ``explode_outer`` + a post-explode null filter, NOT plain ``explode``:
+    InferFiltersFromGenerate turns a plain explode into a
+    ``size(_bands) > 0`` filter below the Generate, and predicate pushdown
+    then substitutes the ENTIRE staged signature expression tree into that
+    filter condition — re-splitting the text inside the shingle lambda
+    (the O(words^2) form _shingles_expr stages against) and recomputing
+    all 16 minhashes a second time per row. The outer explode infers no
+    filter; the null filter references the GENERATED column, which can
+    never be pushed below the Generate. Same rows (null ``_bs`` = the
+    empty-bands docs the inferred filter would have dropped); plan pinned
+    by test_plan_audit.py::test_shingle_and_ngram_split_staged_once."""
     return (
         with_band_sigs(df, text_col, k, n_hashes, bands)
-        .select(F.col(id_col), F.explode(F.col("_bands")).alias("_bs"))
+        .select(F.col(id_col), F.explode_outer(F.col("_bands")).alias("_bs"))
+        .filter(F.col("_bs").isNotNull())
         .select(
             F.col(id_col),
             F.col("_bs.band").alias("band"),

@@ -16,6 +16,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -159,3 +160,37 @@ def test_sessionize_shuffles_only_on_entity(spark):
     # aggregate, etime/stay_seq windows) runs on ONE entity-key shuffle: the
     # sub-keyed stages reuse HashPartitioning(entity) with local sorts only
     assert plan.count("Exchange") == 1, plan
+
+
+def test_shingle_and_ngram_split_staged_once(spark):
+    """The text split feeding shingles/bigrams must be evaluated ONCE per
+    row (a staged alias / let-bound lambda variable), never inside a
+    higher-order-function lambda body: HOF lambdas are CodegenFallback
+    with no subexpression elimination, so a split captured as an
+    EXPRESSION re-executes per element — O(words^2) characters per doc
+    for shingles, O(words^3) for top_bigram_share (measured 9.1x on
+    300-word docs; BASELINE.md "Shingle staging"). The optimized plan of
+    each consumer must therefore contain exactly one split of the text
+    column."""
+    from geofeaturegeneration_spark.functions.text import (
+        top_bigram_share,
+        top_word_share,
+    )
+    from geofeaturegeneration_spark.operators import minhash_band_signatures
+    from geofeaturegeneration_spark.operators.dedup import (
+        minhash_band_signatures_rowwise,
+        shingle_hashes,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id INT, text STRING")
+    consumers = {
+        "shingle_hashes": shingle_hashes(df, "doc_id", "text"),
+        "band_sigs": minhash_band_signatures(df, "doc_id", "text"),
+        "band_sigs_rowwise": minhash_band_signatures_rowwise(df, "doc_id", "text"),
+        "top_word_share": df.select(top_word_share(F.col("text")).alias("s")),
+        "top_bigram_share": df.select(top_bigram_share(F.col("text")).alias("s")),
+    }
+    for name, out in consumers.items():
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        n = plan.count("split(text")
+        assert n == 1, f"{name}: expected 1 split of text, found {n}\n{plan}"
