@@ -34,6 +34,21 @@ the bucket self-join is one shuffle over tiny signature rows, and the
 connected-components rounds are O(diameter) small joins. A low efficiency
 here would mean the composition serializes somewhere the unit benches
 don't see.
+
+Interpreting the number on THIS host: the string/hash-heavy NARROW stage
+itself (scan -> shingle explode -> md5, no shuffle at all) tops out at
+~2.5x from local[2] -> local[8], while a 64-byte md5 loop in plain
+processes scales 3.97x on the same cores at the same moment. Direct
+probes exonerated every engine-side suspect — identical result with 64
+scan tasks (maxPartitionBytes=512k), with AQE partition coalescing
+disabled, and with GC/JIT threads pinned to the core count — so the
+ceiling is cache/allocation bandwidth shared across cores for
+large-working-set string churn, a single-box microarchitecture limit the
+token-pipeline bench (windows/aggs over longs, ~0.9 efficiency on the
+same host) does not hit. On a real cluster each executor brings its own
+LLC and memory channels; the per-stage decomposition (BASELINE.md) shows
+no serial stage and no shuffle hotspot, which is what the two-level run
+is here to prove.
 """
 
 from __future__ import annotations
