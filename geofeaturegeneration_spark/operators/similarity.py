@@ -251,7 +251,13 @@ def _hp_exploded(
             f"embedding length != hyperplane dim {dim}",
         ).isNull()
     )
-    v = _to_double(F.col(vec_col))
+    # stage the double-cast vector FIRST: the plane transform's lambda
+    # captures it, and a captured EXPRESSION re-executes per element (the
+    # cast would run once per plane, T*b times per row) while a captured
+    # ATTRIBUTE is an O(1) read — the same CodegenFallback rule
+    # dedup._shingles_expr documents
+    df = df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+    v = F.col("_v")
     planes = F.array(
         *[
             F.array(*[F.lit(c) for c in tables[t][b]])
@@ -268,7 +274,7 @@ def _hp_exploded(
         ),
     )
     df = df.select(
-        F.col(id_col), v.alias("_v"), _norm(v).alias("_n"), dots.alias("_dots")
+        F.col(id_col), v, _norm(v).alias("_n"), dots.alias("_dots")
     )
 
     def bucket(t: int) -> Column:
