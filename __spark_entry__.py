@@ -1010,6 +1010,21 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Corpus-level packing: documents' token streams concatenated in
+    deterministic hash order within 8 pack groups and cut into SEQ_LEN
+    training sequences crossing doc boundaries (unpadded here so n_real
+    exposes each group's final partial chunk to the oracle; padding is
+    pytest-covered)."""
+    from geofeaturegeneration_spark.operators import pack_sequences
+
+    toks = _doc_tokens(spark, sf_dir)
+    packed = pack_sequences(toks, "doc_id", "tokens", SEQ_LEN, n_groups=8)
+    return packed.select(
+        "grp", "chunk_id", _arr_csv("tokens").alias("chunk"), "n_real"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-matched queries OUTSIDE the driver's 50-entry window: physical
     twins of contract entries (identical output, different plan) and folded
@@ -1044,6 +1059,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_join": q_cosine_topk_join,
         # C4/Gopher-style composed keep decision (curation.quality_filter)
         "quality_filter": q_quality_filter,
+        # corpus-level cross-document sequence packing (sequence.pack_sequences)
+        "pack_sequences": q_pack_sequences,
         # single-table variants of the multi-table ANN contract entries —
         # folded here (round 3) to free driver slots for pii_scrub and
         # line_dedup, mirroring the round-2 strategy-twin folds; both were
@@ -2057,6 +2074,22 @@ tot AS (SELECT doc_id, count(*)::INT AS n_lines FROM lines GROUP BY doc_id)
 SELECT t.doc_id, coalesce(a.clean,'') AS clean, t.n_lines,
        coalesce(a.n_kept,0)::INT AS n_kept
 FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        "pack_sequences": f"""
+WITH {_TOKENS_CTE.strip()},
+d AS (SELECT doc_id, tokens,
+             ('0x'||substr(md5('pack:'||doc_id),1,15))::BIGINT AS dh
+      FROM tok),
+e AS (SELECT dh % 8 AS g, dh, doc_id, unnest(tokens) AS tid,
+             unnest(generate_series(1, len(tokens))) AS pos
+      FROM d),
+r AS (SELECT g, tid,
+             row_number() OVER (PARTITION BY g ORDER BY dh, doc_id, pos) - 1 AS gp
+      FROM e)
+SELECT g::INT AS grp, (gp // {SEQ_LEN})::INT AS chunk_id,
+       array_to_string(list(tid ORDER BY gp % {SEQ_LEN}), ',') AS chunk,
+       count(*)::INT AS n_real
+FROM r GROUP BY 1, 2
 """,
         "quality_filter": f"""
 WITH s AS (SELECT doc_id,

@@ -86,6 +86,7 @@ HEADLINE = [
     "rare_tokens",
     "pii_scrub",
     "line_dedup",
+    "pack_sequences",
 ]
 
 

@@ -181,3 +181,80 @@ def reassemble_chunks(
             out_col, F.slice(F.col(out_col), 1, F.col(n_col))
         )
     return joined
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    n_groups: int = 32,
+    pad_value: int | None = None,
+    seed: str = "pack",
+) -> DataFrame:
+    """Corpus-level sequence packing: concatenate documents' token arrays in
+    a deterministic order and cut fixed-length training sequences that CROSS
+    document boundaries — the standard pretraining packer (chunk_sequences
+    pads each document separately; packing wastes no tokens on padding
+    except the final partial sequence per group).
+
+    Documents are hashed (md5 of ``seed:id``) into ``n_groups`` independent
+    pack groups and ordered by (hash, id) within each group, so the packing
+    is a pure function of the corpus — byte-identical across runs, engines,
+    and parallelism levels. Output: (grp, chunk_id, <tokens_col>, n_real)
+    where n_real < seq_len only on each group's final partial chunk; with
+    ``pad_value`` set, that chunk is right-padded to seq_len.
+
+    Scale shape: the running token offset is a window over DOC rows (one
+    row per document, sum-unbounded-preceding within the group) — never
+    over exploded tokens; the token explode is linear and feeds one
+    groupBy((grp, chunk)) whose per-chunk state is seq_len tokens.
+    ``n_groups`` is the parallelism knob: each group's offset window is a
+    single sorted task, so size it to the cluster (groups = O(executors),
+    not O(1)); packing quality is unaffected by the group count. At 100 TB
+    this is explode + two hash shuffles — no global sort, no driver state.
+    """
+    from pyspark.sql import Window as W
+
+    from geofeaturegeneration_spark.functions.text import md5_long
+
+    dh = md5_long(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    sized = df.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        dh.alias("_dh"),
+        F.pmod(dh, F.lit(n_groups)).cast("int").alias("grp"),
+        F.size(F.col(tokens_col)).alias("_n"),
+    )
+    w = W.partitionBy("grp").orderBy("_dh", id_col)
+    sized = sized.withColumn("_off", F.sum("_n").over(w) - F.col("_n"))
+    ex = sized.select(
+        "grp", "_off", F.posexplode(F.col(tokens_col)).alias("_pos", "_tid")
+    ).select(
+        "grp",
+        F.expr(f"(_off + _pos) div {int(seq_len)}").cast("int").alias("chunk_id"),
+        ((F.col("_off") + F.col("_pos")) % seq_len).alias("_pic"),
+        "_tid",
+    )
+    packed = ex.groupBy("grp", "chunk_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pic").alias("p"), F.col("_tid").alias("v")))
+            ),
+            lambda s: s["v"],
+        ).alias(tokens_col),
+        F.count(F.lit(1)).cast("int").alias("n_real"),
+    )
+    if pad_value is not None:
+        packed = packed.withColumn(
+            tokens_col,
+            F.when(F.col("n_real") >= seq_len, F.col(tokens_col)).otherwise(
+                F.concat(
+                    F.col(tokens_col),
+                    F.array_repeat(
+                        F.lit(pad_value), seq_len - F.col("n_real")
+                    ),
+                )
+            ),
+        )
+    return packed

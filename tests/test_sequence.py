@@ -161,3 +161,73 @@ def test_ordered_tokens_null_rows_dropped_consistently(spark):
         ).collect()
     }
     assert fast == slow == {"a": [10, 20]}
+
+
+def test_pack_sequences_conservation_and_padding(spark):
+    """Packing conserves every token in deterministic hash order within each
+    group, n_real is seq_len everywhere except at most one partial chunk per
+    group, padding right-fills only that chunk, and the result is invariant
+    under input repartitioning (parallelism independence)."""
+    from geofeaturegeneration_spark.functions.text import md5_long
+    from geofeaturegeneration_spark.operators import pack_sequences
+
+    rows = [(i, [i * 100 + j for j in range(5 + i % 7)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id INT, tokens ARRAY<INT>")
+    L, G = 8, 3
+    packed = pack_sequences(df, "doc_id", "tokens", L, n_groups=G).collect()
+
+    # expected concatenation per group: docs ordered by (md5 hash, id)
+    hashed = df.select(
+        "doc_id", "tokens",
+        md5_long(F.concat(F.lit("pack:"), F.col("doc_id").cast("string"))).alias("dh"),
+    ).collect()
+    streams = {}
+    for r in sorted(hashed, key=lambda r: (r["dh"], r["doc_id"])):
+        streams.setdefault(r["dh"] % G, []).extend(r["tokens"])
+
+    for g, stream in streams.items():
+        chunks = sorted(
+            (r for r in packed if r["grp"] == g), key=lambda r: r["chunk_id"]
+        )
+        flat = [t for r in chunks for t in r["tokens"]]
+        assert flat == stream, f"group {g} not conserved in order"
+        assert [r["chunk_id"] for r in chunks] == list(range(len(chunks)))
+        assert all(r["n_real"] == L for r in chunks[:-1])
+        assert 1 <= chunks[-1]["n_real"] <= L
+
+    padded = {
+        (r["grp"], r["chunk_id"]): r
+        for r in pack_sequences(
+            df, "doc_id", "tokens", L, n_groups=G, pad_value=0
+        ).collect()
+    }
+    for r in padded.values():
+        assert len(r["tokens"]) == L
+        assert r["tokens"][r["n_real"]:] == [0] * (L - r["n_real"])
+
+    again = {
+        (r["grp"], r["chunk_id"]): r["tokens"]
+        for r in pack_sequences(
+            df.repartition(7), "doc_id", "tokens", L, n_groups=G
+        ).collect()
+    }
+    assert again == {
+        (r["grp"], r["chunk_id"]): r["tokens"] for r in packed
+    }
+
+
+def test_pack_sequences_window_is_over_docs_not_tokens(spark):
+    """Scale shape: the running-offset Window must consume DOC rows (below
+    the posexplode Generate in the plan), never the exploded token rows."""
+    from geofeaturegeneration_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [4, 5])], "doc_id INT, tokens ARRAY<INT>"
+    )
+    plan = (
+        pack_sequences(df, "doc_id", "tokens", 4, n_groups=2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    gen = plan.index("Generate")
+    win = plan.index("Window")
+    assert win > gen, "Window must appear BELOW the Generate (doc rows)\n" + plan
