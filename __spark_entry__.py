@@ -827,6 +827,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_tokens": q_rare_tokens,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
+        # round-3 late additions: driver slots freed by folding the
+        # simhash and minhash_sigs STAGE queries into extra_queries() —
+        # their code paths stay driver-verified through the end-product
+        # queries that compose them (simhash_pairs, minhash_pairs/cross)
+        "quality_filter": q_quality_filter,
+        "pack_sequences": q_pack_sequences,
         # --- the rest of the contract ---
         "tpch_pricing": q_tpch_pricing,
         "orders_enrich": q_orders_enrich,
@@ -848,9 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_cross": q_minhash_cross,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
-        "minhash_sigs": q_minhash_sigs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_multi": q_ann_lsh_multi,
         "ann_ivf": q_ann_ivf,
@@ -1057,10 +1061,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract 'cosine_topk' now runs the blocked-GEMM plan; the
         # original expression-fold self-join stays here as its exactness twin
         "cosine_topk_join": q_cosine_topk_join,
-        # C4/Gopher-style composed keep decision (curation.quality_filter)
-        "quality_filter": q_quality_filter,
-        # corpus-level cross-document sequence packing (sequence.pack_sequences)
-        "pack_sequences": q_pack_sequences,
+        # signature STAGE queries folded out of the driver window (late
+        # round 3) to give quality_filter and pack_sequences contract
+        # slots; both stages stay driver-verified transitively — the
+        # in-window simhash_pairs / minhash_pairs / minhash_cross queries
+        # compute these exact signatures as their first step — and stay
+        # value-exact here under compare_oracle
+        "simhash": q_simhash,
+        "minhash_sigs": q_minhash_sigs,
         # single-table variants of the multi-table ANN contract entries —
         # folded here (round 3) to free driver slots for pii_scrub and
         # line_dedup, mirroring the round-2 strategy-twin folds; both were

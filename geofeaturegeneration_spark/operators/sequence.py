@@ -201,7 +201,9 @@ def pack_sequences(
     Documents are hashed (md5 of ``seed:id``) into ``n_groups`` independent
     pack groups and ordered by (hash, id) within each group, so the packing
     is a pure function of the corpus — byte-identical across runs, engines,
-    and parallelism levels. Output: (grp, chunk_id, <tokens_col>, n_real)
+    and parallelism levels. PRECONDITION: ``id_col`` values must be unique
+    (any real doc id); duplicate ids order arbitrarily between engines, so
+    the packing of a duped corpus is valid but not reproducible. Output: (grp, chunk_id, <tokens_col>, n_real)
     where n_real < seq_len only on each group's final partial chunk; with
     ``pad_value`` set, that chunk is right-padded to seq_len.
 
@@ -226,7 +228,18 @@ def pack_sequences(
         F.pmod(dh, F.lit(n_groups)).cast("int").alias("grp"),
         F.size(F.col(tokens_col)).alias("_n"),
     )
-    w = W.partitionBy("grp").orderBy("_dh", id_col)
+    # explicit ROWS frame: the default RANGE frame makes rows with equal
+    # (hash, id) keys frame PEERS that share one cumulative sum — duplicate
+    # ids would then map their tokens to overlapping global positions
+    # (n_real > seq_len chunks). With ROWS each row gets a distinct running
+    # offset. id_col is still REQUIRED to be unique: tie order between
+    # duplicate ids is engine/run-arbitrary, so packing with duped ids is
+    # valid but not deterministic (and diverges from the SQL oracle).
+    w = (
+        W.partitionBy("grp")
+        .orderBy("_dh", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     sized = sized.withColumn("_off", F.sum("_n").over(w) - F.col("_n"))
     ex = sized.select(
         "grp", "_off", F.posexplode(F.col(tokens_col)).alias("_pos", "_tid")

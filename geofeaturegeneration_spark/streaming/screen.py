@@ -26,6 +26,40 @@ from pyspark.sql import functions as F
 from geofeaturegeneration_spark.operators.dedup import with_band_sigs
 
 
+def _band_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    time_col: str,
+    k: int,
+    n_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, time, band, sig_str) rows from the per-row signature path —
+    stream- and batch-compatible, which is how the plan audit covers it.
+
+    ``explode_outer`` + a post-explode null filter, NOT plain ``explode``:
+    a plain explode lets InferFiltersFromGenerate + pushdown substitute the
+    entire staged signature tree into an inferred ``size(_bands) > 0``
+    filter, re-splitting the text per shingle for every arriving document
+    (same fix as minhash_band_signatures_rowwise; plan pinned in
+    test_plan_audit.py::test_shingle_and_ngram_split_staged_once)."""
+    return (
+        with_band_sigs(docs, text_col, k, n_hashes, bands)
+        .select(
+            F.col(id_col), F.col(time_col),
+            F.explode_outer("_bands").alias("_bs"),
+        )
+        .filter(F.col("_bs").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(time_col),
+            F.col("_bs.band").alias("band"),
+            F.col("_bs.sig_str").alias("sig_str"),
+        )
+    )
+
+
 def stream_minhash_screen(
     stream_docs: DataFrame,
     id_col: str,
@@ -61,21 +95,9 @@ def stream_minhash_screen(
         sizes = cb.groupBy("band", "sig_str").count()
         keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
         cb = cb.join(keep, ["band", "sig_str"], "inner")
-    sigs = (
-        with_band_sigs(
-            stream_docs.withWatermark(time_col, watermark),
-            text_col,
-            k,
-            n_hashes,
-            bands,
-        )
-        .select(F.col(id_col), F.col(time_col), F.explode("_bands").alias("_bs"))
-        .select(
-            F.col(id_col),
-            F.col(time_col),
-            F.col("_bs.band").alias("band"),
-            F.col("_bs.sig_str").alias("sig_str"),
-        )
+    sigs = _band_rows(
+        stream_docs.withWatermark(time_col, watermark),
+        id_col, text_col, time_col, k, n_hashes, bands,
     )
     return (
         sigs.join(cb, ["band", "sig_str"])

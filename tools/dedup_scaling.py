@@ -70,6 +70,7 @@ def ensure_corpus(n_copies: int, text_repeat: int) -> str:
         return path
     from pyspark.sql import functions as F
 
+    from geofeaturegeneration_spark.functions.text import md5_long
     from geofeaturegeneration_spark.session import get_spark
 
     spark = get_spark("dedup_scale_gen")
@@ -82,11 +83,9 @@ def ensure_corpus(n_copies: int, text_repeat: int) -> str:
     copies = base.crossJoin(
         spark.range(n_copies).withColumnRenamed("id", "copy")
     )
-    # deterministic 3-way split per (doc, copy): exact dup / near dup / distinct
-    kind = (
-        F.conv(F.substring(F.md5(F.concat_ws(":", "doc_id", "copy")), 1, 15), 16, 10)
-        .cast("long") % 3
-    )
+    # deterministic 3-way split per (doc, copy): exact dup / near dup /
+    # distinct — derived from the repo's single canonical hash primitive
+    kind = md5_long(F.concat_ws(":", "doc_id", "copy")) % 3
     out = copies.select(
         (F.col("doc_id") + F.col("copy") * F.lit(1_000_000)).alias("doc_id"),
         F.when(F.col("copy") == 0, F.col("text"))
