@@ -833,6 +833,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries that compose them (simhash_pairs, minhash_pairs/cross)
         "quality_filter": q_quality_filter,
         "pack_sequences": q_pack_sequences,
+        # round 4: the last two operators with no driver row ever — slots
+        # freed by folding `vocab` (the literal first stage of vocab_encode,
+        # which stays in-window) and `token_roundtrip` (a property test of
+        # chunk_sequences; byte-equality stays pinned in tests/test_sequence
+        # .py) into extra_queries()
+        "source_quota": q_source_quota,
+        "source_sample": q_source_sample,
+        # round 4: exact substring-level dedup (new operator) — slot freed
+        # by folding `fingerprint` (the literal first stage of dedup_exact,
+        # which stays in-window) into extra_queries()
+        "span_dedup": q_span_dedup,
         # --- the rest of the contract ---
         "tpch_pricing": q_tpch_pricing,
         "orders_enrich": q_orders_enrich,
@@ -844,11 +855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling": q_rolling,  # folded: rows frame + range frame
         "pivot_counts": q_pivot_counts,
         "interaction_matrix": q_interaction,
-        "vocab": q_vocab,
         "vocab_encode": q_vocab_encode,
         "tokens_ordered": q_tokens_ordered,
         "chunk_sequences": q_chunks,
-        "token_roundtrip": q_token_roundtrip,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "minhash_cross": q_minhash_cross,
@@ -863,7 +872,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "repetition": q_repetition,
-        "fingerprint": q_fingerprint,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
         "embed_payload": q_embed_payload,
@@ -913,6 +921,32 @@ def q_source_sample(spark, sf_dir):
     return source_sample(
         docs, "doc_id", {"src0": 800_000, "src1": 300_000}
     )
+
+
+_SPAN_DISC = (
+    "this document is provided as is without warranty of any kind whatsoever"
+)
+
+
+def q_span_dedup(spark, sf_dir):
+    """Exact substring-level dedup at 8-token window granularity (the Lee
+    et al. verbatim-span modality). Every third doc gets the same 12-word
+    disclaimer appended (identically in the SQL oracle): the span survives
+    only in the smallest such doc_id and is cut everywhere else, while
+    organic duplicated 8-grams in the synthetic corpus dedup too."""
+    from geofeaturegeneration_spark.operators import span_dedup
+
+    docs = _docs_wide(spark, sf_dir)
+    spiked = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_DISC)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return span_dedup(spiked, "doc_id", "text", k=8)
 
 
 def q_rare_tokens(spark, sf_dir):
@@ -981,9 +1015,12 @@ def q_pii_scrub(spark, sf_dir):
 def q_line_dedup(spark, sf_dir):
     """Corpus-level duplicate-line removal. The synthetic docs are single
     lines, so the query first LINE-IFIES each doc (newline after every 8
-    words) and appends one shared boilerplate line to every doc — the C4
-    shape: the boilerplate survives only in the lowest-(doc_id, line_no)
-    position corpus-wide, organic 8-gram collisions dedup too."""
+    words) and appends a BLANK separator line plus one shared boilerplate
+    line to every doc — the C4 shape: the boilerplate survives only in the
+    lowest-(doc_id, line_no) position corpus-wide, organic 8-gram
+    collisions dedup too, and the blank line (shared by every doc) is
+    exempt from dedup and survives everywhere, so the exemption rule is
+    exercised non-vacuously."""
     from geofeaturegeneration_spark.operators import line_dedup
 
     docs = _docs_wide(spark, sf_dir)
@@ -991,7 +1028,7 @@ def q_line_dedup(spark, sf_dir):
         "doc_id",
         F.concat(
             F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", "$1\n"),
-            F.lit("\nsubscribe to our newsletter today"),
+            F.lit("\n\nsubscribe to our newsletter today"),
         ).alias("text"),
     )
     return line_dedup(lined, "doc_id", "text")
@@ -1038,11 +1075,19 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tools/compare_oracle.py and swept by tests/test_plan_audit.py exactly
     like the contract."""
     return {
-        # corpus-curation family (operators/curation.py); decontaminate
-        # and rare_tokens hold driver slots — freed by folding the
-        # strategy twins below into their siblings' rows
-        "source_quota": q_source_quota,
-        "source_sample": q_source_sample,
+        # round 4: folded out of the driver window to give source_quota and
+        # source_sample their first CORRECTNESS rows. `vocab` is the literal
+        # first stage of the in-window vocab_encode (build_vocab feeds the
+        # encode join); `token_roundtrip` is the inverse-property test of
+        # the in-window chunk_sequences (byte-equality also pinned in
+        # tests/test_sequence.py). Both stay value-exact under
+        # compare_oracle.
+        "vocab": q_vocab,
+        "token_roundtrip": q_token_roundtrip,
+        # round 4: the literal first stage of the in-window dedup_exact
+        # (exact_dedup groups BY this fingerprint) — folded to free the
+        # span_dedup slot
+        "fingerprint": q_fingerprint,
         # same output as stay_move_spliced minus the first/last raw-point
         # splice (the simpler variant; spliced is the full reference rule)
         "stay_move": q_stay_move,
@@ -2062,10 +2107,13 @@ SELECT doc_id, clean, n_email, n_ssn, n_phone, n_ip, n_num,
        (n_email + n_ssn + n_phone + n_ip + n_num)::INT AS pii_total
 FROM cnt
 """,
+        # mirrors operators/curation.line_dedup (min_len=1): lines shorter
+        # than 1 char (i.e. empty separator lines) are EXEMPT from dedup
+        # and kept unconditionally
         "line_dedup": """
 WITH lined AS (SELECT doc_id,
         regexp_replace(text, '((\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g')
-        || chr(10) || 'subscribe to our newsletter today' AS text
+        || chr(10) || chr(10) || 'subscribe to our newsletter today' AS text
       FROM documents),
 ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined),
 lines AS (SELECT doc_id, unnest(arr) AS line,
@@ -2074,13 +2122,59 @@ h AS (SELECT doc_id, line_no, line,
              ('0x' || substr(md5(line),1,15))::BIGINT AS hh FROM lines),
 win AS (SELECT doc_id, line_no, line,
                row_number() OVER (PARTITION BY hh ORDER BY doc_id, line_no) AS rn
-        FROM h),
+        FROM h WHERE length(line) >= 1),
+kept AS (SELECT doc_id, line_no, line FROM win WHERE rn = 1
+         UNION ALL
+         SELECT doc_id, line_no, line FROM h WHERE length(line) < 1),
 agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean,
                count(*)::INT AS n_kept
-        FROM win WHERE rn=1 GROUP BY doc_id),
+        FROM kept GROUP BY doc_id),
 tot AS (SELECT doc_id, count(*)::INT AS n_lines FROM lines GROUP BY doc_id)
 SELECT t.doc_id, coalesce(a.clean,'') AS clean, t.n_lines,
        coalesce(a.n_kept,0)::INT AS n_kept
+FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        # mirrors operators/dedup.span_dedup (k=8, md5 60-bit window hash,
+        # min-(doc,pos) winner, gaps-and-islands span merge); the oracle's
+        # per-token range join replaces the engine's complement slicing —
+        # same kept set, O(n^2)-ish is fine at oracle scale
+        "span_dedup": f"""
+WITH spiked AS (SELECT doc_id,
+        text || CASE WHEN doc_id%3=0 THEN ' {_SPAN_DISC}' ELSE '' END AS text
+      FROM documents),
+w AS (SELECT doc_id, string_split(text,' ') ws FROM spiked),
+win AS (SELECT doc_id,
+               unnest(generate_series(0, len(ws)-8)) AS pos,
+               unnest(list_transform(generate_series(1, len(ws)-7),
+                                     i -> array_to_string(ws[i:i+7],' '))) AS s
+        FROM w),
+h AS (SELECT doc_id, pos, ('0x'||substr(md5(s),1,15))::BIGINT AS hh FROM win),
+rk AS (SELECT doc_id, pos,
+              row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+       FROM h),
+losers AS (SELECT doc_id, pos FROM rk WHERE rn > 1),
+lag_t AS (SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM losers),
+isl AS (SELECT doc_id, pos,
+               sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM lag_t),
+iv AS (SELECT doc_id, island, min(pos) AS ds, max(pos)+8 AS de
+       FROM isl GROUP BY 1, 2),
+toks AS (SELECT doc_id, unnest(ws) AS wd,
+                unnest(generate_series(0, len(ws)-1)) AS p FROM w),
+dup_tok AS (SELECT DISTINCT t.doc_id, t.p
+            FROM toks t JOIN iv ON t.doc_id = iv.doc_id
+                              AND t.p >= iv.ds AND t.p < iv.de),
+kept AS (SELECT t.doc_id, t.wd, t.p FROM toks t
+         LEFT JOIN dup_tok d ON t.doc_id = d.doc_id AND t.p = d.p
+         WHERE d.doc_id IS NULL),
+agg AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY p) AS clean,
+               count(*) AS nk FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(ws) AS n FROM w)
+SELECT t.doc_id, coalesce(a.clean,'') AS clean, t.n::INT AS n_tokens,
+       (t.n - coalesce(a.nk,0))::INT AS n_dup_tokens
 FROM tot t LEFT JOIN agg a USING (doc_id)
 """,
         "pack_sequences": f"""

@@ -87,6 +87,7 @@ HEADLINE = [
     "pii_scrub",
     "line_dedup",
     "pack_sequences",
+    "span_dedup",
 ]
 
 

@@ -112,6 +112,36 @@ class CheckpointStore:
         return self.latest(job_id)
 
 
+def prune_stale_partitions(
+    spark: SparkSession, out_path: str, partition_col: str, keys: list[str]
+) -> list[str]:
+    """Delete ``partition_col=<key>`` directories under ``out_path`` whose
+    key is not in ``keys``. Dynamic partition overwrite only replaces the
+    partitions that re-run, so shrinking the key set between runs (e.g.
+    fewer dedup buckets) would otherwise leave the previous run's
+    higher-numbered partitions on disk — served as stale rows to any reader
+    of the directory. Uses the Hadoop FileSystem API, so it works on any
+    scheme the job can write to. Returns the deleted directory names."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(out_path)
+    fs = root.getFileSystem(hconf)
+    if not fs.exists(root):
+        return []
+    keep = {f"{partition_col}={k}" for k in keys}
+    pruned: list[str] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith(f"{partition_col}=")
+            and name not in keep
+        ):
+            fs.delete(st.getPath(), True)
+            pruned.append(name)
+    return pruned
+
+
 @dataclass
 class PartitionResult:
     partition_key: str
@@ -137,10 +167,14 @@ def run_partitioned(
     re-running a partition replaces exactly its own files, so a crash
     between output-write and checkpoint-mark re-runs that partition
     idempotently (write is the source of truth; the mark only skips work).
+    Partition directories OUTSIDE ``partition_keys`` (leftovers of a
+    previous run with a larger key set) are deleted up front, so the
+    directory always equals exactly this run's key set.
     """
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        prune_stale_partitions(spark, out_path, partition_col, partition_keys)
         done = set() if force else store.completed(job_id, lineage)
         results: list[PartitionResult] = []
         for key in partition_keys:
@@ -151,7 +185,12 @@ def run_partitioned(
             df = run_one(key)
             out = df.withColumn(partition_col, F.lit(key))
             out.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
-            n = spark.read.parquet(out_path).filter(
+            # read back with the EXPLICIT schema: a partition that produced
+            # zero rows writes no parquet files, and schema inference over a
+            # file-less directory throws UNABLE_TO_INFER_SCHEMA — empty
+            # partitions are legitimate (e.g. a quality filter rejecting a
+            # whole bucket), so the count must not depend on inference
+            n = spark.read.schema(out.schema).parquet(out_path).filter(
                 F.col(partition_col) == key
             ).count()
             wall_ms = int((time.perf_counter() - t0) * 1000)

@@ -123,12 +123,13 @@ def source_quota(
         # the whole range for small groups
         counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("_grp_n"))
         hi = F.lit(1 << 60)
+        # clamp in the DOUBLE domain, then cast: for a group smaller than
+        # ~prefilter*quota the unclamped ratio exceeds 2^63 and an ANSI-mode
+        # cast-to-long would throw CAST_OVERFLOW before F.least ever ran
         cut = F.least(
-            hi,
-            (hi / F.col("_grp_n") * F.lit(float(prefilter * quota))).cast(
-                "long"
-            ),
-        )
+            F.lit(float(1 << 60)),
+            hi.cast("double") / F.col("_grp_n") * F.lit(float(prefilter * quota)),
+        ).cast("long")
         df = df.join(F.broadcast(counts.withColumn("_mix_cut", cut)), by).filter(
             F.col("_mix_h") < F.col("_mix_cut")
         )
@@ -238,6 +239,7 @@ def line_dedup(
     text_col: str,
     sep: str = "\n",
     keep_empty_docs: bool = True,
+    min_len: int = 1,
 ) -> DataFrame:
     """Corpus-level duplicate-line removal (the C4 rule): every distinct
     line keeps exactly ONE occurrence across the whole corpus — the one in
@@ -250,6 +252,16 @@ def line_dedup(
     doc's original line count, and how many lines survived. Docs whose
     every line lost join ``clean = ''`` when ``keep_empty_docs`` (the
     caller decides whether an emptied doc is dropped).
+
+    Lines shorter than ``min_len`` characters are EXEMPT from corpus-wide
+    dedup and kept unconditionally: with the default ``min_len=1`` every
+    empty line survives, so blank paragraph separators are never reflowed
+    (treating '' like any other line would delete every blank line in the
+    corpus except the single globally-first one, silently collapsing the
+    paragraph structure of nearly every multi-paragraph document —
+    reference line-dedup implementations make the same exemption). Raise
+    ``min_len`` to also exempt trivial short lines; ``min_len=0`` restores
+    the exemption-free rule.
 
     Scale shape: one explode (doc -> lines), ONE groupBy on the 60-bit
     line hash whose partial (map-side) min-struct aggregation shrinks hot
@@ -266,14 +278,17 @@ def line_dedup(
     )
     h = md5_long(F.col("_line"))
     keyed = lines.withColumn("_h", h)
-    winners = keyed.groupBy("_h").agg(
+    eligible = keyed.filter(F.length(F.col("_line")) >= min_len)
+    winners = eligible.groupBy("_h").agg(
         F.min(F.struct(F.col(id_col), F.col("_line_no"))).alias("_w")
     ).select(
         F.col("_h"),
         F.col(f"_w.{id_col}").alias(id_col),
         F.col("_w._line_no").alias("_line_no"),
     )
-    kept = keyed.join(winners, ["_h", id_col, "_line_no"])
+    kept = eligible.join(winners, ["_h", id_col, "_line_no"]).unionByName(
+        keyed.filter(F.length(F.col("_line")) < min_len)
+    )
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

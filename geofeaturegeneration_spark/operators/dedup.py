@@ -592,3 +592,141 @@ def dedup_clusters(
         .select(id_col, "cluster_id")
         .withColumn("is_keeper", F.col("cluster_id") == F.col(id_col))
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Exact substring-level dedup at k-token window granularity — the
+    pretraining modality minhash/simhash (near-dup DOCUMENTS) and
+    line_dedup (exact LINES) both miss: long verbatim spans embedded in
+    otherwise-distinct documents (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" suffix-array use case,
+    approximated at window granularity so it stays one linear DataFrame
+    pass instead of a corpus-wide suffix array). No reference analog (its
+    dedup is ``drop_duplicates`` on keys, GenerateGeographicFeature.py:331).
+
+    Rule: every k-token window of every document is hashed; for each hash
+    the single occurrence at the smallest (doc, position) WINS and every
+    other occurrence marks its k tokens as duplicated. A document's
+    duplicated windows are merged into maximal spans and those token
+    ranges are cut; the document is reassembled from the surviving tokens.
+    A span duplicated across documents therefore survives exactly once
+    (at its globally-first position — including self-repeats later in the
+    same winning document), and docs shorter than k tokens are never
+    touched. Membership is a pure function of the corpus (md5), so any
+    engine reproduces it.
+
+    Returns (id_col, clean, n_tokens, n_dup_tokens): the reassembled text
+    (tokens joined by single spaces), the doc's token count, and how many
+    tokens were cut.
+
+    Scale shape (the reason this is NOT the naive formulation):
+    * window hashes: one staged split + one posexplode — rows = tokens, no
+      k-times blowup (the shingle text is built by slice inside a
+      transform over the STAGED word array; see _shingles_expr on why the
+      split must be staged).
+    * winner per hash: ONE groupBy(h) whose partial (map-side) min-struct
+      shrinks a span duplicated 10^8 times to one row per map task —
+      never 10^8 rows through one reducer (same shape as
+      curation.line_dedup, and deliberately not a window row_number over
+      the corpus-wide hash stream).
+    * losers: equi-join back on h against the UNIQUE-per-h winner table —
+      linear, then every later stage is keyed by doc id: rows = duplicated
+      windows only (proportional to duplicated bytes, the thing being
+      removed).
+    * span merge: two narrow window passes over the per-doc loser stream
+      (classic gaps-and-islands), then per-doc array complement-slicing —
+      no per-token explode of the duplicated ranges.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window as W
+
+    wcol = "_gfs_sd_w"
+    toks = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        wcol, F.split(F.col(text_col), " ")
+    )
+    win = (
+        toks.select(
+            F.col(id_col),
+            F.posexplode_outer(_shingles_expr(wcol, k)).alias("_pos", "_sh"),
+        )
+        # explode_outer + null filter, NOT plain explode:
+        # InferFiltersFromGenerate would substitute the staged split tree
+        # into a pushed-down filter and evaluate it twice per row
+        .filter(F.col("_sh").isNotNull())
+        .select(F.col(id_col), F.col("_pos"), md5_long(F.col("_sh")).alias("_h"))
+    )
+    winners = (
+        win.groupBy("_h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("_pos"))).alias("_w"))
+        .select(
+            F.col("_h"),
+            F.col(f"_w.{id_col}").alias("_wid"),
+            F.col("_w._pos").alias("_wpos"),
+        )
+    )
+    losers = (
+        win.join(winners, "_h")
+        .filter(
+            (F.col(id_col) != F.col("_wid")) | (F.col("_pos") != F.col("_wpos"))
+        )
+        .select(F.col(id_col), F.col("_pos"))
+    )
+    # gaps-and-islands: loser windows [p, p+k) closer than k merge into one
+    # maximal duplicated span [min, max+k)
+    wdoc = W.partitionBy(id_col).orderBy(F.col("_pos"))
+    isl = (
+        losers.withColumn("_prev", F.lag("_pos").over(wdoc))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev").isNull() | (F.col("_pos") - F.col("_prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_new").over(wdoc.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    ivals = isl.groupBy(id_col, "_isl").agg(
+        F.min("_pos").alias("_ds"), (F.max("_pos") + k).alias("_de")
+    )
+    per_doc = ivals.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_ds"), F.col("_de")))
+        ).alias("_dups"),
+        F.sum(F.col("_de") - F.col("_ds")).alias("_ndup"),
+    )
+
+    base = df.select(F.col(id_col), F.col(text_col)).withColumn(
+        wcol, F.split(F.col(text_col), " ")
+    )
+    j = base.join(per_doc, id_col, "left")
+    n = F.size(F.col(wcol))
+    # complement slices: kept ranges are [0,d1.start), [d1.end,d2.start),
+    # ..., [dlast.end, n) — islands are disjoint with gaps > 0 between
+    # them, so every slice length is >= 0
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform(F.col("_dups"), lambda d: d["_de"])
+    )
+    ends = F.concat(
+        F.transform(F.col("_dups"), lambda d: d["_ds"]), F.array(n)
+    )
+    kept = F.flatten(
+        F.zip_with(starts, ends, lambda s, e: F.slice(F.col(wcol), s + 1, e - s))
+    )
+    clean = F.when(
+        F.col("_dups").isNull(), F.array_join(F.col(wcol), " ")
+    ).otherwise(F.array_join(kept, " "))
+    return j.select(
+        F.col(id_col),
+        clean.alias("clean"),
+        n.cast("int").alias("n_tokens"),
+        F.coalesce(F.col("_ndup"), F.lit(0)).cast("int").alias("n_dup_tokens"),
+    )

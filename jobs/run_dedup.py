@@ -5,14 +5,18 @@
         --checkpoint /path/to/ckpt [--buckets 8] [--max-bucket-size 1000] \
         [--force]
 
-The flagship 100 TB story — MinHash LSH pairs -> connected components ->
-(optional) test-set decontamination -> keeper filter — composed as ONE
-resumable pipeline behind the checkpoint store (reference analog: the
-stage-separated pipeline of AttachFeature.py:1046-1112), not just unit
-operators. Three stages (four with ``--bench``), each recorded per
-partition in the CheckpointStore so a crash resumes without recomputing
-finished work:
+The flagship 100 TB story — (optional) quality filter -> MinHash LSH pairs
+-> connected components -> (optional) test-set decontamination -> keeper
+filter (+ optional mixing recipe + PII scrub riding the output pass) —
+composed as ONE resumable pipeline behind the checkpoint store (reference
+analog: the stage-separated pipeline of AttachFeature.py:1046-1112), not
+just unit operators. Three to five stages, each recorded per partition in
+the CheckpointStore so a crash resumes without recomputing finished work:
 
+0. ``quality`` (optional, per doc-id hash bucket): C4/Gopher keep
+   verdicts (curation.quality_filter) land as an ids-only table; every
+   later stage semi-joins it, so rejected docs never reach the shingle
+   pass — at 100 TB the filter pays for itself in stage-1 compute.
 1. ``signatures`` (per doc-id hash bucket, embarrassingly parallel): band
    signatures via ``minhash_band_signatures`` written partitioned by
    bucket. At 10^12 docs this is the stage that dominates compute (shingle
@@ -27,8 +31,10 @@ finished work:
 3. ``output`` (per doc-id hash bucket): keeper filter — each bucket of the
    corpus equi-joins its slice of the cluster table and keeps survivors.
    Text bytes are only touched here and in stage 1. ``--scrub`` folds PII
-   redaction (curation.pii_clean_col) into this same pass: at 100 TB the
-   scrub is free when it rides a stage that already rewrites text.
+   redaction (curation.pii_clean_col) into this same pass, and ``--mix``
+   folds the source_sample mixing recipe (a pure function of doc_id):
+   at 100 TB both are free when they ride a stage that already rewrites
+   text, and both participate in the lineage key.
 
 Determinism: signatures, pairs, components, and keeper choice are all pure
 functions of the corpus (md5 hashing, min-label components, min-id
@@ -55,7 +61,11 @@ from geofeaturegeneration_spark.operators import (
     lsh_pairs_from_band_sigs,
     minhash_band_signatures,
 )
-from geofeaturegeneration_spark.operators.curation import pii_clean_col
+from geofeaturegeneration_spark.operators.curation import (
+    pii_clean_col,
+    quality_filter,
+    source_sample,
+)
 from geofeaturegeneration_spark.session import get_spark
 
 
@@ -73,8 +83,14 @@ def run_dedup_pipeline(
     lineage: str = "xform=v1",
     force: bool = False,
     bench=None,
+    bench_fingerprint: str | None = None,
     decon_min_hits: int = 1,
     scrub: bool = False,
+    quality: bool = False,
+    quality_kwargs: dict | None = None,
+    mix_rates_ppm: dict[str, int] | None = None,
+    mix_by: str = "source",
+    mix_default_ppm: int = 0,
 ):
     """Run the dedup stages with per-stage checkpointed resume.
 
@@ -84,26 +100,103 @@ def run_dedup_pipeline(
     >= ``decon_min_hits`` k-shingles with the benchmark set are dropped
     from the final output alongside dedup losers (resumable unit = corpus
     bucket, same as signatures — the bench shingle set is broadcast, so
-    the stage is embarrassingly parallel too). Returns the per-stage
-    PartitionResult lists (3 or 4 of them)."""
+    the stage is embarrassingly parallel too).
+
+    ``quality=True`` prepends a checkpointed QUALITY stage (stage 0, per
+    corpus bucket): ``curation.quality_filter`` verdicts land as a
+    (doc_id)-only keep table, and every later stage sees only the kept
+    docs — rejected docs never reach the shingling pass, so at 100 TB the
+    filter pays for itself in stage-1 compute. ``quality_kwargs`` override
+    the filter's thresholds.
+
+    ``mix_rates_ppm`` applies the ``curation.source_sample`` mixing recipe
+    inside the output stage (docs must carry ``mix_by``): the draw is a
+    pure function of doc_id, so like the PII scrub it rides the pass that
+    already rewrites text — no extra stage, but it IS part of the lineage
+    key (changing the recipe invalidates the output stage only).
+
+    The full curation story — filter -> dedup -> decontaminate -> mix ->
+    scrub — is therefore ONE resumable artifact; per-stage wall-clock is
+    recorded in the CheckpointStore metrics table. Returns the per-stage
+    PartitionResult lists (3 to 5 of them, in pipeline order)."""
     store = CheckpointStore(spark, ckpt_path)
+    qua_path = os.path.join(out_root, "quality")
     sig_path = os.path.join(out_root, "signatures")
     clu_path = os.path.join(out_root, "clusters")
     con_path = os.path.join(out_root, "contaminated")
     out_path = os.path.join(out_root, "deduped")
     bucket_keys = [str(b) for b in range(buckets)]
     bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(buckets)).cast("string")
-    lineage = f"{lineage};buckets={buckets};k={k};h={n_hashes};b={bands}"
+    # EVERY knob that changes any stage's bytes is part of the lineage key,
+    # so resuming into the same checkpoint dir with a different flag value
+    # invalidates the affected stages instead of serving stale results:
+    # max_bucket_size changes pairs -> clusters -> keepers, and the bench
+    # dataset's identity changes the contamination stage.
+    lineage = (
+        f"{lineage};buckets={buckets};k={k};h={n_hashes};b={bands}"
+        f";mbs={max_bucket_size}"
+    )
     if bench is not None:
-        lineage += f";decon={decon_min_hits}"
+        lineage += f";decon={decon_min_hits};bench={bench_fingerprint or 'anon'}"
     if scrub:
         # scrub changes output BYTES, so it must invalidate the output
         # stage's checkpoints when toggled — hence part of the lineage key
         lineage += ";scrub=1"
+    if quality:
+        lineage += f";quality={sorted((quality_kwargs or {}).items())}"
+    if mix_rates_ppm is not None:
+        lineage += (
+            f";mix={mix_by}:{sorted(mix_rates_ppm.items())}:{mix_default_ppm}"
+        )
+
+    # stage 0 (optional): quality keep-verdicts per corpus bucket — every
+    # later stage semi-joins this id table, so rejected docs never reach
+    # the shingle pass
+    r_qua = None
+    if quality:
+        def qua_one(key: str):
+            part = docs.filter(bucket_of == key)
+            rep = quality_filter(part, "doc_id", "text", **(quality_kwargs or {}))
+            return rep.filter(F.col("keep")).select("doc_id")
+
+        r_qua = run_partitioned(
+            spark, store, f"{job_id}/quality", bucket_keys, qua_one,
+            qua_path, "part_key", lineage, force=force,
+        )
+
+    # explicit read schemas for the id-only stage tables: buckets that kept
+    # or flagged nothing write no parquet files, and schema inference over
+    # a file-less directory throws — the schemas are known statically
+    from pyspark.sql import types as T
+
+    _id_field = docs.schema["doc_id"]
+    qua_schema = T.StructType(
+        [_id_field, T.StructField("part_key", T.StringType())]
+    )
+    con_schema = T.StructType(
+        [
+            _id_field,
+            T.StructField("n_hits", T.IntegerType()),
+            T.StructField("part_key", T.StringType()),
+        ]
+    )
+
+    def kept_only(part, key: str):
+        """Restrict a bucket's docs to the quality keepers (no-op when the
+        quality stage is off). The keep table is ids-only and partition-
+        pruned to the same bucket."""
+        if not quality:
+            return part
+        kept = (
+            spark.read.schema(qua_schema).parquet(qua_path)
+            .filter(F.col("part_key").cast("string") == key)
+            .select("doc_id")
+        )
+        return part.join(kept, "doc_id", "left_semi")
 
     # stage 1: band signatures per corpus bucket (resumable unit = bucket)
     def sig_one(key: str):
-        part = docs.filter(bucket_of == key)
+        part = kept_only(docs.filter(bucket_of == key), key)
         return minhash_band_signatures(
             part, "doc_id", "text", k=k, n_hashes=n_hashes, bands=bands
         )
@@ -115,11 +208,27 @@ def run_dedup_pipeline(
 
     # stage 2: global pairs -> components -> keepers over stored signatures
     def clusters_one(_key: str):
-        sigs = spark.read.parquet(sig_path).drop("part_key")
+        # read ONLY this run's bucket partitions: dynamic partition
+        # overwrite replaces just the part_keys that re-ran, so a previous
+        # larger --buckets run can leave stale out-of-range part_key
+        # directories on disk — the isin prunes them at the scan
+        sigs = (
+            spark.read.parquet(sig_path)
+            .filter(F.col("part_key").cast("string").isin(bucket_keys))
+            .drop("part_key")
+        )
         pairs = lsh_pairs_from_band_sigs(
             sigs, "doc_id", max_bucket_size=max_bucket_size
         )
-        return dedup_clusters(docs.select("doc_id"), "doc_id", pairs)
+        ids = docs.select("doc_id")
+        if quality:
+            kept = (
+                spark.read.schema(qua_schema).parquet(qua_path)
+                .filter(F.col("part_key").cast("string").isin(bucket_keys))
+                .select("doc_id")
+            )
+            ids = ids.join(kept, "doc_id", "left_semi")
+        return dedup_clusters(ids, "doc_id", pairs)
 
     r_clu = run_partitioned(
         spark, store, f"{job_id}/clusters", ["all"], clusters_one,
@@ -131,7 +240,7 @@ def run_dedup_pipeline(
     r_con = None
     if bench is not None:
         def con_one(key: str):
-            part = docs.filter(bucket_of == key)
+            part = kept_only(docs.filter(bucket_of == key), key)
             rep = decontaminate(
                 part, "doc_id", "text", bench, "doc_id", "text",
                 k=k, min_hits=decon_min_hits,
@@ -147,15 +256,27 @@ def run_dedup_pipeline(
     # bucket (only stage touching text bytes besides 1 and 2.5)
     def out_one(key: str):
         clusters = spark.read.parquet(clu_path).drop("part_key")
-        part = docs.filter(bucket_of == key)
+        part = kept_only(docs.filter(bucket_of == key), key)
         out = (
             part.join(clusters, "doc_id")
             .filter(F.col("is_keeper"))
             .drop("is_keeper")
         )
         if bench is not None:
-            bad = spark.read.parquet(con_path).select("doc_id")
+            bad = (
+                spark.read.schema(con_schema).parquet(con_path)
+                .filter(F.col("part_key").cast("string").isin(bucket_keys))
+                .select("doc_id")
+            )
             out = out.join(bad, "doc_id", "left_anti")
+        if mix_rates_ppm is not None:
+            # mixing recipe rides the output pass: the draw is a pure
+            # function of doc_id (engine/cluster-size reproducible), so no
+            # extra stage or shuffle — just a broadcast rate lookup
+            out = source_sample(
+                out, "doc_id", mix_rates_ppm, by=mix_by,
+                salt="mixrate", default_ppm=mix_default_ppm,
+            )
         if scrub:
             # PII redaction rides the same pass that already touches text
             # bytes — a pure column expression, no extra stage or join
@@ -166,9 +287,13 @@ def run_dedup_pipeline(
         spark, store, f"{job_id}/output", bucket_keys, out_one,
         out_path, "part_key", lineage, force=force,
     )
+    stages = [r_sig, r_clu]
     if r_con is not None:
-        return r_sig, r_clu, r_con, r_out
-    return r_sig, r_clu, r_out
+        stages.append(r_con)
+    stages.append(r_out)
+    if r_qua is not None:
+        stages.insert(0, r_qua)
+    return tuple(stages)
 
 
 def main(argv=None) -> int:
@@ -190,6 +315,13 @@ def main(argv=None) -> int:
     p.add_argument("--scrub", action="store_true",
                    help="redact PII (curation.pii_clean_col) in the output "
                         "stage — same pass that already writes text bytes")
+    p.add_argument("--quality", action="store_true",
+                   help="prepend the checkpointed quality_filter stage; "
+                        "rejected docs never reach the shingle pass")
+    p.add_argument("--mix", default=None,
+                   help="JSON object of per-source keep rates in ppm, e.g. "
+                        "'{\"web\": 800000, \"books\": 1000000}' — applied "
+                        "as source_sample inside the output stage")
     args = p.parse_args(argv)
 
     spark = get_spark("run_dedup")
@@ -201,13 +333,17 @@ def main(argv=None) -> int:
         buckets=args.buckets, k=args.shingle_k, n_hashes=args.n_hashes,
         bands=args.bands, max_bucket_size=args.max_bucket_size,
         job_id=args.job_id, force=args.force,
-        bench=bench, decon_min_hits=args.decon_min_hits, scrub=args.scrub,
+        bench=bench, bench_fingerprint=args.bench,
+        decon_min_hits=args.decon_min_hits, scrub=args.scrub,
+        quality=args.quality,
+        mix_rates_ppm=json.loads(args.mix) if args.mix else None,
     )
-    names = (
-        ["signatures", "clusters", "contamination", "output"]
-        if bench is not None
-        else ["signatures", "clusters", "output"]
-    )
+    names = ["signatures", "clusters"]
+    if bench is not None:
+        names.append("contamination")
+    names.append("output")
+    if args.quality:
+        names.insert(0, "quality")
     summary = {
         "job_id": args.job_id,
         "stages": {
@@ -215,6 +351,7 @@ def main(argv=None) -> int:
                 "partitions": len(r),
                 "skipped": sum(x.skipped for x in r),
                 "rows": sum(x.rows for x in r),
+                "wall_ms": sum(x.wall_ms for x in r),
             }
             for n, r in zip(names, results)
         },

@@ -263,3 +263,172 @@ def test_dedup_pipeline_scrub_stage(spark, tmp_path):
     # same flags resume: everything skips
     r2 = RD.run_dedup_pipeline(spark, docs, out, ck, scrub=True, **kw)
     assert all(r.skipped for stage in r2 for r in stage)
+
+
+def test_full_curation_pipeline_all_stages_kill_resume(
+    spark, tmp_path, monkeypatch
+):
+    """The FULL curation story as one resumable artifact: quality filter ->
+    signatures -> clusters -> decontaminate -> mix (source_sample) -> PII
+    scrub. A crash mid-quality-stage resumes byte-identical to an
+    uninterrupted run; the result equals the hand-composed inline
+    operators; per-stage wall-clock lands in the checkpoint metrics."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators import (
+        decontaminate,
+        dedup_clusters,
+        minhash_lsh_pairs,
+        quality_filter,
+        source_sample,
+    )
+    from geofeaturegeneration_spark.operators.curation import pii_clean_col
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "source")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    qkw = dict(min_words=30, max_words=70, min_avg_word_len=3.0,
+               max_avg_word_len=6.0, max_punct_ratio=0.05,
+               max_stopword_ratio=0.2, max_dup_word_fraction=0.8)
+    rates = {"src0": 900_000, "src1": 900_000, "src2": 900_000}
+    # min_hits=20: the tiny-vocab synthetic corpus shares SOME 3-gram with
+    # the bench set in every doc — a higher threshold keeps the stage
+    # partial (measured: 29 of 224 kept docs at sf0.001), not all-dropping
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              bench=bench, decon_min_hits=20, scrub=True, quality=True,
+              quality_kwargs=qkw, mix_rates_ppm=rates, mix_default_ppm=700_000)
+
+    # uninterrupted run
+    out1, ck1 = str(tmp_path / "out_full1"), str(tmp_path / "ck_full1")
+    stages = RD.run_dedup_pipeline(spark, docs, out1, ck1, **kw)
+    assert len(stages) == 5  # quality, signatures, clusters, contamination, output
+    assert all(not r.skipped for st in stages for r in st)
+
+    # interrupted: crash while computing the SECOND quality bucket
+    out2, ck2 = str(tmp_path / "out_full2"), str(tmp_path / "ck_full2")
+    real = RD.quality_filter
+    calls = {"n": 0}
+
+    def crashing(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return real(*a, **k)
+
+    monkeypatch.setattr(RD, "quality_filter", crashing)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        RD.run_dedup_pipeline(spark, docs, out2, ck2, **kw)
+    monkeypatch.setattr(RD, "quality_filter", real)
+    st2 = RD.run_dedup_pipeline(spark, docs, out2, ck2, **kw)
+    assert [r.skipped for r in st2[0]] == [True, False, False]
+    for sub in ("quality", "signatures", "clusters", "contaminated", "deduped"):
+        assert _read_sorted_rows(spark, f"{out1}/{sub}") == _read_sorted_rows(
+            spark, f"{out2}/{sub}"
+        ), sub
+
+    # equals the hand-composed inline operators
+    kept_q = docs.join(
+        quality_filter(docs, "doc_id", "text", **qkw)
+        .filter("keep").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    pairs = minhash_lsh_pairs(
+        kept_q, "doc_id", "text", k=3, n_hashes=16, bands=4,
+        max_bucket_size=100,
+    )
+    keepers = kept_q.join(
+        dedup_clusters(kept_q.select("doc_id"), "doc_id", pairs)
+        .filter("is_keeper").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    bad = decontaminate(
+        kept_q, "doc_id", "text", bench, "doc_id", "text", k=3, min_hits=20
+    ).filter("contaminated").select("doc_id")
+    final = source_sample(
+        keepers.join(bad, "doc_id", "left_anti"), "doc_id", rates,
+        default_ppm=700_000,
+    ).withColumn("text", pii_clean_col(F.col("text")))
+    want = sorted(
+        (r["doc_id"], r["text"]) for r in final.select("doc_id", "text").collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{out1}/deduped")
+        .select("doc_id", "text").collect()
+    )
+    assert got == want
+    # quality + mixing each actually removed docs (non-vacuous stages)
+    assert docs.count() > kept_q.count()
+    assert len(got) < keepers.count()
+
+    # per-stage wall-clock recorded in the metrics table
+    store = RD.CheckpointStore(spark, ck1)
+    for job in ("corpus_dedup/quality", "corpus_dedup/signatures",
+                "corpus_dedup/clusters", "corpus_dedup/contamination",
+                "corpus_dedup/output"):
+        m = store.metrics(job)
+        assert m is not None
+        rows = m.collect()
+        assert rows and all(
+            r["status"] == "done" and r["wall_ms"] > 0 for r in rows
+        ), job
+
+
+def test_dedup_pipeline_max_bucket_size_in_lineage(spark, tmp_path):
+    """Resuming with a different --max-bucket-size must INVALIDATE every
+    stage (the cap changes pairs -> clusters -> keepers): a resumed run may
+    not serve stale cluster tables computed under the old cap. Regression
+    for the round-4 advisor finding (lineage key omitted mbs)."""
+    import jobs.run_dedup as RD
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out, ck = str(tmp_path / "out_mbs"), str(tmp_path / "ck_mbs")
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4)
+    RD.run_dedup_pipeline(spark, docs, out, ck, max_bucket_size=100, **kw)
+    # a different cap re-runs every stage instead of skipping
+    r_sig, r_clu, r_out = RD.run_dedup_pipeline(
+        spark, docs, out, ck, max_bucket_size=2, **kw
+    )
+    assert all(not r.skipped for r in r_sig + r_clu + r_out)
+    # and the result equals a fresh run at the new cap
+    out2, ck2 = str(tmp_path / "out_mbs2"), str(tmp_path / "ck_mbs2")
+    RD.run_dedup_pipeline(spark, docs, out2, ck2, max_bucket_size=2, **kw)
+    assert _read_sorted_rows(spark, f"{out}/deduped") == _read_sorted_rows(
+        spark, f"{out2}/deduped"
+    )
+
+
+def test_dedup_pipeline_shrinking_buckets_prunes_stale_partitions(
+    spark, tmp_path
+):
+    """Re-running into the same --output with fewer --buckets would leave
+    the old run's higher-numbered part_key directories on disk (dynamic
+    partition overwrite only replaces re-run keys) and serve their stale
+    signatures/rows to every reader; run_partitioned now prunes
+    out-of-range partition dirs up front. Regression for the round-4
+    advisor finding."""
+    import jobs.run_dedup as RD
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out, ck = str(tmp_path / "out_shrink"), str(tmp_path / "ck_shrink")
+    kw = dict(k=3, n_hashes=16, bands=4, max_bucket_size=100)
+    RD.run_dedup_pipeline(spark, docs, out, ck, buckets=4, **kw)
+    RD.run_dedup_pipeline(spark, docs, out, ck, buckets=2, **kw)
+    # the stale part_key=2/3 dirs are pruned from every stage directory
+    for sub in ("signatures", "deduped"):
+        leftover = {
+            str(r["part_key"])
+            for r in spark.read.parquet(f"{out}/{sub}")
+            .select("part_key").distinct().collect()
+        }
+        assert leftover == {"0", "1"}, sub
+    # and the final output equals a clean buckets=2 run
+    out2, ck2 = str(tmp_path / "out_shrink2"), str(tmp_path / "ck_shrink2")
+    RD.run_dedup_pipeline(spark, docs, out2, ck2, buckets=2, **kw)
+    assert _read_sorted_rows(spark, f"{out}/deduped") == _read_sorted_rows(
+        spark, f"{out2}/deduped"
+    )

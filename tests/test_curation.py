@@ -107,6 +107,17 @@ def test_source_quota_prefilter_same_result(spark, docs):
     assert base == pre
 
 
+def test_source_quota_prefilter_tiny_group_no_overflow(spark, docs):
+    """A group with far fewer rows than prefilter*quota must not throw
+    CAST_OVERFLOW under ANSI mode: the cut ratio (2^60/n * prefilter*quota)
+    exceeds 2^63 as a double and must be clamped BEFORE the long cast. The
+    fixture sources hold 3 docs each while prefilter*quota = 200."""
+    out = source_quota(
+        docs, "doc_id", quota=50, by="source", prefilter=4
+    ).collect()
+    assert len(out) == 6  # quota above group size keeps everything
+
+
 def test_source_quota_columns_preserved(spark, docs):
     out = source_quota(docs, "doc_id", quota=10, by="source")
     assert set(out.columns) == {"doc_id", "text", "source", "mix_rank"}
@@ -250,6 +261,41 @@ def test_line_dedup_global_first_occurrence(spark):
 
     dropped = line_dedup(df, "doc_id", "text", keep_empty_docs=False)
     assert {r["doc_id"] for r in dropped.collect()} == {1, 2, 3}
+
+
+def test_line_dedup_empty_lines_exempt(spark):
+    """Blank separator lines are exempt from corpus-wide dedup (min_len=1
+    default): every doc keeps its paragraph structure, instead of all blank
+    lines except the globally-first one vanishing. min_len=0 restores the
+    exemption-free rule; min_len above a short line's length dedups it."""
+    from geofeaturegeneration_spark.operators import line_dedup
+
+    rows = [
+        (1, "para one\n\npara two"),
+        (2, "other one\n\nother two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r.asDict() for r in line_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["clean"] == "para one\n\npara two"
+    assert out[2]["clean"] == "other one\n\nother two"  # blank line survives
+    assert out[1]["n_kept"] == 3 and out[2]["n_kept"] == 3
+
+    strict = {
+        r["doc_id"]: r.asDict()
+        for r in line_dedup(df, "doc_id", "text", min_len=0).collect()
+    }
+    assert strict[1]["clean"] == "para one\n\npara two"
+    assert strict[2]["clean"] == "other one\nother two"  # blank lost to doc 1
+
+    # raising min_len exempts short lines too: 'hi' (len 2) < 3 kept twice
+    rows2 = [(1, "hi\nlong shared line"), (2, "hi\nlong shared line")]
+    df2 = spark.createDataFrame(rows2, "doc_id INT, text STRING")
+    ml = {
+        r["doc_id"]: r.asDict()
+        for r in line_dedup(df2, "doc_id", "text", min_len=3).collect()
+    }
+    assert ml[1]["clean"] == "hi\nlong shared line"
+    assert ml[2]["clean"] == "hi"  # shared long line deduped, short exempt
 
 
 def test_line_dedup_no_window_on_line_hash(spark):

@@ -595,3 +595,76 @@ def test_minhash_cross_consistent_with_self_join(spark, corpus):
         elif a % 2 == 0 and b % 2 == 1:
             want.add((b, a))
     assert cross == want and cross  # non-empty on the dup-bearing corpus
+
+
+# ---------------------------------------------------------------------------
+# span_dedup — exact substring-level dedup at k-token window granularity
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedup_cross_doc_span_survives_once(spark):
+    from geofeaturegeneration_spark.operators import span_dedup
+
+    rows = [
+        (1, "a b c d e S1 S2 S3 S4 tail one"),
+        (2, "x y S1 S2 S3 S4 z w q"),   # verbatim span of doc 1
+        (3, "p q r s t u v"),            # untouched
+        (5, "tiny"),                     # shorter than k: never touched
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r.asDict() for r in span_dedup(df, "doc_id", "text", k=4).collect()}
+    assert out[1]["clean"] == "a b c d e S1 S2 S3 S4 tail one"  # winner keeps
+    assert out[1]["n_dup_tokens"] == 0
+    assert out[2]["clean"] == "x y z w q"                       # span cut
+    assert out[2]["n_dup_tokens"] == 4
+    assert out[3]["clean"] == "p q r s t u v"
+    assert out[5]["clean"] == "tiny" and out[5]["n_tokens"] == 1
+
+
+def test_span_dedup_self_repeat_and_island_merge(spark):
+    """A document repeating the winner's span twice loses BOTH copies, and
+    the two overlapping loser windows merge into one maximal span (the
+    junction tokens are covered, not double-counted)."""
+    from geofeaturegeneration_spark.operators import span_dedup
+
+    rows = [
+        (1, "a b c d e S1 S2 S3 S4 tail one"),
+        (4, "m S1 S2 S3 S4 S1 S2 S3 S4 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r.asDict() for r in span_dedup(df, "doc_id", "text", k=4).collect()}
+    assert out[4]["clean"] == "m end"
+    assert out[4]["n_dup_tokens"] == 8
+    assert out[4]["n_tokens"] == 10
+
+
+def test_span_dedup_winner_is_global_min_position(spark):
+    """Within one doc, a span repeated later keeps only its FIRST
+    occurrence; a whole-doc duplicate is fully emptied."""
+    from geofeaturegeneration_spark.operators import span_dedup
+
+    rows = [
+        (7, "w1 w2 w3 w4 mid w1 w2 w3 w4"),   # self-repeat: second copy cut
+        (8, "z1 z2 z3 z4 z5"),
+        (9, "z1 z2 z3 z4 z5"),                 # whole-doc duplicate of 8
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r.asDict() for r in span_dedup(df, "doc_id", "text", k=4).collect()}
+    assert out[7]["clean"] == "w1 w2 w3 w4 mid"
+    assert out[8]["clean"] == "z1 z2 z3 z4 z5"
+    assert out[9]["clean"] == "" and out[9]["n_dup_tokens"] == 5
+
+
+def test_span_dedup_conservation(spark):
+    """kept tokens + cut tokens == original tokens for every doc."""
+    from geofeaturegeneration_spark.operators import span_dedup
+
+    rows = [
+        (1, "a b c d e S1 S2 S3 S4 tail one"),
+        (2, "x y S1 S2 S3 S4 z w q"),
+        (4, "m S1 S2 S3 S4 S1 S2 S3 S4 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    for r in span_dedup(df, "doc_id", "text", k=4).collect():
+        n_kept = len(r["clean"].split(" ")) if r["clean"] else 0
+        assert n_kept + r["n_dup_tokens"] == r["n_tokens"], r

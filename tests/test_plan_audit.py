@@ -207,3 +207,48 @@ def test_shingle_and_ngram_split_staged_once(spark):
         plan = out._jdf.queryExecution().optimizedPlan().toString()
         n = plan.count("split(text")
         assert n == 1, f"{name}: expected 1 split of text, found {n}\n{plan}"
+
+
+def test_span_dedup_plan_shape(spark):
+    """span_dedup scale guards (round 4): (1) the text split is STAGED —
+    exactly one split per branch (window-hash probe, winner aggregation,
+    reassembly base = 3 total), never re-executed inside the shingle
+    lambda (the O(words^2) HOF-capture trap); (2) the per-hash winner comes
+    from a partial-agg groupBy whose map-side min-struct shrinks a span
+    duplicated 10^8 times to one row per map task — NO window function ever
+    partitions by the corpus-wide window hash (every Window is doc-keyed,
+    bounded by one document's loser count)."""
+    from geofeaturegeneration_spark.operators import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j")], "doc_id INT, text STRING"
+    )
+    out = span_dedup(df, "doc_id", "text", k=4)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    n = opt.count("split(text")
+    assert n == 3, f"expected 3 staged splits (one per branch), found {n}\n{opt}"
+    for line in opt.splitlines():
+        if "Window [" in line:
+            assert "_h#" not in line, f"window over the hash stream:\n{line}"
+    phys = out._jdf.queryExecution().toString()
+    assert "partial_min" in phys or "partial" in phys.lower()
+
+
+def test_top_customers_global_window_is_post_limit(spark):
+    """The only partition-less window in the tree (the rank in
+    top_customers, extras) must run AFTER the TakeOrdered/limit — i.e. over
+    exactly k rows — so the `WindowExec: No Partition Defined` warning is
+    provably bounded, never a global sort of the customer table. Pinned by
+    asserting the window's child plan contains the limit."""
+    df = E.extra_queries()["top_customers"](spark, SF_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    # the Window node must sit above a GlobalLimit/TakeOrdered, not above
+    # an Exchange of the full aggregate
+    win_at = phys.find("Window")
+    assert win_at != -1
+    below = phys[win_at:]
+    limit_at = min(
+        [p for p in (below.find("GlobalLimit"), below.find("TakeOrdered")) if p != -1]
+        or [-1]
+    )
+    assert limit_at != -1, f"no limit below the global window:\n{phys}"

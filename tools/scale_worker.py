@@ -1,7 +1,13 @@
 """Subprocess worker for the scaling bench: run the token feature pipeline
 at a fixed local[] parallelism and print one JSON line.
 
-    python tools/scale_worker.py <cpus> <seq_path> [n_runs]
+    python tools/scale_worker.py <cpus> <seq_path> [n_runs] [job]
+
+job = "pipeline" (default: the token feature pipeline) or "pack"
+(corpus-level training-sequence packing over the same table — the newest
+wide operator: offset window over doc rows + linear explode; n_groups is
+FIXED at 64 across parallelism levels so the output is provably identical
+while the work redistributes).
 """
 
 from __future__ import annotations
@@ -17,6 +23,7 @@ def main() -> None:
     cpus = int(sys.argv[1])
     seq_path = sys.argv[2]
     n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    job = sys.argv[4] if len(sys.argv) > 4 else "pipeline"
 
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     from bench import token_pipeline
@@ -39,10 +46,31 @@ def main() -> None:
                 f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads={max(1, gc_threads // 4)}"
         },
     )
+    if job == "pack":
+        import time
+
+        from pyspark.sql import functions as F
+
+        from geofeaturegeneration_spark.datagen import read_sequences
+        from geofeaturegeneration_spark.operators import pack_sequences
+
+        def run_job(spark, seq_path):
+            seq = read_sequences(spark, seq_path)
+            n_tok = seq.agg(F.sum("n_tok")).collect()[0][0]
+            t0 = time.perf_counter()
+            packed = pack_sequences(
+                seq.select("doc_id", "tokens"), "doc_id", "tokens",
+                seq_len=512, n_groups=64,
+            )
+            packed.write.format("noop").mode("overwrite").save()
+            return n_tok, time.perf_counter() - t0
+    else:
+        run_job = token_pipeline
+
     walls = []
     n_tokens = 0
     for _ in range(n_runs):
-        n_tokens, wall = token_pipeline(spark, seq_path)
+        n_tokens, wall = run_job(spark, seq_path)
         walls.append(wall)
     best = min(walls)
     print(json.dumps({

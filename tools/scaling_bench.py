@@ -46,10 +46,10 @@ def ensure_input(n_docs: int) -> str:
     return path
 
 
-def run_level(cpus: int, seq_path: str) -> dict:
+def run_level(cpus: int, seq_path: str, job: str = "pipeline") -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "scale_worker.py"),
-         str(cpus), seq_path, os.environ.get("SCALE_RUNS", "4")],
+         str(cpus), seq_path, os.environ.get("SCALE_RUNS", "4"), job],
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -64,13 +64,17 @@ def main() -> None:
                         "raw-CPU probe shows only ~3.4x capacity from 8->32 "
                         "threads — so 8->32 measures the host, not the engine)")
     p.add_argument("--md-out", default=None, help="append a results section to this md file")
+    p.add_argument("--job", default="pipeline", choices=["pipeline", "pack"],
+                   help="pipeline = token feature pipeline; pack = "
+                        "pack_sequences over the same table")
     args = p.parse_args()
 
     seq_path = ensure_input(args.n_docs)
-    lo = run_level(args.n_low, seq_path)
-    hi = run_level(args.n_low * 4, seq_path)
+    lo = run_level(args.n_low, seq_path, args.job)
+    hi = run_level(args.n_low * 4, seq_path, args.job)
     ratio = hi["tokens_per_sec"] / lo["tokens_per_sec"]
     result = {
+        "job": args.job,
         "n_docs": args.n_docs,
         "n_tokens": hi["n_tokens"],
         f"local{args.n_low}": lo,
