@@ -5,6 +5,15 @@ any query slower than RATIO x its baseline time (new queries are listed,
 never flagged). Usage:
 
     python tools/bench_compare.py BENCH_r01.json current.json [ratio]
+    python tools/bench_compare.py BENCH_r01.json,BENCH_r02.json,BENCH_r03.json
+
+A comma-separated baseline takes each query's MINIMUM across the listed
+round records — the cross-session noise rule (BASELINE.md "Host-noise
+note"): code-identical queries swing 2-3x between sessions on this
+multi-tenant host, so a single round's time conflates plan cost with host
+load; the cross-round minimum is the best observed cost of the CURRENT
+plan, and only a ratio against that minimum indicates a genuine plan
+regression.
 
 Either file may be the driver's round record ({"parsed": {...}}) or the
 raw one-line JSON that bench.py prints. With no current file, runs
@@ -28,10 +37,26 @@ def load_queries(path: str) -> dict[str, float]:
     return dict(doc["queries"], _total=doc.get("value"))
 
 
+def load_min_queries(paths: list[str]) -> dict[str, float]:
+    """Per-query minimum across several round records (see module doc)."""
+    out: dict[str, float] = {}
+    for p in paths:
+        for name, t in load_queries(p).items():
+            if t is None:
+                continue
+            if name not in out or t < out[name]:
+                out[name] = t
+    return out
+
+
 def main() -> None:
     base_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r01.json"
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
-    base = load_queries(base_path)
+    if "," in base_path:
+        base = load_min_queries(base_path.split(","))
+        print(f"baseline = per-query min of {base_path}")
+    else:
+        base = load_queries(base_path)
 
     if len(sys.argv) > 2:
         cur = load_queries(sys.argv[2])

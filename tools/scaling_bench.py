@@ -84,10 +84,14 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    job_title = (
+        "token feature pipeline" if args.job == "pipeline"
+        else "pack_sequences (seq_len=512, n_groups=64)"
+    )
     if args.md_out:
         with open(args.md_out, "a") as f:
             f.write(
-                "\n## Scaling evidence (token feature pipeline, "
+                f"\n## Scaling evidence ({job_title}, "
                 f"{hi['n_tokens']:,} tokens)\n\n"
                 "Same job, same input, two parallelism levels:\n\n"
                 "| level | wall (best of runs) | tokens/sec |\n"
