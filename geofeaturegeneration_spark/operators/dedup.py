@@ -642,6 +642,24 @@ def span_dedup(
       (classic gaps-and-islands), then per-doc array complement-slicing —
       no per-token explode of the duplicated ranges.
     """
+    return span_reassemble(
+        df, span_dup_intervals(df, id_col, text_col, k), id_col, text_col
+    )
+
+
+def span_dup_intervals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Stage 1 of ``span_dedup``, exposed for composed pipelines
+    (jobs/run_dedup.py --span-dedup): the merged duplicated-token spans per
+    document as (id_col, ds, de) half-open token ranges [ds, de). Docs with
+    no duplicated window produce no rows. Computing intervals separately
+    lets a checkpointed job persist this SMALL table (rows = maximal
+    duplicated spans, proportional to duplicated bytes) once globally and
+    then rewrite text per corpus bucket with ``span_reassemble``."""
     if k < 1:
         raise ValueError("k must be >= 1")
     from pyspark.sql import Window as W
@@ -694,16 +712,34 @@ def span_dedup(
             F.sum("_new").over(wdoc.rowsBetween(W.unboundedPreceding, 0)),
         )
     )
-    ivals = isl.groupBy(id_col, "_isl").agg(
-        F.min("_pos").alias("_ds"), (F.max("_pos") + k).alias("_de")
-    )
-    per_doc = ivals.groupBy(id_col).agg(
+    return isl.groupBy(id_col, "_isl").agg(
+        F.min("_pos").cast("int").alias("ds"),
+        (F.max("_pos") + k).cast("int").alias("de"),
+    ).select(id_col, "ds", "de")
+
+
+def span_reassemble(
+    df: DataFrame,
+    intervals: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Stage 2 of ``span_dedup``: cut the (id_col, ds, de) duplicated token
+    ranges out of each document and reassemble the survivors — per-doc
+    array complement-slicing, no per-token explode of the cut ranges.
+    ``intervals`` rows must be disjoint per doc with gaps > 0 between them
+    (what ``span_dup_intervals`` produces). Embarrassingly parallel per
+    document: a composed job runs it per corpus bucket against the small
+    persisted interval table. Returns (id_col, clean, n_tokens,
+    n_dup_tokens)."""
+    per_doc = intervals.groupBy(id_col).agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("_ds"), F.col("_de")))
+            F.collect_list(F.struct(F.col("ds").alias("_ds"), F.col("de").alias("_de")))
         ).alias("_dups"),
-        F.sum(F.col("_de") - F.col("_ds")).alias("_ndup"),
+        F.sum(F.col("de") - F.col("ds")).alias("_ndup"),
     )
 
+    wcol = "_gfs_sd_w"
     base = df.select(F.col(id_col), F.col(text_col)).withColumn(
         wcol, F.split(F.col(text_col), " ")
     )

@@ -8,9 +8,10 @@
 The flagship 100 TB story — (optional) quality filter -> MinHash LSH pairs
 -> connected components -> (optional) test-set decontamination -> keeper
 filter (+ optional mixing recipe + PII scrub riding the output pass) —
+(+ optional exact-substring span dedup over the surviving corpus) —
 composed as ONE resumable pipeline behind the checkpoint store (reference
 analog: the stage-separated pipeline of AttachFeature.py:1046-1112), not
-just unit operators. Three to five stages, each recorded per partition in
+just unit operators. Three to seven stages, each recorded per partition in
 the CheckpointStore so a crash resumes without recomputing finished work:
 
 0. ``quality`` (optional, per doc-id hash bucket): C4/Gopher keep
@@ -35,6 +36,13 @@ the CheckpointStore so a crash resumes without recomputing finished work:
    folds the source_sample mixing recipe (a pure function of doc_id):
    at 100 TB both are free when they ride a stage that already rewrites
    text, and both participate in the lineage key.
+4. ``span_intervals`` (optional, global): duplicated k-token spans of the
+   SURVIVING corpus as a small (doc_id, ds, de) interval table
+   (dedup.span_dup_intervals — winners decided post-keeper/post-mix, so a
+   span is never cut everywhere because its winner was dropped upstream).
+5. ``span_clean`` (per doc-id hash bucket): rewrite the final text with
+   the duplicated ranges cut (dedup.span_reassemble) into
+   ``span_deduped/``.
 
 Determinism: signatures, pairs, components, and keeper choice are all pure
 functions of the corpus (md5 hashing, min-label components, min-id
@@ -60,6 +68,8 @@ from geofeaturegeneration_spark.operators import (
     dedup_clusters,
     lsh_pairs_from_band_sigs,
     minhash_band_signatures,
+    span_dup_intervals,
+    span_reassemble,
 )
 from geofeaturegeneration_spark.operators.curation import (
     pii_clean_col,
@@ -91,6 +101,7 @@ def run_dedup_pipeline(
     mix_rates_ppm: dict[str, int] | None = None,
     mix_by: str = "source",
     mix_default_ppm: int = 0,
+    span_k: int | None = None,
 ):
     """Run the dedup stages with per-stage checkpointed resume.
 
@@ -115,12 +126,23 @@ def run_dedup_pipeline(
     already rewrites text — no extra stage, but it IS part of the lineage
     key (changing the recipe invalidates the output stage only).
 
+    ``span_k`` appends the EXACT-SUBSTRING dedup modality over the
+    surviving corpus: a global checkpointed stage persists the (small)
+    duplicated-span interval table (``span_dup_intervals``; winners are
+    decided on the post-keeper post-mix corpus so a span is never cut
+    everywhere because its winner was dropped upstream), then a per-bucket
+    stage rewrites the final text (``span_reassemble``) into
+    ``span_deduped/``.
+
     The full curation story — filter -> dedup -> decontaminate -> mix ->
-    scrub — is therefore ONE resumable artifact; per-stage wall-clock is
-    recorded in the CheckpointStore metrics table. Returns the per-stage
-    PartitionResult lists (3 to 5 of them, in pipeline order)."""
+    scrub -> span-dedup — is therefore ONE resumable artifact; per-stage
+    wall-clock is recorded in the CheckpointStore metrics table. Returns
+    the per-stage PartitionResult lists (3 to 7 of them, in pipeline
+    order)."""
     store = CheckpointStore(spark, ckpt_path)
     qua_path = os.path.join(out_root, "quality")
+    spn_path = os.path.join(out_root, "span_intervals")
+    fin_path = os.path.join(out_root, "span_deduped")
     sig_path = os.path.join(out_root, "signatures")
     clu_path = os.path.join(out_root, "clusters")
     con_path = os.path.join(out_root, "contaminated")
@@ -148,6 +170,8 @@ def run_dedup_pipeline(
         lineage += (
             f";mix={mix_by}:{sorted(mix_rates_ppm.items())}:{mix_default_ppm}"
         )
+    if span_k is not None:
+        lineage += f";span={span_k}"
 
     # stage 0 (optional): quality keep-verdicts per corpus bucket — every
     # later stage semi-joins this id table, so rejected docs never reach
@@ -287,12 +311,70 @@ def run_dedup_pipeline(
         spark, store, f"{job_id}/output", bucket_keys, out_one,
         out_path, "part_key", lineage, force=force,
     )
+    # optional exact-substring stages over the SURVIVING corpus: one global
+    # interval table (small: rows = maximal duplicated spans), then a
+    # per-bucket text rewrite
+    r_spn = r_fin = None
+    if span_k is not None:
+        ded_schema = T.StructType(
+            list(docs.schema.fields)
+            + [
+                T.StructField("cluster_id", _id_field.dataType),
+                T.StructField("part_key", T.StringType()),
+            ]
+        )
+        spn_schema = T.StructType(
+            [
+                _id_field,
+                T.StructField("ds", T.IntegerType()),
+                T.StructField("de", T.IntegerType()),
+                T.StructField("part_key", T.StringType()),
+            ]
+        )
+
+        def read_deduped(keys):
+            return (
+                spark.read.schema(ded_schema).parquet(out_path)
+                .filter(F.col("part_key").cast("string").isin(keys))
+                .drop("part_key")
+            )
+
+        def spn_one(_key: str):
+            return span_dup_intervals(
+                read_deduped(bucket_keys), "doc_id", "text", k=span_k
+            )
+
+        r_spn = run_partitioned(
+            spark, store, f"{job_id}/span_intervals", ["all"], spn_one,
+            spn_path, "part_key", lineage, force=force,
+        )
+
+        def fin_one(key: str):
+            part = read_deduped([key])
+            ivals = (
+                spark.read.schema(spn_schema).parquet(spn_path)
+                .drop("part_key")
+            )
+            clean = span_reassemble(part, ivals, "doc_id", "text").select(
+                "doc_id",
+                F.col("clean").alias("text"),
+                F.col("n_dup_tokens").alias("span_dup_tokens"),
+            )
+            return part.drop("text").join(clean, "doc_id")
+
+        r_fin = run_partitioned(
+            spark, store, f"{job_id}/span_clean", bucket_keys, fin_one,
+            fin_path, "part_key", lineage, force=force,
+        )
+
     stages = [r_sig, r_clu]
     if r_con is not None:
         stages.append(r_con)
     stages.append(r_out)
     if r_qua is not None:
         stages.insert(0, r_qua)
+    if r_spn is not None:
+        stages.extend([r_spn, r_fin])
     return tuple(stages)
 
 
@@ -318,6 +400,11 @@ def main(argv=None) -> int:
     p.add_argument("--quality", action="store_true",
                    help="prepend the checkpointed quality_filter stage; "
                         "rejected docs never reach the shingle pass")
+    p.add_argument("--span-dedup", type=int, default=None, metavar="K",
+                   help="append exact-substring dedup at K-token window "
+                        "granularity over the surviving corpus (global "
+                        "interval stage + per-bucket rewrite into "
+                        "span_deduped/)")
     p.add_argument("--mix", default=None,
                    help="JSON object of per-source keep rates in ppm, e.g. "
                         "'{\"web\": 800000, \"books\": 1000000}' — applied "
@@ -337,6 +424,7 @@ def main(argv=None) -> int:
         decon_min_hits=args.decon_min_hits, scrub=args.scrub,
         quality=args.quality,
         mix_rates_ppm=json.loads(args.mix) if args.mix else None,
+        span_k=args.span_dedup,
     )
     names = ["signatures", "clusters"]
     if bench is not None:
@@ -344,6 +432,8 @@ def main(argv=None) -> int:
     names.append("output")
     if args.quality:
         names.insert(0, "quality")
+    if args.span_dedup is not None:
+        names.extend(["span_intervals", "span_clean"])
     summary = {
         "job_id": args.job_id,
         "stages": {

@@ -374,6 +374,54 @@ def test_full_curation_pipeline_all_stages_kill_resume(
         ), job
 
 
+def test_dedup_pipeline_span_stages(spark, tmp_path):
+    """--span-dedup K appends the exact-substring modality: the final
+    span_deduped/ table equals span_dedup() run by hand over the deduped/
+    output (winners decided on the SURVIVING corpus), keeps every input
+    column, and resumes (immediate re-run skips all stages)."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators import span_dedup
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # guarantee a cross-doc verbatim span among the dedup SURVIVORS:
+    # append a shared 6-word disclaimer to every 5th doc
+    docs = base.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" all rights reserved by the corpus")),
+        ).otherwise(F.col("text")),
+    )
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              span_k=5)
+    out, ck = str(tmp_path / "out_sp"), str(tmp_path / "ck_sp")
+    stages = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert len(stages) == 5  # sig, clusters, output, span_intervals, span_clean
+    assert all(not r.skipped for st in stages for r in st)
+
+    deduped = spark.read.parquet(f"{out}/deduped").drop("part_key")
+    want = {
+        r["doc_id"]: (r["clean"], r["n_dup_tokens"])
+        for r in span_dedup(deduped, "doc_id", "text", k=5).collect()
+    }
+    final = spark.read.parquet(f"{out}/span_deduped")
+    got = {
+        r["doc_id"]: (r["text"], r["span_dup_tokens"]) for r in final.collect()
+    }
+    assert got == want
+    assert set(final.columns) == {
+        "doc_id", "text", "cluster_id", "span_dup_tokens", "part_key"
+    }
+    # the span stage actually cut something (non-vacuous)
+    assert sum(d for _, d in got.values()) > 0
+
+    # re-run: every stage skips, output byte-identical
+    st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert all(r.skipped for st in st2 for r in st)
+
+
 def test_dedup_pipeline_max_bucket_size_in_lineage(spark, tmp_path):
     """Resuming with a different --max-bucket-size must INVALIDATE every
     stage (the cap changes pairs -> clusters -> keepers): a resumed run may
