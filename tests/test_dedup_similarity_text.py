@@ -668,3 +668,52 @@ def test_span_dedup_conservation(spark):
     for r in span_dedup(df, "doc_id", "text", k=4).collect():
         n_kept = len(r["clean"].split(" ")) if r["clean"] else 0
         assert n_kept + r["n_dup_tokens"] == r["n_tokens"], r
+
+
+def test_span_dedup_python_oracle_parity(spark):
+    """Exhaustive parity against a brute-force pure-Python oracle on a
+    seeded random small-vocab corpus (organic duplicated windows everywhere,
+    plus injected cross-doc spans) — catches winner-tie, island-merge, and
+    boundary-slice bugs the hand-built cases can't enumerate."""
+    import random
+
+    from geofeaturegeneration_spark.operators import span_dedup
+
+    k = 4
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(15)]
+    docs = {}
+    for i in range(60):
+        n = rng.randint(2, 40)
+        docs[i] = " ".join(rng.choice(vocab) for _ in range(n))
+    shared = "alpha beta gamma delta epsilon zeta"
+    for i in range(0, 60, 7):  # inject a verbatim cross-doc span
+        docs[i] = docs[i] + " " + shared
+
+    def py_span_dedup(corpus: dict) -> dict:
+        toks = {i: t.split(" ") for i, t in corpus.items()}
+        wins = {}
+        for i in sorted(toks):  # ascending (doc, pos) = global min wins
+            ws = toks[i]
+            for p in range(len(ws) - k + 1):
+                wins.setdefault(" ".join(ws[p:p + k]), (i, p))
+        out = {}
+        for i, ws in toks.items():
+            dup = [False] * len(ws)
+            for p in range(len(ws) - k + 1):
+                if wins[" ".join(ws[p:p + k])] != (i, p):
+                    for q in range(p, p + k):
+                        dup[q] = True
+            kept = [w for w, d in zip(ws, dup) if not d]
+            out[i] = (" ".join(kept), len(ws), sum(dup))
+        return out
+
+    want = py_span_dedup(docs)
+    df = spark.createDataFrame(list(docs.items()), "doc_id INT, text STRING")
+    got = {
+        r["doc_id"]: (r["clean"], r["n_tokens"], r["n_dup_tokens"])
+        for r in span_dedup(df, "doc_id", "text", k=k).collect()
+    }
+    assert got == want
+    # the random corpus genuinely exercised the operator
+    assert sum(d for _, _, d in want.values()) > 50

@@ -9,6 +9,14 @@ levels on the same input and reports docs/sec at both plus the scaling
 efficiency:
 
     python tools/dedup_scaling.py [--n-copies 20] [--levels 2,8] [--runs 3]
+    python tools/dedup_scaling.py --job full   # the WHOLE curation story
+
+``--job full`` runs the complete composition the checkpointed
+jobs/run_dedup.py ships — quality filter -> signatures -> LSH pairs ->
+components -> keeper filter -> decontamination -> mixing recipe -> PII
+scrub -> exact-substring span dedup -> reassembly — as one in-memory DAG
+(no checkpoint I/O), so the two-level comparison measures the full
+pipeline's parallel shape end to end.
 
     scaling efficiency = (thr_high / thr_low) / (cpus_high / cpus_low)
 
@@ -122,12 +130,61 @@ print("RESULT " + repr({{"cpus": {cpus}, "n_docs": n_docs, "kept": kept,
 """
 
 
-def run_level(cpus: int, path: str, runs: int) -> dict:
+
+_RUNNER_FULL = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from geofeaturegeneration_spark.operators import (
+    decontaminate, dedup_clusters, lsh_pairs_from_band_sigs,
+    minhash_band_signatures, quality_filter, source_sample,
+    span_dup_intervals, span_reassemble,
+)
+from geofeaturegeneration_spark.operators.curation import pii_clean_col
+from geofeaturegeneration_spark.session import get_spark
+
+spark = get_spark("curation_scale", master="local[{cpus}]")
+docs = spark.read.parquet({path!r}).withColumn(
+    "source", F.concat(F.lit("src"), (F.col("doc_id") % 5).cast("string"))
+)
+bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+    F.col("doc_id").alias("bid"), F.col("text").alias("btext"))
+n_docs = docs.count()  # warm footer cache; not timed
+t0 = time.perf_counter()
+kept = docs.join(
+    quality_filter(docs, "doc_id", "text").filter("keep").select("doc_id"),
+    "doc_id", "left_semi")
+sigs = minhash_band_signatures(kept, "doc_id", "text")
+pairs = lsh_pairs_from_band_sigs(sigs, "doc_id", max_bucket_size=2000)
+clusters = dedup_clusters(kept.select("doc_id"), "doc_id", pairs)
+keepers = kept.join(
+    clusters.filter("is_keeper").select("doc_id"), "doc_id", "left_semi")
+bad = decontaminate(kept, "doc_id", "text", bench, "bid", "btext",
+                    k=3, min_hits=50).filter("contaminated").select("doc_id")
+final = keepers.join(bad, "doc_id", "left_anti")
+mixed = source_sample(final, "doc_id",
+                      {{"src0": 900000, "src1": 900000, "src2": 900000,
+                        "src3": 900000, "src4": 900000}})
+scrubbed = mixed.select("doc_id", pii_clean_col(F.col("text")).alias("text"))
+ivals = span_dup_intervals(scrubbed, "doc_id", "text", k=8)
+out = span_reassemble(scrubbed, ivals, "doc_id", "text")
+agg = out.agg(F.count(F.lit(1)).alias("n"),
+              F.sum("n_dup_tokens").alias("cut")).collect()[0]
+wall = time.perf_counter() - t0
+print("RESULT " + repr({{"cpus": {cpus}, "n_docs": n_docs,
+                         "kept": int(agg["n"]) * 1000000 + int(agg["cut"]),
+                         "rows": int(agg["n"]), "cut_tokens": int(agg["cut"]),
+                         "wall": round(wall, 3)}}))
+"""
+
+
+def run_level(cpus: int, path: str, runs: int, runner=None) -> dict:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    runner = runner or _RUNNER
     best = None
     for _ in range(runs):
         out = subprocess.run(
-            [sys.executable, "-c", _RUNNER.format(repo=repo, cpus=cpus, path=path)],
+            [sys.executable, "-c", runner.format(repo=repo, cpus=cpus, path=path)],
             capture_output=True, text=True, check=True,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
@@ -144,19 +201,26 @@ def main() -> None:
     ap.add_argument("--text-repeat", type=int, default=1)
     ap.add_argument("--levels", default="2,8")
     ap.add_argument("--runs", type=int, default=int(os.environ.get("SCALE_RUNS", "3")))
+    ap.add_argument("--job", default="dedup", choices=["dedup", "full"])
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
 
     path = ensure_corpus(args.n_copies, args.text_repeat)
-    r_lo = run_level(lo, path, args.runs)
-    r_hi = run_level(hi, path, args.runs)
+    runner = _RUNNER_FULL if args.job == "full" else _RUNNER
+    r_lo = run_level(lo, path, args.runs, runner)
+    r_hi = run_level(hi, path, args.runs, runner)
     if r_lo["kept"] != r_hi["kept"]:
         raise SystemExit(
             f"keeper count differs across levels: {r_lo['kept']} vs {r_hi['kept']}"
         )
     eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
+    job_name = (
+        "full curation (quality -> dedup -> decontaminate -> mix -> scrub -> span)"
+        if args.job == "full"
+        else "composed dedup (signatures -> lsh pairs -> components -> keeper)"
+    )
     print(json.dumps({
-        "job": "composed dedup (signatures -> lsh pairs -> components -> keeper)",
+        "job": job_name,
         "input": path, "n_docs": r_lo["n_docs"], "kept": r_lo["kept"],
         "levels": {f"local[{lo}]": r_lo, f"local[{hi}]": r_hi},
         "scaling_efficiency": round(eff, 3),
