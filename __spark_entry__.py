@@ -40,6 +40,7 @@ from geofeaturegeneration_spark.functions.grid import (
 )
 from geofeaturegeneration_spark.operators import (
     ann_ivf_topk,
+    ann_ivf_topk_blocked,
     ann_lsh_topk,
     embedding_neardup_pairs,
     sessionize_state_change_salted,
@@ -549,27 +550,45 @@ def q_ann_lsh_multi(spark, sf_dir):
 _IVF_CENTROIDS: dict = {}
 
 
-def q_ann_ivf(spark, sf_dir):
-    from geofeaturegeneration_spark.operators.similarity import _norm, _to_double
-
-    emb = _t(spark, sf_dir, "embeddings")
+def _ivf_seed_rows(spark, sf_dir):
     # the quantizer is trained once per table and reused across calls —
     # production IVF ships pre-trained centroids; repeated searches should
     # not re-pay the training scan. The cache holds PLAIN PYTHON rows, not a
     # DataFrame: a cached DataFrame is bound to its SparkSession and breaks
     # when bench/tests stop and recreate sessions in one process.
-    key = sf_dir
-    if key not in _IVF_CENTROIDS:
+    from geofeaturegeneration_spark.operators.similarity import _norm, _to_double
+
+    if sf_dir not in _IVF_CENTROIDS:
+        emb = _t(spark, sf_dir, "embeddings")
         v = _to_double(F.col("embedding"))
         rows = (
             emb.select(F.col("vec_id"), v.alias("_v"), _norm(v).alias("_n"))
             .orderBy("vec_id").limit(8).select("_v", "_n").collect()
         )
-        _IVF_CENTROIDS[key] = [
+        _IVF_CENTROIDS[sf_dir] = [
             (i + 1, list(r["_v"]), float(r["_n"])) for i, r in enumerate(rows)
         ]
+    return _IVF_CENTROIDS[sf_dir]
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
     cent = spark.createDataFrame(
-        _IVF_CENTROIDS[key], "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE"
+        _ivf_seed_rows(spark, sf_dir), "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE"
+    )
+    return ann_ivf_topk_blocked(
+        emb, "vec_id", "embedding", k=3, n_centroids=8, nprobe=1,
+        centroids=cent,
+    )
+
+
+def q_ann_ivf_join(spark, sf_dir):
+    """Exactness twin: the join-form IVF plan (broadcast-quantizer
+    assignment + fold-dot list equi-join) that the contract's blocked-GEMM
+    plan replaced — same oracle, kept value-exact as the cross-check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = spark.createDataFrame(
+        _ivf_seed_rows(spark, sf_dir), "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE"
     )
     return ann_ivf_topk(
         emb, "vec_id", "embedding", k=3, n_centroids=8, nprobe=1,
@@ -597,7 +616,7 @@ def q_ann_ivf_trained(spark, sf_dir):
     cent = spark.createDataFrame(
         _IVF_FPS[sf_dir], "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE"
     )
-    return ann_ivf_topk(
+    return ann_ivf_topk_blocked(
         emb, "vec_id", "embedding", k=3, n_centroids=8, nprobe=1, centroids=cent
     )
 
@@ -1106,6 +1125,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract 'cosine_topk' now runs the blocked-GEMM plan; the
         # original expression-fold self-join stays here as its exactness twin
         "cosine_topk_join": q_cosine_topk_join,
+        # contract 'ann_ivf'/'ann_ivf_trained' now run the blocked-GEMM
+        # plan (round 4); the join-form IVF stays here as its exactness twin
+        "ann_ivf_join": q_ann_ivf_join,
         # signature STAGE queries folded out of the driver window (late
         # round 3) to give quality_filter and pack_sequences contract
         # slots; both stages stay driver-verified transitively — the
@@ -1396,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
     # output by construction (rank flips would need two distinct candidate
     # cosines within ~1e-13 — verified exact at sf0.01 and sf0.1)
     d["cosine_topk_join"] = d["cosine_topk"]
+    d["ann_ivf_join"] = d["ann_ivf"]
     return d
 
 

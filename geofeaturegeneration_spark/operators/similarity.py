@@ -543,6 +543,189 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_topk_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 1,
+    centroids: DataFrame | None = None,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """IVF top-k via GEMM tiles — the SCALE form of :func:`ann_ivf_topk`,
+    same output, no join node anywhere in the plan.
+
+    Two Arrow stages replace the join form's broadcast-crossJoin + window
+    assignment and fold-dot list join:
+
+    * **assignment** — the quantizer (k rows, collected once: the same tiny
+      driver transfer the join form's seed training already makes) becomes
+      a numpy literal inside a ``mapInPandas`` closure; each Arrow batch
+      scores vectors x centroids with ONE float64 GEMM and emits its
+      ``nprobe`` nearest list ids (ties by _cid asc via lexsort — identical
+      to the join form's row_number ordering). No shuffle, no window: the
+      per-id argmin that cost an n x C exchange is a per-batch argmax.
+    * **search** — inverted lists meet in ``cogroup().applyInPandas`` keyed
+      on (list_id, query_block, corpus_block): each (n_l/B x m_l/B) tile is
+      one GEMM instead of n_l*m_l interpreted fold-dot evaluations, emits
+      its local top-k, and a final window over the <= B*nprobe*k survivors
+      per query picks the global top-k. Sub-blocking bounds tile memory
+      even when a hot list degenerates (B is the executor-memory knob,
+      exactly as in :func:`cosine_topk_blocked`).
+
+    Scale accounting: shuffle volume is 2*B*(nprobe*n) replicated vectors
+    plus B*nprobe*k*n candidate rows; compute runs at BLAS speed; the
+    assignment recompute on the two cogroup sides is one GEMM pass per
+    batch (cheaper than persisting n vectors). Determinism: GEMM sums
+    associate differently from the sequential fold, but an assignment or
+    rank flip needs two DISTINCT cosines within ~1e-13 — below any data
+    resolution (same bet as cosine_topk_blocked, verified value-exact vs
+    the DuckDB fold oracle at sf0.01 and sf0.1).
+
+    Output: (id_col, nn_id, cos_sim, rank, list_id) — identical to
+    :func:`ann_ivf_topk`, which survives as the exactness twin."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if centroids is not None:
+        crows = [
+            (int(r["_cid"]), list(r["_cv"]), float(r["_cn"]))
+            for r in centroids.orderBy("_cid").collect()
+        ]
+    else:
+        base = with_norm(df, id_col, vec_col)
+        seed_rows = (
+            base.orderBy(id_col).limit(n_centroids).select("_v", "_n").collect()
+        )
+        crows = [
+            (i + 1, list(r["_v"]), float(r["_n"]))
+            for i, r in enumerate(seed_rows)
+        ]
+    cids = np.array([c[0] for c in crows], dtype=np.int32)
+    C = np.stack([np.asarray(c[1], dtype=np.float64) for c in crows])
+    cn = np.array([c[2] for c in crows], dtype=np.float64)
+    np_probe = min(nprobe, len(cids))
+
+    id_type = df.schema[id_col].dataType
+    assign_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("_v", T.ArrayType(T.DoubleType())),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("_home", T.BooleanType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            sims = (V @ C.T) / np.outer(vn, cn)
+            m = len(V)
+            # per-row order by (cos desc, _cid asc) — lexsort's last key is
+            # primary, so ties on cos break to the smaller centroid id,
+            # matching the join form's row_number ordering exactly
+            order = np.lexsort(
+                (np.broadcast_to(cids, sims.shape), -sims), axis=1
+            )[:, :np_probe]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), np_probe),
+                    "_v": np.repeat(pdf["_v"].to_numpy(), np_probe),
+                    "list_id": cids[order].ravel(),
+                    "_home": np.tile(
+                        np.arange(np_probe) == 0, m
+                    ),
+                }
+            )
+
+    assigned = df.select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    ).mapInPandas(assign, schema=assign_schema)
+
+    blocks = F.array(*[F.lit(j).cast("long") for j in range(n_blocks)])
+    q_side = (
+        assigned.select(id_col, "list_id", F.col("_v").alias("_va"))
+        .withColumn("_qb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)))
+        .withColumn("_ob", F.explode(blocks))
+    )
+    # fresh names on the corpus side: cogroup's attribute dedup drops
+    # right-side columns whose exprIds match the left (same-subplan self-pair)
+    c_side = (
+        assigned.filter(F.col("_home"))
+        .select(
+            F.col(id_col).alias("_rid"),
+            F.col("list_id").alias("_rlist"),
+            F.col("_v").alias("_rv"),
+        )
+        .withColumn("_ob", F.pmod(F.xxhash64(F.col("_rid")), F.lit(n_blocks)))
+        .withColumn("_qb", F.explode(blocks))
+    )
+
+    out_partial = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("nn_id", id_type),
+            T.StructField("_cos", T.DoubleType()),
+            T.StructField("list_id", T.IntegerType()),
+        ]
+    )
+    empty_cols = [id_col, "nn_id", "_cos", "list_id"]
+
+    def score_tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({c: [] for c in empty_cols})
+        qid = lpdf[id_col].to_numpy()
+        rid = rpdf["_rid"].to_numpy()
+        Q = np.stack(lpdf["_va"].to_numpy()).astype(np.float64, copy=False)
+        X = np.stack(rpdf["_rv"].to_numpy()).astype(np.float64, copy=False)
+        cos = (Q @ X.T) / np.outer(
+            np.sqrt(np.einsum("ij,ij->i", Q, Q)),
+            np.sqrt(np.einsum("ij,ij->i", X, X)),
+        )
+        cos[qid[:, None] == rid[None, :]] = -np.inf  # exclude self
+        kk = min(k, cos.shape[1])
+        rows = []
+        for i in range(cos.shape[0]):
+            order = np.lexsort((rid, -cos[i]))[:kk]
+            keep = order[np.isfinite(cos[i][order])]
+            rows.append((np.full(len(keep), qid[i]), rid[keep], cos[i][keep]))
+        if not rows:
+            return pd.DataFrame({c: [] for c in empty_cols})
+        lid = int(lpdf["list_id"].iloc[0])
+        n_out = sum(len(r[1]) for r in rows)
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate([r[0] for r in rows]),
+                "nn_id": np.concatenate([r[1] for r in rows]),
+                "_cos": np.concatenate([r[2] for r in rows]),
+                "list_id": np.full(n_out, lid, dtype=np.int32),
+            }
+        )
+
+    partial = (
+        q_side.groupBy("list_id", "_qb", "_ob")
+        .cogroup(c_side.groupBy("_rlist", "_qb", "_ob"))
+        .applyInPandas(score_tile, schema=out_partial)
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("nn_id"),
+            F.round(F.col("_cos"), 6).alias("cos_sim"),
+            F.col("rank"),
+            F.col("list_id"),
+        )
+    )
+
+
 def farthest_point_centroids(
     df: DataFrame, id_col: str, vec_col: str, k: int, salt: str = "ivfseed"
 ) -> DataFrame:

@@ -202,6 +202,38 @@ def test_ann_ivf_topk(spark, vectors):
     assert mine2 == {0, 1, 2}
 
 
+def test_ann_ivf_blocked_matches_join_form(spark):
+    """The blocked-GEMM IVF plan must reproduce the join form exactly —
+    same assignment (ties to smaller _cid), same candidates, same ranks —
+    at nprobe 1 and 2, including when sub-blocks are finer than lists."""
+    from geofeaturegeneration_spark.operators import (
+        ann_ivf_topk,
+        ann_ivf_topk_blocked,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for nprobe in (1, 2):
+        want = sorted(
+            map(
+                tuple,
+                ann_ivf_topk(
+                    emb, "vec_id", "embedding", k=3, n_centroids=8, nprobe=nprobe
+                ).collect(),
+            )
+        )
+        for n_blocks in (1, 4):
+            got = sorted(
+                map(
+                    tuple,
+                    ann_ivf_topk_blocked(
+                        emb, "vec_id", "embedding", k=3, n_centroids=8,
+                        nprobe=nprobe, n_blocks=n_blocks,
+                    ).collect(),
+                )
+            )
+            assert got == want, (nprobe, n_blocks)
+
+
 def test_embedding_neardup_pairs(spark):
     from geofeaturegeneration_spark.operators import embedding_neardup_pairs
 

@@ -81,19 +81,19 @@ def test_bucketed_candidate_joins_not_cartesian(spark):
     for name in ["ann_lsh", "ann_ivf", "minhash_pairs", "ngram_jaccard"]:
         plan = plan_str(qs[name](spark, SF_DIR), "simple")
         assert "CartesianProduct" not in plan, name
-        # the only nested-loop is the tiny broadcast centroid cross join in
-        # IVF assignment — candidates themselves meet via equi-joins
-        if name != "ann_ivf":
-            assert "BroadcastNestedLoopJoin" not in plan, name
+        # (round 4: ann_ivf is now the blocked-GEMM plan — the centroid
+        # cross join moved to the ann_ivf_join exactness twin)
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 # Queries whose plans INTENTIONALLY contain an unconditioned join, each
 # against a bounded-small broadcast side:
 #   cosine_topk_join — the documented O(n^2) exact fold-join baseline,
 #     kept as the exactness twin of the contract's blocked-GEMM plan.
-#   ann_ivf / ann_ivf_trained — vectors x k=8 centroids assignment; the
-#     nested-loop build side is the k-row quantizer, never the corpus.
-_UNCONDITIONED_JOIN_ALLOWLIST = {"cosine_topk_join", "ann_ivf", "ann_ivf_trained"}
+#   ann_ivf_join — the join-form IVF twin: vectors x k=8 centroids
+#     assignment; the nested-loop build side is the k-row quantizer,
+#     never the corpus.
+_UNCONDITIONED_JOIN_ALLOWLIST = {"cosine_topk_join", "ann_ivf_join"}
 
 
 def test_cosine_topk_blocked_has_no_join(spark):
@@ -103,6 +103,17 @@ def test_cosine_topk_blocked_has_no_join(spark):
     plan = plan_str(E.queries()["cosine_topk"](spark, SF_DIR), "simple")
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_ivf_blocked_has_no_join(spark):
+    """Round-4: the contract's IVF search is the blocked-GEMM plan —
+    assignment is a mapInPandas GEMM (no broadcast cross join, no
+    assignment window exchange) and inverted lists meet in a cogroup, so
+    the plan must carry NO join operator of any kind."""
+    for name in ("ann_ivf", "ann_ivf_trained"):
+        plan = plan_str(E.queries()[name](spark, SF_DIR), "simple")
+        assert "Join" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
 
 
 def test_no_unconditioned_join_in_any_contract_query(spark):
