@@ -300,6 +300,86 @@ def _hp_exploded(
     )
 
 
+def _hp_exploded_gemm(
+    df: DataFrame, id_col: str, vec_col: str, tables: list[list[list[float]]]
+) -> DataFrame:
+    """GEMM form of :func:`_hp_exploded` — same (id, _v, _n, _t, _bucket)
+    output, computed in ``mapInPandas``: each Arrow batch runs ONE float64
+    (m x dim) @ (dim x T*b) GEMM and derives every bucket bit from the sign
+    matrix, replacing m*T*b interpreted fold-dot evaluations (measured:
+    the fold hasher alone was 1.9 s of ann_lsh_multi's 2.8 s at sf0.1).
+
+    Sign-bit determinism vs the DuckDB fold oracle: GEMM association
+    differs from the sequential fold, but a bucket-bit flip needs a
+    hyperplane dot within ~1e-13 of exactly 0 — Rademacher +/-1 planes
+    over continuous embeddings never cancel to that precision (same bet as
+    cosine_topk_blocked, verified value-exact at sf0.01 and sf0.1). The
+    fold form stays available (``use_gemm_hasher=False``) as the
+    bit-exact twin; equality is pinned by
+    test_ann_lsh_multi_gemm_matches_fold_hasher.
+
+    Null embeddings are skipped and a wrong-length vector fails fast with
+    the same "hyperplane dim" message as the expression guard."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    dim = len(tables[0][0])
+    n_tables, n_bits = len(tables), len(tables[0])
+    # [dim][T*b] plane matrix, table-major columns (col t*n_bits+b)
+    P = np.array(
+        [tables[t][b] for t in range(n_tables) for b in range(n_bits)],
+        dtype=np.float64,
+    ).T
+    bit_weights = np.array([1 << b for b in range(n_bits)], dtype=np.int64)
+    ts = np.arange(n_tables, dtype=np.int32)
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("_v", T.ArrayType(T.DoubleType())),
+            T.StructField("_n", T.DoubleType()),
+            T.StructField("_t", T.IntegerType()),
+            T.StructField("_bucket", T.LongType()),
+        ]
+    )
+
+    def hash_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lens = pdf["_v"].map(len).to_numpy()
+            if (lens != dim).any():
+                bad = int(lens[lens != dim][0])
+                raise ValueError(
+                    f"embedding length != hyperplane dim {dim} (got {bad})"
+                )
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+            m = len(V)
+            signs = (V @ P) > 0  # (m, T*b)
+            buckets = (
+                signs.reshape(m, n_tables, n_bits) @ bit_weights
+            )  # (m, T)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "_v": np.repeat(pdf["_v"].to_numpy(), n_tables),
+                    "_n": np.repeat(
+                        np.sqrt(np.einsum("ij,ij->i", V, V)), n_tables
+                    ),
+                    "_t": np.tile(ts, m),
+                    "_bucket": buckets.ravel(),
+                }
+            )
+
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+        .mapInPandas(hash_batches, schema=schema)
+    )
+
+
 def _cap_buckets(exploded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     """Drop degenerate (table, bucket) cells with more than ``max_bucket_size``
     members before the candidate self-join. All-zero / constant embeddings
@@ -326,6 +406,7 @@ def ann_lsh_multi_topk(
     n_bits: int = 8,
     seed: str = "hp",
     max_bucket_size: int | None = None,
+    use_gemm_hasher: bool = True,
 ) -> DataFrame:
     """Approximate top-k cosine via MULTI-TABLE random-hyperplane sign-LSH:
     candidates are pairs co-bucketed in ANY of ``n_tables`` independent
@@ -339,10 +420,13 @@ def ann_lsh_multi_topk(
     cross join at any scale. Output: (id, nn_id, cos_sim, rank, n_hit)
     where n_hit = number of tables that co-bucketed the pair (counted over
     the tables whose bucket survived ``max_bucket_size``, see
-    ``_cap_buckets``)."""
+    ``_cap_buckets``). ``use_gemm_hasher`` picks the Arrow GEMM hashing
+    stage (default — see :func:`_hp_exploded_gemm`); False keeps the
+    bit-exact expression-fold hasher."""
     tables = hyperplane_tables(dim, n_tables, n_bits, seed)
+    hasher = _hp_exploded_gemm if use_gemm_hasher else _hp_exploded
     exploded = _cap_buckets(
-        _hp_exploded(df, id_col, vec_col, tables), max_bucket_size
+        hasher(df, id_col, vec_col, tables), max_bucket_size
     )
     a = exploded.select(
         F.col(id_col), "_t", "_bucket",
@@ -384,15 +468,18 @@ def embedding_neardup_multi_pairs(
     n_bits: int = 8,
     seed: str = "hp",
     max_bucket_size: int | None = None,
+    use_gemm_hasher: bool = True,
 ) -> DataFrame:
     """Multi-table variant of ``embedding_neardup_pairs``: candidate pairs
     from the OR of ``n_tables`` random-hyperplane tables, exact-cosine
     verified, deduped. Same candidate/verify split, higher recall.
-    ``max_bucket_size`` drops degenerate buckets (``_cap_buckets``).
+    ``max_bucket_size`` drops degenerate buckets (``_cap_buckets``);
+    ``use_gemm_hasher`` as in :func:`ann_lsh_multi_topk`.
     Output: (id_a, id_b, cos_sim)."""
     tables = hyperplane_tables(dim, n_tables, n_bits, seed)
+    hasher = _hp_exploded_gemm if use_gemm_hasher else _hp_exploded
     exploded = _cap_buckets(
-        _hp_exploded(df, id_col, vec_col, tables), max_bucket_size
+        hasher(df, id_col, vec_col, tables), max_bucket_size
     )
     a = exploded.select(
         F.col(id_col).alias("id_a"), "_t", "_bucket",
@@ -603,12 +690,26 @@ def ann_ivf_topk_blocked(
             (i + 1, list(r["_v"]), float(r["_n"]))
             for i, r in enumerate(seed_rows)
         ]
+    id_type = df.schema[id_col].dataType
+    if not crows:
+        # empty corpus, no quantizer — same empty result the join form
+        # produces (its crossJoin against zero centroid rows yields nothing)
+        from pyspark.sql import types as T2
+
+        out_schema = T2.StructType(
+            [
+                T2.StructField(id_col, id_type),
+                T2.StructField("nn_id", id_type),
+                T2.StructField("cos_sim", T2.DoubleType()),
+                T2.StructField("rank", T2.IntegerType()),
+                T2.StructField("list_id", T2.IntegerType()),
+            ]
+        )
+        return df.sparkSession.createDataFrame([], out_schema)
     cids = np.array([c[0] for c in crows], dtype=np.int32)
     C = np.stack([np.asarray(c[1], dtype=np.float64) for c in crows])
     cn = np.array([c[2] for c in crows], dtype=np.float64)
     np_probe = min(nprobe, len(cids))
-
-    id_type = df.schema[id_col].dataType
     assign_schema = T.StructType(
         [
             T.StructField(id_col, id_type),

@@ -202,6 +202,46 @@ def test_ann_ivf_topk(spark, vectors):
     assert mine2 == {0, 1, 2}
 
 
+def test_ann_lsh_multi_gemm_matches_fold_hasher(spark):
+    """The GEMM hashing stage must reproduce the expression-fold hasher's
+    buckets (hence candidates, hence output) exactly — a sign flip would
+    need a hyperplane dot within ~1e-13 of zero."""
+    from geofeaturegeneration_spark.operators import (
+        ann_lsh_multi_topk,
+        embedding_neardup_multi_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for use_gemm in (False, True):
+        out = sorted(
+            map(
+                tuple,
+                ann_lsh_multi_topk(
+                    emb, "vec_id", "embedding", dim=64, k=3, n_tables=3,
+                    n_bits=8, use_gemm_hasher=use_gemm,
+                ).collect(),
+            )
+        )
+        if not use_gemm:
+            want = out
+        else:
+            assert out == want
+    for use_gemm in (False, True):
+        pairs = sorted(
+            map(
+                tuple,
+                embedding_neardup_multi_pairs(
+                    emb, "vec_id", "embedding", dim=64, threshold=0.3,
+                    n_tables=3, n_bits=8, use_gemm_hasher=use_gemm,
+                ).collect(),
+            )
+        )
+        if not use_gemm:
+            want_p = pairs
+        else:
+            assert pairs == want_p
+
+
 def test_ann_ivf_blocked_matches_join_form(spark):
     """The blocked-GEMM IVF plan must reproduce the join form exactly —
     same assignment (ties to smaller _cid), same candidates, same ranks —
