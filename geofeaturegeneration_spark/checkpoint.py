@@ -142,6 +142,25 @@ def prune_stale_partitions(
     return pruned
 
 
+def _delete_partition_dir(
+    spark: SparkSession, out_path: str, partition_col: str, key: str
+) -> None:
+    """Delete one ``partition_col=<key>`` directory (no-op if absent).
+
+    Dynamic partition overwrite only replaces partitions PRESENT in the
+    written data — a re-run whose output is zero rows for a key writes no
+    files and therefore deletes nothing, silently serving the previous
+    run's rows for that key. Callers delete the directory explicitly
+    before rewriting a partition so "this run produced nothing for key X"
+    lands as an empty partition, not a stale one."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{out_path}/{partition_col}={key}")
+    fs = p.getFileSystem(hconf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 @dataclass
 class PartitionResult:
     partition_key: str
@@ -168,13 +187,30 @@ def run_partitioned(
     between output-write and checkpoint-mark re-runs that partition
     idempotently (write is the source of truth; the mark only skips work).
     Partition directories OUTSIDE ``partition_keys`` (leftovers of a
-    previous run with a larger key set) are deleted up front, so the
-    directory always equals exactly this run's key set.
+    previous run with a larger key set) are deleted up front AND their
+    checkpoint marks invalidated (status "pruned" supersedes the old
+    "done"), so the directory always equals exactly this run's key set and
+    a LATER run that re-expands the key set re-runs the pruned keys
+    instead of resuming "done" marks whose data was deleted.
+
+    A re-run partition's directory is deleted explicitly before the write:
+    dynamic overwrite only replaces partitions present in the written
+    data, so a re-run producing ZERO rows for its key (legitimate — e.g. a
+    stricter quality filter rejecting a whole bucket) would otherwise
+    leave the previous lineage's files in place and count them as this
+    run's rows.
     """
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        prune_stale_partitions(spark, out_path, partition_col, partition_keys)
+        pruned = prune_stale_partitions(spark, out_path, partition_col, partition_keys)
+        for name in pruned:
+            store.mark(
+                job_id,
+                name.split("=", 1)[1],
+                "pruned",
+                lineage=lineage,
+            )
         done = set() if force else store.completed(job_id, lineage)
         results: list[PartitionResult] = []
         for key in partition_keys:
@@ -184,6 +220,11 @@ def run_partitioned(
             t0 = time.perf_counter()
             df = run_one(key)
             out = df.withColumn(partition_col, F.lit(key))
+            # invalidate BEFORE deleting: a crash between the delete and the
+            # write must leave the key marked not-done (so resume re-runs
+            # it), never an empty partition under a surviving "done" mark
+            store.mark(job_id, key, "rerun", lineage=lineage)
+            _delete_partition_dir(spark, out_path, partition_col, key)
             out.write.mode("overwrite").partitionBy(partition_col).parquet(out_path)
             # read back with the EXPLICIT schema: a partition that produced
             # zero rows writes no parquet files, and schema inference over a

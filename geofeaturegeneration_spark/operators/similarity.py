@@ -72,6 +72,56 @@ def cosine_topk(
     )
 
 
+def _tile_topk_score_fn(id_col: str, k: int, q_vec: str, list_col: str | None):
+    """Shared Arrow tile scorer for the blocked-GEMM top-k family
+    (:func:`cosine_topk_blocked`, :func:`ann_ivf_topk_blocked`): one
+    float64 GEMM per (query, corpus) tile, self-exclusion by id equality,
+    per-query local top-k ordered (cos desc, nn_id asc) via lexsort —
+    matching the final window's ordering exactly. ``list_col`` (IVF)
+    forwards the tile's constant inverted-list id into the output. The
+    load-bearing subtleties (self-exclusion mask, lexsort tie-break,
+    isfinite filter) live HERE once so the two callers cannot drift."""
+    import numpy as np
+    import pandas as pd
+
+    out_cols = [id_col, "nn_id", "_cos"] + ([list_col] if list_col else [])
+
+    def score_tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({c: [] for c in out_cols})
+        qid = lpdf[id_col].to_numpy()
+        rid = rpdf["_rid"].to_numpy()
+        Q = np.stack(lpdf[q_vec].to_numpy()).astype(np.float64, copy=False)
+        X = np.stack(rpdf["_rv"].to_numpy()).astype(np.float64, copy=False)
+        cos = (Q @ X.T) / np.outer(
+            np.sqrt(np.einsum("ij,ij->i", Q, Q)),
+            np.sqrt(np.einsum("ij,ij->i", X, X)),
+        )
+        cos[qid[:, None] == rid[None, :]] = -np.inf  # exclude self
+        kk = min(k, cos.shape[1])
+        # per-query local top-k, ties on nn_id ascending (matches the window)
+        rows = []
+        for i in range(cos.shape[0]):
+            order = np.lexsort((rid, -cos[i]))[:kk]
+            keep = order[np.isfinite(cos[i][order])]
+            rows.append((np.full(len(keep), qid[i]), rid[keep], cos[i][keep]))
+        if not rows:
+            return pd.DataFrame({c: [] for c in out_cols})
+        out = {
+            id_col: np.concatenate([r[0] for r in rows]),
+            "nn_id": np.concatenate([r[1] for r in rows]),
+            "_cos": np.concatenate([r[2] for r in rows]),
+        }
+        if list_col:
+            n_out = len(out["nn_id"])
+            out[list_col] = np.full(
+                n_out, int(lpdf[list_col].iloc[0]), dtype=np.int32
+            )
+        return pd.DataFrame(out)
+
+    return score_tile
+
+
 def cosine_topk_blocked(
     df: DataFrame, id_col: str, vec_col: str, k: int = 5, n_blocks: int = 8
 ) -> DataFrame:
@@ -102,8 +152,6 @@ def cosine_topk_blocked(
     within ~1e-13 of each other — below any plausible data resolution — so
     the DuckDB fold oracle stays value-exact (verified at sf0.01 and
     sf0.1)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     id_type = df.schema[id_col].dataType
@@ -136,39 +184,13 @@ def cosine_topk_blocked(
         .withColumn("_qb", F.explode(blocks))
     )
 
-    def score_tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({c: [] for c in [id_col, "nn_id", "_cos"]})
-        qid = lpdf[id_col].to_numpy()
-        rid = rpdf["_rid"].to_numpy()
-        Q = np.stack(lpdf["_v"].to_numpy()).astype(np.float64, copy=False)
-        X = np.stack(rpdf["_rv"].to_numpy()).astype(np.float64, copy=False)
-        cos = (Q @ X.T) / np.outer(
-            np.sqrt(np.einsum("ij,ij->i", Q, Q)),
-            np.sqrt(np.einsum("ij,ij->i", X, X)),
-        )
-        cos[qid[:, None] == rid[None, :]] = -np.inf  # exclude self
-        kk = min(k, cos.shape[1])
-        # per-query local top-k, ties on nn_id ascending (matches the window)
-        rows = []
-        for i in range(cos.shape[0]):
-            order = np.lexsort((rid, -cos[i]))[:kk]
-            keep = order[np.isfinite(cos[i][order])]
-            rows.append((np.full(len(keep), qid[i]), rid[keep], cos[i][keep]))
-        if not rows:
-            return pd.DataFrame({c: [] for c in [id_col, "nn_id", "_cos"]})
-        return pd.DataFrame(
-            {
-                id_col: np.concatenate([r[0] for r in rows]),
-                "nn_id": np.concatenate([r[1] for r in rows]),
-                "_cos": np.concatenate([r[2] for r in rows]),
-            }
-        )
-
     partial = (
         q_side.groupBy("_qb", "_ob")
         .cogroup(c_side.groupBy("_qb", "_ob"))
-        .applyInPandas(score_tile, schema=out_partial)
+        .applyInPandas(
+            _tile_topk_score_fn(id_col, k, q_vec="_v", list_col=None),
+            schema=out_partial,
+        )
     )
     w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
     return (
@@ -566,9 +588,17 @@ def ann_ivf_topk(
     per-vector argmin; search = equi-join on the list id. Two broadcast
     joins + one equi-join — never a cross join over the corpus.
 
+    Null / zero-norm vectors have no cosine direction: they are excluded
+    from the corpus, the probe set, and seed selection (in both this form
+    and the blocked twin — the exclusion keeps the two forms identical on
+    degenerate inputs, where NaN cosines would otherwise rank differently
+    in Spark's window than in the numpy tiles).
+
     Output: (id_col, nn_id, cos_sim, rank, list_id)."""
     v = _to_double(F.col(vec_col))
-    normed = df.select(F.col(id_col), v.alias("_v"), _norm(v).alias("_n"))
+    normed = df.select(F.col(id_col), v.alias("_v"), _norm(v).alias("_n")).filter(
+        F.col("_n") > 0
+    )
     # the coarse quantizer is TRAINED eagerly (one tiny TakeOrdered job) and
     # becomes a literal broadcast table — exactly how a real IVF ships its
     # k-means centroids; keeping it lazy would replicate a global-window
@@ -682,7 +712,7 @@ def ann_ivf_topk_blocked(
             for r in centroids.orderBy("_cid").collect()
         ]
     else:
-        base = with_norm(df, id_col, vec_col)
+        base = with_norm(df, id_col, vec_col).filter(F.col("_n") > 0)
         seed_rows = (
             base.orderBy(id_col).limit(n_centroids).select("_v", "_n").collect()
         )
@@ -725,6 +755,12 @@ def ann_ivf_topk_blocked(
                 continue
             V = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
             vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            ok = vn > 0  # zero-norm vectors have no direction: excluded
+            if not ok.all():
+                pdf = pdf[ok].reset_index(drop=True)
+                if pdf.empty:
+                    continue
+                V, vn = V[ok], vn[ok]
             sims = (V @ C.T) / np.outer(vn, cn)
             m = len(V)
             # per-row order by (cos desc, _cid asc) — lexsort's last key is
@@ -744,9 +780,11 @@ def ann_ivf_topk_blocked(
                 }
             )
 
-    assigned = df.select(
-        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
-    ).mapInPandas(assign, schema=assign_schema)
+    assigned = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+        .mapInPandas(assign, schema=assign_schema)
+    )
 
     blocks = F.array(*[F.lit(j).cast("long") for j in range(n_blocks)])
     q_side = (
@@ -775,43 +813,14 @@ def ann_ivf_topk_blocked(
             T.StructField("list_id", T.IntegerType()),
         ]
     )
-    empty_cols = [id_col, "nn_id", "_cos", "list_id"]
-
-    def score_tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({c: [] for c in empty_cols})
-        qid = lpdf[id_col].to_numpy()
-        rid = rpdf["_rid"].to_numpy()
-        Q = np.stack(lpdf["_va"].to_numpy()).astype(np.float64, copy=False)
-        X = np.stack(rpdf["_rv"].to_numpy()).astype(np.float64, copy=False)
-        cos = (Q @ X.T) / np.outer(
-            np.sqrt(np.einsum("ij,ij->i", Q, Q)),
-            np.sqrt(np.einsum("ij,ij->i", X, X)),
-        )
-        cos[qid[:, None] == rid[None, :]] = -np.inf  # exclude self
-        kk = min(k, cos.shape[1])
-        rows = []
-        for i in range(cos.shape[0]):
-            order = np.lexsort((rid, -cos[i]))[:kk]
-            keep = order[np.isfinite(cos[i][order])]
-            rows.append((np.full(len(keep), qid[i]), rid[keep], cos[i][keep]))
-        if not rows:
-            return pd.DataFrame({c: [] for c in empty_cols})
-        lid = int(lpdf["list_id"].iloc[0])
-        n_out = sum(len(r[1]) for r in rows)
-        return pd.DataFrame(
-            {
-                id_col: np.concatenate([r[0] for r in rows]),
-                "nn_id": np.concatenate([r[1] for r in rows]),
-                "_cos": np.concatenate([r[2] for r in rows]),
-                "list_id": np.full(n_out, lid, dtype=np.int32),
-            }
-        )
 
     partial = (
         q_side.groupBy("list_id", "_qb", "_ob")
         .cogroup(c_side.groupBy("_rlist", "_qb", "_ob"))
-        .applyInPandas(score_tile, schema=out_partial)
+        .applyInPandas(
+            _tile_topk_score_fn(id_col, k, q_vec="_va", list_col="list_id"),
+            schema=out_partial,
+        )
     )
     w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
     return (

@@ -448,6 +448,64 @@ def test_dedup_pipeline_max_bucket_size_in_lineage(spark, tmp_path):
     )
 
 
+def test_rerun_with_empty_output_clears_stale_partition(spark, seq, tmp_path):
+    """Dynamic partition overwrite only replaces partitions PRESENT in the
+    written data, so a lineage-invalidated re-run whose new output is zero
+    rows for a key (e.g. a stricter quality filter rejecting the whole
+    bucket) would silently keep — and re-count — the previous lineage's
+    rows. run_partitioned now deletes the key's directory before the
+    write. Regression for the round-4 self-review finding."""
+    out, ck = str(tmp_path / "out_empty"), str(tmp_path / "ck_empty")
+    sources = sorted(r["source"] for r in seq.select("source").distinct().collect())
+    store = CheckpointStore(spark, ck)
+
+    def run_v1(key):
+        return build_features(seq.filter(F.col("source") == key))
+
+    run_partitioned(spark, store, "j", sources, run_v1, out, "part_key", "v1")
+
+    victim = sources[0]
+
+    def run_v2(key):
+        df = build_features(seq.filter(F.col("source") == key))
+        return df.filter(F.lit(key != victim))  # v2 rejects the whole bucket
+
+    r2 = run_partitioned(spark, store, "j", sources, run_v2, out, "part_key", "v2")
+    by_key = {r.partition_key: r for r in r2}
+    assert by_key[victim].rows == 0 and not by_key[victim].skipped
+    got = spark.read.parquet(out).filter(F.col("part_key") == victim).count()
+    assert got == 0  # the v1 rows are gone, not served as v2's output
+
+
+def test_expanding_key_set_reruns_pruned_partitions(spark, seq, tmp_path):
+    """Shrinking the key set prunes data dirs; re-expanding it later must
+    re-run the pruned keys, not resume their surviving 'done' marks against
+    deleted data. run_partitioned now writes a superseding 'pruned' mark
+    for every directory it deletes. Regression for the round-4 self-review
+    finding (the 4->2->4 oscillation)."""
+    out, ck = str(tmp_path / "out_osc"), str(tmp_path / "ck_osc")
+    sources = sorted(r["source"] for r in seq.select("source").distinct().collect())
+    assert len(sources) >= 2
+    store = CheckpointStore(spark, ck)
+
+    def run_one(key):
+        return build_features(seq.filter(F.col("source") == key))
+
+    run_partitioned(spark, store, "j", sources, run_one, out, "part_key", "v1")
+    run_partitioned(spark, store, "j", sources[:1], run_one, out, "part_key", "v1")
+    r3 = run_partitioned(spark, store, "j", sources, run_one, out, "part_key", "v1")
+    by_key = {r.partition_key: r for r in r3}
+    assert by_key[sources[0]].skipped  # never pruned, still resumable
+    for key in sources[1:]:
+        assert not by_key[key].skipped, key  # pruned keys re-ran
+        assert by_key[key].rows > 0, key
+    present = {
+        str(r["part_key"])
+        for r in spark.read.parquet(out).select("part_key").distinct().collect()
+    }
+    assert present == set(sources)
+
+
 def test_dedup_pipeline_shrinking_buckets_prunes_stale_partitions(
     spark, tmp_path
 ):

@@ -245,13 +245,20 @@ def test_ann_lsh_multi_gemm_matches_fold_hasher(spark):
 def test_ann_ivf_blocked_matches_join_form(spark):
     """The blocked-GEMM IVF plan must reproduce the join form exactly —
     same assignment (ties to smaller _cid), same candidates, same ranks —
-    at nprobe 1 and 2, including when sub-blocks are finer than lists."""
+    at nprobe 1 and 2, including when sub-blocks are finer than lists, and
+    including degenerate inputs (a NULL and a zero-norm vector, which both
+    forms must exclude rather than crash on / NaN-rank differently)."""
     from geofeaturegeneration_spark.operators import (
         ann_ivf_topk,
         ann_ivf_topk_blocked,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    degenerate = spark.createDataFrame(
+        [(100001, None), (100002, [0.0] * 64)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    emb = emb.select("vec_id", "embedding").unionByName(degenerate)
     for nprobe in (1, 2):
         want = sorted(
             map(

@@ -171,9 +171,10 @@ out = span_reassemble(scrubbed, ivals, "doc_id", "text")
 agg = out.agg(F.count(F.lit(1)).alias("n"),
               F.sum("n_dup_tokens").alias("cut")).collect()[0]
 wall = time.perf_counter() - t0
+cut = int(agg["cut"] or 0)  # SUM over zero rows is NULL, not 0
 print("RESULT " + repr({{"cpus": {cpus}, "n_docs": n_docs,
-                         "kept": int(agg["n"]) * 1000000 + int(agg["cut"]),
-                         "rows": int(agg["n"]), "cut_tokens": int(agg["cut"]),
+                         "kept": int(agg["n"]) * 1000000 + cut,
+                         "rows": int(agg["n"]), "cut_tokens": cut,
                          "wall": round(wall, 3)}}))
 """
 
