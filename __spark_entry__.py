@@ -303,6 +303,38 @@ def q_stay_move_spliced(spark, sf_dir):
     )
 
 
+def q_traj_graph(spark, sf_dir):
+    """Directed state-transition graph over each user's stay sequence — the
+    reference's declared-but-never-shipped TrajectoryGraph output
+    (README.md:63, Parameters.json:73-77 reserve ``OutputType: graph`` with
+    no code path). Stays come from the same state-change sessionization as
+    the in-window sessionize_state query; one lag window over the
+    entity-keyed shuffle it already has, then one (src,dst) groupBy."""
+    from geofeaturegeneration_spark.operators import trajectory_graph
+
+    ev = _t(spark, sf_dir, "events")
+    stays = sessionize_state_change(
+        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0
+    )
+    return trajectory_graph(stays, ["user_id"], "stime", "event_type")
+
+
+def q_graph_nodes(spark, sf_dir):
+    """Node-degree feature vectors from the traj_graph edge table (out/in
+    transition totals + distinct-neighbor degrees) — one union + groupBy
+    over an already-tiny edge table."""
+    from geofeaturegeneration_spark.operators import (
+        node_features,
+        trajectory_graph,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    stays = sessionize_state_change(
+        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0
+    )
+    return node_features(trajectory_graph(stays, ["user_id"], "stime", "event_type"))
+
+
 def _asof_inputs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     left = ev.filter(F.col("event_type") == "purchase").select(
@@ -863,6 +895,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by folding `fingerprint` (the literal first stage of dedup_exact,
         # which stays in-window) into extra_queries()
         "span_dedup": q_span_dedup,
+        # round 4: trajectory transition graph (the reference's declared
+        # TrajectoryGraph output, never shipped there) — slot freed by
+        # folding `decimate` (a two-expression row filter, driver-green
+        # r01-r03) into extra_queries()
+        "traj_graph": q_traj_graph,
         # --- the rest of the contract ---
         "tpch_pricing": q_tpch_pricing,
         "orders_enrich": q_orders_enrich,
@@ -895,7 +932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "embed_payload": q_embed_payload,
         "minmax_norm": q_minmax,
-        "decimate": q_decimate,
         "sliding_subseq": q_sliding,
         "grid_cantor": q_grid,
         "geohash": q_geohash,
@@ -1142,6 +1178,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r02 and stay under the local oracle gate
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
+        # round 4: folded out of the driver window (driver-green r01-r03;
+        # two-expression operator) to give the new traj_graph operator its
+        # first CORRECTNESS row; stays value-exact under compare_oracle
+        "decimate": q_decimate,
+        # node-degree features derived ENTIRELY from the in-window
+        # traj_graph edge table (union + groupBy of its output) — verified
+        # transitively by the contract entry, value-exact here
+        "graph_nodes": q_graph_nodes,
     }
 
 
@@ -1571,6 +1615,64 @@ SELECT user_id,
        s_event_type, e_event_type, move_stime, move_etime,
        ({_SEC.format(x='move_etime')} - {_SEC.format(x='move_stime')})::DOUBLE AS duration_s
 FROM mv WHERE move_etime IS NOT NULL
+""",
+        "traj_graph": f"""
+WITH f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w != event_type
+                          THEN 1 ELSE 0 END AS new
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+g AS (SELECT user_id, sid, min(ts) AS stime,
+             arg_min(event_type, ts) AS event_type
+      FROM s GROUP BY 1,2),
+e AS (SELECT *, lead(stime) OVER w2 AS etime
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime)),
+stays AS (SELECT user_id, stime, event_type FROM e
+          WHERE etime IS NOT NULL
+            AND ({_SEC.format(x='etime')} - {_SEC.format(x='stime')}) >= 600),
+edges AS (SELECT user_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY stime) AS src,
+                 event_type AS dst
+          FROM stays)
+SELECT src, dst, count(*)::BIGINT AS n_trips,
+       count(DISTINCT user_id)::BIGINT AS n_entities
+FROM edges WHERE src IS NOT NULL AND src != dst
+GROUP BY src, dst
+""",
+        "graph_nodes": f"""
+WITH f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                            OR lag(event_type) OVER w != event_type
+                          THEN 1 ELSE 0 END AS new
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+g AS (SELECT user_id, sid, min(ts) AS stime,
+             arg_min(event_type, ts) AS event_type
+      FROM s GROUP BY 1,2),
+e AS (SELECT *, lead(stime) OVER w2 AS etime
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime)),
+stays AS (SELECT user_id, stime, event_type FROM e
+          WHERE etime IS NOT NULL
+            AND ({_SEC.format(x='etime')} - {_SEC.format(x='stime')}) >= 600),
+edg AS (SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY stime) AS src,
+               event_type AS dst
+        FROM stays),
+edges AS (SELECT src, dst, count(*)::BIGINT AS n_trips
+          FROM edg WHERE src IS NOT NULL AND src != dst
+          GROUP BY src, dst),
+sides AS (
+  SELECT src AS node, n_trips AS out_t, 1 AS out_d,
+         0::BIGINT AS in_t, 0 AS in_d FROM edges
+  UNION ALL
+  SELECT dst AS node, 0::BIGINT AS out_t, 0 AS out_d,
+         n_trips AS in_t, 1 AS in_d FROM edges)
+SELECT node, sum(out_t)::BIGINT AS out_trips, sum(out_d)::BIGINT AS out_degree,
+       sum(in_t)::BIGINT AS in_trips, sum(in_d)::BIGINT AS in_degree
+FROM sides GROUP BY node
 """,
         "asof_union": _ASOF_SQL,
         "asof_salted": _ASOF_SQL,

@@ -88,6 +88,7 @@ HEADLINE = [
     "line_dedup",
     "pack_sequences",
     "span_dedup",
+    "traj_graph",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Trajectory transition graph (reference's declared-but-unshipped
+TrajectoryGraph output — README.md:63, Parameters.json:73-77 reserve the
+``OutputType: graph`` selector with no backing code).
+
+Hand-checked fixtures: known stay sequences -> exact expected edge and
+node-degree tables.
+"""
+
+from pyspark.sql import functions as F
+
+from geofeaturegeneration_spark.operators import node_features, trajectory_graph
+
+
+def _stays(spark):
+    # two entities; u1 walks A->B->A->B, u2 walks A->B->B (self-loop) ->C
+    rows = [
+        ("u1", 1, "A"),
+        ("u1", 2, "B"),
+        ("u1", 3, "A"),
+        ("u1", 4, "B"),
+        ("u2", 1, "A"),
+        ("u2", 2, "B"),
+        ("u2", 3, "B"),
+        ("u2", 4, "C"),
+    ]
+    return spark.createDataFrame(rows, "user_id string, stime int, node string")
+
+
+def test_edges_counts_and_entities(spark):
+    edges = trajectory_graph(_stays(spark), ["user_id"], "stime", "node")
+    got = {
+        (r.src, r.dst): (r.n_trips, r.n_entities) for r in edges.collect()
+    }
+    # A->B: u1 twice + u2 once = 3 trips / 2 entities; B->A: u1 once;
+    # B->C: u2 once; B->B self-loop dropped by default
+    assert got == {
+        ("A", "B"): (3, 2),
+        ("B", "A"): (1, 1),
+        ("B", "C"): (1, 1),
+    }
+
+
+def test_self_loops_kept_when_asked(spark):
+    edges = trajectory_graph(
+        _stays(spark), ["user_id"], "stime", "node", keep_self_loops=True
+    )
+    got = {(r.src, r.dst): (r.n_trips, r.n_entities) for r in edges.collect()}
+    assert got[("B", "B")] == (1, 1)
+    assert got[("A", "B")] == (3, 2)
+
+
+def test_single_stay_entity_emits_no_edges(spark):
+    df = spark.createDataFrame(
+        [("u3", 1, "Z")], "user_id string, stime int, node string"
+    )
+    assert trajectory_graph(df, ["user_id"], "stime", "node").count() == 0
+
+
+def test_node_features_degrees(spark):
+    edges = trajectory_graph(_stays(spark), ["user_id"], "stime", "node")
+    nf = {r.node: r.asDict() for r in node_features(edges).collect()}
+    # A: out A->B (3 trips, 1 neighbor); in B->A (1 trip, 1 neighbor)
+    assert nf["A"] == {
+        "node": "A", "out_trips": 3, "out_degree": 1,
+        "in_trips": 1, "in_degree": 1,
+    }
+    # B: out B->A + B->C (2 trips, 2 neighbors); in A->B (3 trips, 1)
+    assert nf["B"] == {
+        "node": "B", "out_trips": 2, "out_degree": 2,
+        "in_trips": 3, "in_degree": 1,
+    }
+    # C: sink only
+    assert nf["C"] == {
+        "node": "C", "out_trips": 0, "out_degree": 0,
+        "in_trips": 1, "in_degree": 1,
+    }
+
+
+def test_types_are_exact_bigint(spark):
+    edges = trajectory_graph(_stays(spark), ["user_id"], "stime", "node")
+    etypes = dict(edges.dtypes)
+    assert etypes["n_trips"] == "bigint" and etypes["n_entities"] == "bigint"
+    ntypes = dict(node_features(edges).dtypes)
+    for c in ("out_trips", "out_degree", "in_trips", "in_degree"):
+        assert ntypes[c] == "bigint", (c, ntypes[c])
+
+
+def test_plan_shape_single_window_plus_agg(spark):
+    """Scale guard: the edge derivation must be one window over the
+    entity key plus one hash aggregate — no join, no explode, no
+    cartesian node anywhere in the plan."""
+    edges = trajectory_graph(_stays(spark), ["user_id"], "stime", "node")
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Generate" not in plan
+    assert plan.count("Window") == 1
