@@ -653,6 +653,32 @@ def q_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the
+    deterministic farthest-point quantizer (same trained table as
+    ann_ivf_trained — cached), then within each cluster drop every row
+    that has a lower-id neighbor at cosine >= 0.3, keeping the smallest-id
+    exemplar per duplicate neighborhood. Assignment + screening both run
+    as blocked GEMM; the oracle replays the fold-dot rule exactly."""
+    from geofeaturegeneration_spark.operators import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_FPS:
+        from geofeaturegeneration_spark.operators import farthest_point_centroids
+
+        cents = farthest_point_centroids(emb, "vec_id", "embedding", k=8)
+        _IVF_FPS[sf_dir] = [
+            (r["_cid"], list(r["_cv"]), float(r["_cn"])) for r in cents.collect()
+        ]
+    cent = spark.createDataFrame(
+        _IVF_FPS[sf_dir], "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE"
+    )
+    return semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.3, n_clusters=8,
+        centroids=cent,
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35, n_bits=8)
@@ -900,6 +926,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # folding `decimate` (a two-expression row filter, driver-green
         # r01-r03) into extra_queries()
         "traj_graph": q_traj_graph,
+        # round 4: SemDeDup embedding-space dedup (new operator) — slot
+        # freed by folding `minmax_norm` (a two-expression window op,
+        # driver-green r01-r03) into extra_queries()
+        "semantic_dedup": q_semantic_dedup,
         # --- the rest of the contract ---
         "tpch_pricing": q_tpch_pricing,
         "orders_enrich": q_orders_enrich,
@@ -931,7 +961,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
         "embed_payload": q_embed_payload,
-        "minmax_norm": q_minmax,
         "sliding_subseq": q_sliding,
         "grid_cantor": q_grid,
         "geohash": q_geohash,
@@ -1179,9 +1208,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
         # round 4: folded out of the driver window (driver-green r01-r03;
-        # two-expression operator) to give the new traj_graph operator its
-        # first CORRECTNESS row; stays value-exact under compare_oracle
+        # two-expression operators) to give the new traj_graph and
+        # semantic_dedup operators their first CORRECTNESS rows; both stay
+        # value-exact under compare_oracle
         "decimate": q_decimate,
+        "minmax_norm": q_minmax,
         # node-degree features derived ENTIRELY from the in-window
         # traj_graph edge table (union + groupBy of its output) — verified
         # transitively by the contract entry, value-exact here
@@ -1286,6 +1317,33 @@ r AS (SELECT vec_id, nn_id, list_id, cos,
       FROM p)
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", list_id::BIGINT AS list_id
 FROM r WHERE rnk <= {k}
+"""
+    return sql.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+
+
+def _semantic_dedup_sql(threshold: float, cent_ctes: str) -> str:
+    """SemDeDup keep verdicts; ``cent_ctes`` must define ``cent(cid,cv,cn)``
+    (the trained farthest-point quantizer). Mirrors operators/similarity
+    .semantic_dedup: home-cluster assignment by (cos desc, cid asc), then
+    drop iff a lower-id same-cluster row has cosine >= threshold. Same
+    MATERIALIZED discipline as _ivf_search_sql (the fps chain re-references
+    its CTEs)."""
+    sql = f"""
+WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
+{cent_ctes},
+asg AS (SELECT n.vec_id, n.embedding, n.nn, cent.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY ({_dot_sql('n', 'cent', bcol='cv')}) / (n.nn * cent.cn) DESC,
+                          cent.cid ASC) AS crank
+        FROM n CROSS JOIN cent),
+home AS (SELECT vec_id, embedding, nn, cid FROM asg WHERE crank = 1),
+drops AS (SELECT DISTINCT a.vec_id
+          FROM home a JOIN home b
+            ON a.cid = b.cid AND b.vec_id < a.vec_id
+          WHERE ({_dot_sql('a', 'b')}) / (a.nn * b.nn) >= {threshold})
+SELECT h.vec_id, h.cid::INT AS cluster_id, (d.vec_id IS NULL) AS keep
+FROM home h LEFT JOIN drops d ON h.vec_id = d.vec_id
 """
     return sql.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
 
@@ -1868,6 +1926,7 @@ FROM r WHERE rnk <= 5
          FROM (SELECT * FROM n ORDER BY vec_id LIMIT 8))"""
         ),
         "ann_ivf_trained": _ivf_search_sql(_fps_cent_ctes(8)),
+        "semantic_dedup": _semantic_dedup_sql(0.3, _fps_cent_ctes(8)),
         "embedding_neardup": f"""
 WITH base AS (SELECT vec_id, embedding,
                      ({lsh_bucket_sql})::BIGINT AS bucket FROM embeddings),

@@ -89,6 +89,7 @@ HEADLINE = [
     "pack_sequences",
     "span_dedup",
     "traj_graph",
+    "semantic_dedup",
 ]
 
 

@@ -702,89 +702,24 @@ def ann_ivf_topk_blocked(
 
     Output: (id_col, nn_id, cos_sim, rank, list_id) — identical to
     :func:`ann_ivf_topk`, which survives as the exactness twin."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
-    if centroids is not None:
-        crows = [
-            (int(r["_cid"]), list(r["_cv"]), float(r["_cn"]))
-            for r in centroids.orderBy("_cid").collect()
-        ]
-    else:
-        base = with_norm(df, id_col, vec_col).filter(F.col("_n") > 0)
-        seed_rows = (
-            base.orderBy(id_col).limit(n_centroids).select("_v", "_n").collect()
-        )
-        crows = [
-            (i + 1, list(r["_v"]), float(r["_n"]))
-            for i, r in enumerate(seed_rows)
-        ]
+    crows = _quantizer_rows(df, id_col, vec_col, n_centroids, centroids)
     id_type = df.schema[id_col].dataType
     if not crows:
         # empty corpus, no quantizer — same empty result the join form
         # produces (its crossJoin against zero centroid rows yields nothing)
-        from pyspark.sql import types as T2
-
-        out_schema = T2.StructType(
+        out_schema = T.StructType(
             [
-                T2.StructField(id_col, id_type),
-                T2.StructField("nn_id", id_type),
-                T2.StructField("cos_sim", T2.DoubleType()),
-                T2.StructField("rank", T2.IntegerType()),
-                T2.StructField("list_id", T2.IntegerType()),
+                T.StructField(id_col, id_type),
+                T.StructField("nn_id", id_type),
+                T.StructField("cos_sim", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("list_id", T.IntegerType()),
             ]
         )
         return df.sparkSession.createDataFrame([], out_schema)
-    cids = np.array([c[0] for c in crows], dtype=np.int32)
-    C = np.stack([np.asarray(c[1], dtype=np.float64) for c in crows])
-    cn = np.array([c[2] for c in crows], dtype=np.float64)
-    np_probe = min(nprobe, len(cids))
-    assign_schema = T.StructType(
-        [
-            T.StructField(id_col, id_type),
-            T.StructField("_v", T.ArrayType(T.DoubleType())),
-            T.StructField("list_id", T.IntegerType()),
-            T.StructField("_home", T.BooleanType()),
-        ]
-    )
-
-    def assign(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
-            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
-            ok = vn > 0  # zero-norm vectors have no direction: excluded
-            if not ok.all():
-                pdf = pdf[ok].reset_index(drop=True)
-                if pdf.empty:
-                    continue
-                V, vn = V[ok], vn[ok]
-            sims = (V @ C.T) / np.outer(vn, cn)
-            m = len(V)
-            # per-row order by (cos desc, _cid asc) — lexsort's last key is
-            # primary, so ties on cos break to the smaller centroid id,
-            # matching the join form's row_number ordering exactly
-            order = np.lexsort(
-                (np.broadcast_to(cids, sims.shape), -sims), axis=1
-            )[:, :np_probe]
-            yield pd.DataFrame(
-                {
-                    id_col: np.repeat(pdf[id_col].to_numpy(), np_probe),
-                    "_v": np.repeat(pdf["_v"].to_numpy(), np_probe),
-                    "list_id": cids[order].ravel(),
-                    "_home": np.tile(
-                        np.arange(np_probe) == 0, m
-                    ),
-                }
-            )
-
-    assigned = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
-        .mapInPandas(assign, schema=assign_schema)
-    )
+    assigned = _gemm_assign(df, id_col, vec_col, crows, nprobe, id_type)
 
     blocks = F.array(*[F.lit(j).cast("long") for j in range(n_blocks)])
     q_side = (
@@ -834,6 +769,255 @@ def ann_ivf_topk_blocked(
             F.col("list_id"),
         )
     )
+
+
+def _quantizer_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    centroids: DataFrame | None,
+) -> list[tuple[int, list[float], float]]:
+    """Collect the tiny quantizer to driver rows (cid, vector, norm) — from
+    a pre-trained ``centroids`` table, or the deterministic first-N-by-id
+    seed set when none is given. O(k) rows either way."""
+    if centroids is not None:
+        return [
+            (int(r["_cid"]), list(r["_cv"]), float(r["_cn"]))
+            for r in centroids.orderBy("_cid").collect()
+        ]
+    base = with_norm(df, id_col, vec_col).filter(F.col("_n") > 0)
+    seed_rows = (
+        base.orderBy(id_col).limit(n_centroids).select("_v", "_n").collect()
+    )
+    return [
+        (i + 1, list(r["_v"]), float(r["_n"])) for i, r in enumerate(seed_rows)
+    ]
+
+
+def _gemm_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    crows: list[tuple[int, list[float], float]],
+    nprobe: int,
+    id_type,
+) -> DataFrame:
+    """Quantizer assignment as one vectors x centroids GEMM per Arrow batch
+    (``mapInPandas``): the quantizer becomes a numpy literal inside the
+    closure, each batch emits its ``nprobe`` nearest list ids (ties by _cid
+    asc via lexsort — identical to the join form's row_number ordering).
+    No shuffle, no window: the per-id argmin that would cost an n x C
+    exchange is a per-batch argmax. Zero-norm / null vectors are excluded
+    (no cosine direction). Returns (id_col, _v, list_id, _home) with
+    ``_home`` marking the single nearest list. Shared by
+    :func:`ann_ivf_topk_blocked` and :func:`semantic_dedup`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cids = np.array([c[0] for c in crows], dtype=np.int32)
+    C = np.stack([np.asarray(c[1], dtype=np.float64) for c in crows])
+    cn = np.array([c[2] for c in crows], dtype=np.float64)
+    np_probe = min(nprobe, len(cids))
+    assign_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("_v", T.ArrayType(T.DoubleType())),
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("_home", T.BooleanType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+            vn = np.sqrt(np.einsum("ij,ij->i", V, V))
+            ok = vn > 0  # zero-norm vectors have no direction: excluded
+            if not ok.all():
+                pdf = pdf[ok].reset_index(drop=True)
+                if pdf.empty:
+                    continue
+                V, vn = V[ok], vn[ok]
+            sims = (V @ C.T) / np.outer(vn, cn)
+            m = len(V)
+            # per-row order by (cos desc, _cid asc) — lexsort's last key is
+            # primary, so ties on cos break to the smaller centroid id,
+            # matching the join form's row_number ordering exactly
+            order = np.lexsort(
+                (np.broadcast_to(cids, sims.shape), -sims), axis=1
+            )[:, :np_probe]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), np_probe),
+                    "_v": np.repeat(pdf["_v"].to_numpy(), np_probe),
+                    "list_id": cids[order].ravel(),
+                    "_home": np.tile(np.arange(np_probe) == 0, m),
+                }
+            )
+
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+        .mapInPandas(assign, schema=assign_schema)
+    )
+
+
+def _tile_drop_fn(id_col: str, threshold: float):
+    """Arrow tile flagger for :func:`semantic_dedup`: one float64 GEMM per
+    (cluster, query_block, corpus_block) tile, emitting the query ids that
+    have ANY lower-id neighbor at cosine >= threshold in the tile. Output
+    is ids only — a tile never materializes its pair list."""
+    import numpy as np
+    import pandas as pd
+
+    def flag_tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({id_col: []})
+        qid = lpdf[id_col].to_numpy()
+        rid = rpdf["_rid"].to_numpy()
+        Q = np.stack(lpdf["_va"].to_numpy()).astype(np.float64, copy=False)
+        X = np.stack(rpdf["_rv"].to_numpy()).astype(np.float64, copy=False)
+        cos = (Q @ X.T) / np.outer(
+            np.sqrt(np.einsum("ij,ij->i", Q, Q)),
+            np.sqrt(np.einsum("ij,ij->i", X, X)),
+        )
+        hit = ((cos >= threshold) & (rid[None, :] < qid[:, None])).any(axis=1)
+        return pd.DataFrame({id_col: qid[hit]})
+
+    return flag_tile
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_clusters: int = 8,
+    centroids: DataFrame | None = None,
+    n_blocks: int = 4,
+    max_cluster_size: int | None = None,
+    salt: str = "ivfseed",
+) -> DataFrame:
+    """Semantic (embedding-space) dedup — the SemDeDup recipe (Abbas et al.
+    2023, arXiv:2303.09540) Spark-first: cluster embeddings with a coarse
+    quantizer, then prune near-duplicates WITHIN each cluster only, so the
+    pair stage is bounded by cluster sizes instead of n^2.
+
+    Keep rule (deterministic, parallelism-invariant): a row is DROPPED iff
+    some SAME-CLUSTER row with a smaller id has cosine >= ``threshold`` to
+    it — each duplicate neighborhood keeps its smallest-id exemplar. (The
+    paper keeps a per-group exemplar chosen arbitrarily; min-id is the
+    engine-reproducible choice, mirroring exact_dedup/line_dedup.) The rule
+    needs only an EXISTS per row, so tiles emit flagged ids, never pairs.
+
+    Stages, all scale-shaped:
+    * quantizer: caller-provided ``centroids`` (production: k-means on a
+      sample via ``train_ivf_centroids``) or the deterministic
+      SQL-replayable :func:`farthest_point_centroids` — O(k) driver rows;
+    * assignment: one GEMM per Arrow batch (:func:`_gemm_assign`), no
+      shuffle, no window;
+    * within-cluster screen: cogrouped GEMM tiles keyed on (cluster,
+      query_block, corpus_block) — the :func:`cosine_topk_blocked` block
+      scheme, so ``n_blocks`` bounds tile memory even when one cluster is
+      hot; ``max_cluster_size`` additionally EXEMPTS clusters above the cap
+      from pruning entirely (their rows keep=true — the honest bound when
+      a degenerate quantizer piles the corpus into one list);
+    * null / zero-norm vectors have no cosine direction: kept
+      unconditionally with cluster_id NULL.
+
+    Determinism: GEMM sums associate differently from the sequential fold;
+    a keep flip needs two cosines straddling ``threshold`` within ~1e-13 —
+    the same documented bet as the blocked top-k family, verified
+    value-exact against the fold-dot DuckDB oracle at sf0.01 and sf0.1.
+
+    Output: (id_col, cluster_id INT nullable, keep BOOLEAN) — one row per
+    input row.
+    """
+    from pyspark.sql import types as T
+
+    crows = _quantizer_rows(
+        df, id_col, vec_col, n_clusters, centroids
+    ) if centroids is not None else [
+        (int(r["_cid"]), list(r["_cv"]), float(r["_cn"]))
+        for r in farthest_point_centroids(
+            df, id_col, vec_col, k=n_clusters, salt=salt
+        ).collect()
+    ]
+    id_type = df.schema[id_col].dataType
+
+    normed = with_norm(df, id_col, vec_col)
+    degenerate = normed.filter(
+        F.col("_n").isNull() | (F.col("_n") <= 0)
+    ).select(
+        F.col(id_col),
+        F.lit(None).cast("int").alias("cluster_id"),
+        F.lit(True).alias("keep"),
+    )
+    if not crows:
+        # empty quantizer table: nothing can cluster, so nothing dedups —
+        # every row is kept unclustered (mirrors the blocked-IVF empty guard)
+        return df.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(True).alias("keep"),
+        )
+
+    asg = _gemm_assign(df, id_col, vec_col, crows, nprobe=1, id_type=id_type)
+
+    if max_cluster_size is not None:
+        sizes = asg.groupBy("list_id").agg(F.count(F.lit(1)).alias("_csz"))
+        asg_sz = asg.join(F.broadcast(sizes), "list_id")
+        exempt = asg_sz.filter(F.col("_csz") > max_cluster_size).select(
+            F.col(id_col),
+            F.col("list_id").alias("cluster_id"),
+            F.lit(True).alias("keep"),
+        )
+        screened = asg_sz.filter(F.col("_csz") <= max_cluster_size).drop("_csz")
+    else:
+        exempt = None
+        screened = asg
+
+    blocks = F.array(*[F.lit(j).cast("long") for j in range(n_blocks)])
+    q_side = (
+        screened.select(id_col, "list_id", F.col("_v").alias("_va"))
+        .withColumn("_qb", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)))
+        .withColumn("_ob", F.explode(blocks))
+    )
+    # fresh names on the corpus side: cogroup's attribute dedup drops
+    # right-side columns whose exprIds match the left (same-subplan self-pair)
+    c_side = (
+        screened.select(
+            F.col(id_col).alias("_rid"),
+            F.col("list_id").alias("_rlist"),
+            F.col("_v").alias("_rv"),
+        )
+        .withColumn("_ob", F.pmod(F.xxhash64(F.col("_rid")), F.lit(n_blocks)))
+        .withColumn("_qb", F.explode(blocks))
+    )
+    drop_schema = T.StructType([T.StructField(id_col, id_type)])
+    drops = (
+        q_side.groupBy("list_id", "_qb", "_ob")
+        .cogroup(c_side.groupBy("_rlist", "_qb", "_ob"))
+        .applyInPandas(_tile_drop_fn(id_col, threshold), schema=drop_schema)
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    verdicts = (
+        screened.select(id_col, F.col("list_id").alias("cluster_id"))
+        .join(drops, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+    out = verdicts.unionByName(degenerate)
+    if exempt is not None:
+        out = out.unionByName(exempt)
+    return out
 
 
 def farthest_point_centroids(

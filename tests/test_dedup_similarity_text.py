@@ -28,6 +28,7 @@ from geofeaturegeneration_spark.operators import (
     extract_meta,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash,
     simhash_pairs,
 )
@@ -796,3 +797,110 @@ def test_span_dedup_python_oracle_parity(spark):
     assert got == want
     # the random corpus genuinely exercised the operator
     assert sum(d for _, _, d in want.values()) > 50
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup, Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _sem_corpus(spark):
+    """Two well-separated directions (x-ish and y-ish); ids ordered so the
+    min-id exemplar rule is observable. 10,11,12 are x-cluster near-dups of
+    each other; 20,21 are y-cluster near-dups; 30 is x-cluster but far from
+    everything (kept)."""
+    rows = [
+        (10, [1.0, 0.02, 0.0, 0.0]),
+        (11, [1.0, 0.01, 0.0, 0.0]),   # near-dup of 10 -> dropped
+        (12, [0.99, 0.03, 0.0, 0.0]),  # near-dup of 10 -> dropped
+        (30, [0.72, 0.69, 0.0, 0.0]),  # x-side but ~45 deg away -> kept
+        (20, [0.0, 1.0, 0.01, 0.0]),
+        (21, [0.0, 1.0, 0.02, 0.0]),   # near-dup of 20 -> dropped
+    ]
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+
+
+def _sem_centroids(spark):
+    return spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], 1.0), (2, [0.0, 1.0, 0.0, 0.0], 1.0)],
+        "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE",
+    )
+
+
+def test_semantic_dedup_min_id_exemplar(spark):
+    out = semantic_dedup(
+        _sem_corpus(spark), "vec_id", "embedding",
+        threshold=0.99, centroids=_sem_centroids(spark),
+    )
+    got = {r.vec_id: (r.cluster_id, r.keep) for r in out.collect()}
+    assert got == {
+        10: (1, True),
+        11: (1, False),
+        12: (1, False),
+        30: (1, True),   # same cluster, below threshold to everything
+        20: (2, True),
+        21: (2, False),
+    }
+
+
+def test_semantic_dedup_cross_cluster_blindness(spark):
+    """Near-identical vectors in DIFFERENT clusters are both kept — the
+    documented SemDeDup trade (pairs only meet within a cluster); recall
+    across the boundary is the quantizer's job, not the screen's."""
+    rows = [
+        (1, [1.0, 1.0, 0.0, 0.0]),   # equidistant-ish, lands cluster 1 (tie->cid asc)
+        (2, [1.0, 1.001, 0.0, 0.0]),  # nearly identical but tips to cluster 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.9,
+        centroids=_sem_centroids(spark),
+    )
+    got = {r.vec_id: (r.cluster_id, r.keep) for r in out.collect()}
+    assert got == {1: (1, True), 2: (2, True)}
+
+
+def test_semantic_dedup_degenerate_vectors_kept(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero norm: no direction
+        (3, None),                   # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", threshold=0.5,
+        centroids=_sem_centroids(spark),
+    )
+    got = {r.vec_id: (r.cluster_id, r.keep) for r in out.collect()}
+    assert got == {1: (1, True), 2: (None, True), 3: (None, True)}
+
+
+def test_semantic_dedup_max_cluster_size_exempts(spark):
+    """A cluster above the cap skips the screen entirely (all kept) — the
+    explicit bound against a degenerate quantizer piling the corpus into
+    one list; the other cluster still dedups."""
+    out = semantic_dedup(
+        _sem_corpus(spark), "vec_id", "embedding",
+        threshold=0.99, centroids=_sem_centroids(spark),
+        max_cluster_size=3,
+    )
+    got = {r.vec_id: (r.cluster_id, r.keep) for r in out.collect()}
+    # cluster 1 has 4 members (> 3): exempt; cluster 2 has 2: screened
+    assert got == {
+        10: (1, True), 11: (1, True), 12: (1, True), 30: (1, True),
+        20: (2, True), 21: (2, False),
+    }
+
+
+def test_semantic_dedup_default_quantizer_and_invariance(spark):
+    """Default farthest-point quantizer path; output invariant under input
+    partitioning (the keep rule depends only on ids and cosines)."""
+    df = _sem_corpus(spark)
+    a = semantic_dedup(df, "vec_id", "embedding", threshold=0.99, n_clusters=2)
+    b = semantic_dedup(
+        df.repartition(7), "vec_id", "embedding", threshold=0.99, n_clusters=2
+    )
+    ga = sorted((r.vec_id, r.cluster_id, r.keep) for r in a.collect())
+    gb = sorted((r.vec_id, r.cluster_id, r.keep) for r in b.collect())
+    assert ga == gb
+    assert sum(1 for _, _, k in ga if not k) == 3  # same 3 near-dups drop
