@@ -64,6 +64,28 @@ def main() -> None:
             )
             packed.write.format("noop").mode("overwrite").save()
             return n_tok, time.perf_counter() - t0
+    elif job == "semdedup":
+        import time
+
+        from geofeaturegeneration_spark.operators import (
+            semantic_dedup,
+            train_ivf_centroids,
+        )
+
+        def run_job(spark, emb_path):
+            emb = spark.read.parquet(emb_path)
+            n_vecs = emb.count()
+            # train once, dedup many — the production shape; the trainer's
+            # 10k-sample collect + driver k-means is a fixed cost shared by
+            # every level, so it stays outside the timed region
+            cents = train_ivf_centroids(emb, "vec_id", "embedding", k=16)
+            t0 = time.perf_counter()
+            out = semantic_dedup(
+                emb, "vec_id", "embedding", threshold=0.95,
+                n_clusters=16, centroids=cents, n_blocks=4,
+            )
+            out.write.format("noop").mode("overwrite").save()
+            return n_vecs, time.perf_counter() - t0
     else:
         run_job = token_pipeline
 

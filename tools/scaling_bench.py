@@ -46,6 +46,41 @@ def ensure_input(n_docs: int) -> str:
     return path
 
 
+def ensure_emb_input(n_vecs: int, dim: int = 64, n_latent: int = 16) -> str:
+    """Scaling input for the semantic-dedup job: ``n_vecs`` embeddings
+    around ``n_latent`` latent directions (unit center + 0.5-sigma noise,
+    same-cluster non-dup cosine ~ 0.8), with every 5th vector a planted
+    near-duplicate of the previous one (cos ~ 0.999) so the screen has
+    real work at threshold 0.95. Deterministic (seeded numpy)."""
+    path = f"/tmp/gfg_scale_emb_{n_vecs}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import numpy as np
+    import pandas as pd
+
+    from geofeaturegeneration_spark.session import get_spark
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((n_latent, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cl = rng.integers(0, n_latent, n_vecs)
+    V = centers[cl] + 0.5 * rng.standard_normal((n_vecs, dim)) / np.sqrt(dim)
+    dup = np.arange(n_vecs) % 5 == 4
+    V[dup] = V[np.arange(n_vecs)[dup] - 1] + 0.001 * rng.standard_normal(
+        (int(dup.sum()), dim)
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n_vecs, dtype=np.int64),
+         "embedding": list(V.astype(np.float32))}
+    )
+    spark = get_spark("scale_emb_gen")
+    spark.createDataFrame(pdf, "vec_id LONG, embedding ARRAY<FLOAT>").repartition(
+        32
+    ).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
 def run_level(cpus: int, seq_path: str, job: str = "pipeline") -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "scale_worker.py"),
@@ -64,12 +99,20 @@ def main() -> None:
                         "raw-CPU probe shows only ~3.4x capacity from 8->32 "
                         "threads — so 8->32 measures the host, not the engine)")
     p.add_argument("--md-out", default=None, help="append a results section to this md file")
-    p.add_argument("--job", default="pipeline", choices=["pipeline", "pack"],
+    p.add_argument("--job", default="pipeline",
+                   choices=["pipeline", "pack", "semdedup"],
                    help="pipeline = token feature pipeline; pack = "
-                        "pack_sequences over the same table")
+                        "pack_sequences over the same table; semdedup = "
+                        "semantic_dedup over a synthetic embedding corpus "
+                        "(--n-vecs)")
+    p.add_argument("--n-vecs", type=int, default=400000,
+                   help="corpus size for --job semdedup")
     args = p.parse_args()
 
-    seq_path = ensure_input(args.n_docs)
+    seq_path = (
+        ensure_emb_input(args.n_vecs) if args.job == "semdedup"
+        else ensure_input(args.n_docs)
+    )
     lo = run_level(args.n_low, seq_path, args.job)
     hi = run_level(args.n_low * 4, seq_path, args.job)
     ratio = hi["tokens_per_sec"] / lo["tokens_per_sec"]
@@ -84,17 +127,19 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    job_title = (
-        "token feature pipeline" if args.job == "pipeline"
-        else "pack_sequences (seq_len=512, n_groups=64)"
-    )
+    job_title = {
+        "pipeline": "token feature pipeline",
+        "pack": "pack_sequences (seq_len=512, n_groups=64)",
+        "semdedup": "semantic_dedup (16 trained clusters, threshold 0.95)",
+    }[args.job]
+    unit = "vectors" if args.job == "semdedup" else "tokens"
     if args.md_out:
         with open(args.md_out, "a") as f:
             f.write(
                 f"\n## Scaling evidence ({job_title}, "
-                f"{hi['n_tokens']:,} tokens)\n\n"
+                f"{hi['n_tokens']:,} {unit})\n\n"
                 "Same job, same input, two parallelism levels:\n\n"
-                "| level | wall (best of runs) | tokens/sec |\n"
+                f"| level | wall (best of runs) | {unit}/sec |\n"
                 "| --- | --- | --- |\n"
                 f"| local[{args.n_low}] | {lo['wall_s']} s | {lo['tokens_per_sec']:,} |\n"
                 f"| local[{args.n_low * 4}] | {hi['wall_s']} s | {hi['tokens_per_sec']:,} |\n\n"
