@@ -6,13 +6,14 @@
         [--force]
 
 The flagship 100 TB story — (optional) quality filter -> MinHash LSH pairs
--> connected components -> (optional) test-set decontamination -> keeper
-filter (+ optional mixing recipe + PII scrub riding the output pass) —
-(+ optional exact-substring span dedup over the surviving corpus) —
-composed as ONE resumable pipeline behind the checkpoint store (reference
-analog: the stage-separated pipeline of AttachFeature.py:1046-1112), not
-just unit operators. Three to seven stages, each recorded per partition in
-the CheckpointStore so a crash resumes without recomputing finished work:
+-> connected components -> (optional) test-set decontamination ->
+(optional) semantic embedding-space dedup -> keeper filter (+ optional
+mixing recipe + PII scrub riding the output pass) — (+ optional
+exact-substring span dedup over the surviving corpus) — composed as ONE
+resumable pipeline behind the checkpoint store (reference analog: the
+stage-separated pipeline of AttachFeature.py:1046-1112), not just unit
+operators. Three to eight stages, each recorded per partition in the
+CheckpointStore so a crash resumes without recomputing finished work:
 
 0. ``quality`` (optional, per doc-id hash bucket): C4/Gopher keep
    verdicts (curation.quality_filter) land as an ids-only table; every
@@ -29,6 +30,11 @@ the CheckpointStore so a crash resumes without recomputing finished work:
    O(diameter) rounds) -> (doc_id, cluster_id, is_keeper). Global because
    near-dup pairs cross doc buckets by construction; the inputs are the
    tiny signature rows, never the corpus text.
+2.7 ``semantic`` (optional, global): SemDeDup drops over an embeddings
+   table ``(doc_id, embedding)`` — sampled-kmeans quantizer (deterministic)
+   + clustered GEMM screen (similarity.semantic_dedup); lands as an
+   ids-only drop table the output stage anti-joins. The corpus text never
+   moves through this stage.
 3. ``output`` (per doc-id hash bucket): keeper filter — each bucket of the
    corpus equi-joins its slice of the cluster table and keeps survivors.
    Text bytes are only touched here and in stage 1. ``--scrub`` folds PII
@@ -68,8 +74,10 @@ from geofeaturegeneration_spark.operators import (
     dedup_clusters,
     lsh_pairs_from_band_sigs,
     minhash_band_signatures,
+    semantic_dedup,
     span_dup_intervals,
     span_reassemble,
+    train_ivf_centroids,
 )
 from geofeaturegeneration_spark.operators.curation import (
     pii_clean_col,
@@ -102,6 +110,11 @@ def run_dedup_pipeline(
     mix_by: str = "source",
     mix_default_ppm: int = 0,
     span_k: int | None = None,
+    embeddings=None,
+    emb_fingerprint: str | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_clusters: int = 8,
+    semantic_max_cluster: int | None = None,
 ):
     """Run the dedup stages with per-stage checkpointed resume.
 
@@ -134,11 +147,18 @@ def run_dedup_pipeline(
     stage rewrites the final text (``span_reassemble``) into
     ``span_deduped/``.
 
-    The full curation story — filter -> dedup -> decontaminate -> mix ->
-    scrub -> span-dedup — is therefore ONE resumable artifact; per-stage
-    wall-clock is recorded in the CheckpointStore metrics table. Returns
-    the per-stage PartitionResult lists (3 to 7 of them, in pipeline
-    order)."""
+    ``embeddings`` (optional, (doc_id, embedding)) adds the SEMANTIC dedup
+    modality (similarity.semantic_dedup — SemDeDup): a global checkpointed
+    stage trains the sampled-kmeans quantizer, screens each cluster with
+    GEMM tiles, and lands the dropped doc ids; the output stage anti-joins
+    them exactly like contamination. Quality-rejected docs never enter the
+    screen; knobs + the embedding table's identity are in the lineage key.
+
+    The full curation story — filter -> dedup -> decontaminate -> semantic
+    -> mix -> scrub -> span-dedup — is therefore ONE resumable artifact;
+    per-stage wall-clock is recorded in the CheckpointStore metrics table.
+    Returns the per-stage PartitionResult lists (3 to 8 of them, in
+    pipeline order)."""
     store = CheckpointStore(spark, ckpt_path)
     qua_path = os.path.join(out_root, "quality")
     spn_path = os.path.join(out_root, "span_intervals")
@@ -172,6 +192,13 @@ def run_dedup_pipeline(
         )
     if span_k is not None:
         lineage += f";span={span_k}"
+    if embeddings is not None:
+        # the semantic stage's bytes depend on the threshold/cluster knobs
+        # AND the embedding table's identity — all in the lineage key
+        lineage += (
+            f";sem={semantic_threshold}:{semantic_clusters}"
+            f":{semantic_max_cluster}:{emb_fingerprint or 'anon'}"
+        )
 
     # stage 0 (optional): quality keep-verdicts per corpus bucket — every
     # later stage semi-joins this id table, so rejected docs never reach
@@ -276,8 +303,46 @@ def run_dedup_pipeline(
             con_path, "part_key", lineage, force=force,
         )
 
-    # final stage: keeper filter (minus contaminated docs) per corpus
-    # bucket (only stage touching text bytes besides 1 and 2.5)
+    # stage 2.7 (optional): semantic (embedding-space) drops — one global
+    # checkpoint unit like clusters. The quantizer is trained with the
+    # sampled-kmeans production trainer (deterministic: hash-deterministic
+    # sample + seeded kmeans++/Lloyd), so kill/resume stays byte-identical;
+    # the corpus text is never touched — only the embedding table moves.
+    sem_path = os.path.join(out_root, "semantic")
+    sem_schema = T.StructType(
+        [_id_field, T.StructField("part_key", T.StringType())]
+    )
+    r_sem = None
+    if embeddings is not None:
+        def sem_one(_key: str):
+            emb = embeddings
+            if quality:
+                kept = (
+                    spark.read.schema(qua_schema).parquet(qua_path)
+                    .filter(F.col("part_key").cast("string").isin(bucket_keys))
+                    .select("doc_id")
+                )
+                emb = emb.join(kept, "doc_id", "left_semi")
+            cents = train_ivf_centroids(
+                emb, "doc_id", "embedding", k=semantic_clusters
+            )
+            verdicts = semantic_dedup(
+                emb, "doc_id", "embedding",
+                threshold=semantic_threshold,
+                n_clusters=semantic_clusters,
+                centroids=cents,
+                max_cluster_size=semantic_max_cluster,
+            )
+            return verdicts.filter(~F.col("keep")).select("doc_id")
+
+        r_sem = run_partitioned(
+            spark, store, f"{job_id}/semantic", ["all"], sem_one,
+            sem_path, "part_key", lineage, force=force,
+        )
+
+    # final stage: keeper filter (minus contaminated docs and semantic
+    # drops) per corpus bucket (only stage touching text bytes besides 1
+    # and 2.5)
     def out_one(key: str):
         clusters = spark.read.parquet(clu_path).drop("part_key")
         part = kept_only(docs.filter(bucket_of == key), key)
@@ -293,6 +358,11 @@ def run_dedup_pipeline(
                 .select("doc_id")
             )
             out = out.join(bad, "doc_id", "left_anti")
+        if embeddings is not None:
+            sem_bad = spark.read.schema(sem_schema).parquet(sem_path).select(
+                "doc_id"
+            )
+            out = out.join(sem_bad, "doc_id", "left_anti")
         if mix_rates_ppm is not None:
             # mixing recipe rides the output pass: the draw is a pure
             # function of doc_id (engine/cluster-size reproducible), so no
@@ -370,6 +440,8 @@ def run_dedup_pipeline(
     stages = [r_sig, r_clu]
     if r_con is not None:
         stages.append(r_con)
+    if r_sem is not None:
+        stages.append(r_sem)
     stages.append(r_out)
     if r_qua is not None:
         stages.insert(0, r_qua)
@@ -409,11 +481,24 @@ def main(argv=None) -> int:
                    help="JSON object of per-source keep rates in ppm, e.g. "
                         "'{\"web\": 800000, \"books\": 1000000}' — applied "
                         "as source_sample inside the output stage")
+    p.add_argument("--embeddings", default=None,
+                   help="optional embeddings parquet (doc_id, embedding); "
+                        "adds the SEMANTIC dedup stage (SemDeDup): docs "
+                        "whose embedding has a lower-id same-cluster "
+                        "neighbor above --semantic-threshold are dropped "
+                        "in the output stage")
+    p.add_argument("--semantic-threshold", type=float, default=0.95)
+    p.add_argument("--semantic-clusters", type=int, default=8)
+    p.add_argument("--semantic-max-cluster", type=int, default=None,
+                   help="exempt clusters larger than this from the screen")
     args = p.parse_args(argv)
 
     spark = get_spark("run_dedup")
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.bench) if args.bench else None
+    embeddings = (
+        spark.read.parquet(args.embeddings) if args.embeddings else None
+    )
     t0 = time.perf_counter()
     results = run_dedup_pipeline(
         spark, docs, args.output, args.checkpoint,
@@ -425,10 +510,16 @@ def main(argv=None) -> int:
         quality=args.quality,
         mix_rates_ppm=json.loads(args.mix) if args.mix else None,
         span_k=args.span_dedup,
+        embeddings=embeddings, emb_fingerprint=args.embeddings,
+        semantic_threshold=args.semantic_threshold,
+        semantic_clusters=args.semantic_clusters,
+        semantic_max_cluster=args.semantic_max_cluster,
     )
     names = ["signatures", "clusters"]
     if bench is not None:
         names.append("contamination")
+    if embeddings is not None:
+        names.append("semantic")
     names.append("output")
     if args.quality:
         names.insert(0, "quality")

@@ -538,3 +538,75 @@ def test_dedup_pipeline_shrinking_buckets_prunes_stale_partitions(
     assert _read_sorted_rows(spark, f"{out}/deduped") == _read_sorted_rows(
         spark, f"{out2}/deduped"
     )
+
+
+def test_dedup_pipeline_semantic_stage(spark, tmp_path):
+    """--embeddings adds the SemDeDup stage: final output equals the
+    hand-composed minhash-keepers minus semantic drops; an immediate
+    re-run skips every stage; changing --semantic-threshold invalidates
+    (the knob is in the lineage key) and re-runs."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "source")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(F.col("vec_id").alias("doc_id"), "embedding")
+
+    out, ck = str(tmp_path / "out_sem"), str(tmp_path / "ck_sem")
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              embeddings=emb, emb_fingerprint="sf0.001",
+              semantic_threshold=0.3, semantic_clusters=8)
+    stages = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert len(stages) == 4  # signatures, clusters, semantic, output
+    assert all(not r.skipped for st in stages for r in st)
+
+    # hand-composed: minhash keepers minus semantic drops
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, n_hashes=16, bands=4,
+        max_bucket_size=100,
+    )
+    keepers = docs.join(
+        dedup_clusters(docs.select("doc_id"), "doc_id", pairs)
+        .filter("is_keeper").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    cents = train_ivf_centroids(emb, "doc_id", "embedding", k=8)
+    drops = semantic_dedup(
+        emb, "doc_id", "embedding", threshold=0.3, n_clusters=8,
+        centroids=cents,
+    ).filter(~F.col("keep")).select("doc_id")
+    want = sorted(
+        r["doc_id"]
+        for r in keepers.join(drops, "doc_id", "left_anti").collect()
+    )
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/deduped").collect()
+    )
+    assert got == want
+    # the semantic stage actually removed surviving docs (non-vacuous)
+    assert len(got) < keepers.count()
+    n_drops = spark.read.parquet(f"{out}/semantic").count()
+    assert n_drops > 0
+
+    # immediate re-run: everything skipped, output unchanged
+    st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert all(r.skipped for st in st2 for r in st)
+
+    # threshold change invalidates the semantic + downstream output stages
+    kw2 = dict(kw, semantic_threshold=0.99)
+    st3 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw2)
+    assert all(not r.skipped for r in st3[2]), "semantic must re-run"
+    assert all(not r.skipped for r in st3[3]), "output must re-run"
+    got3 = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/deduped").collect()
+    )
+    # at 0.99 nothing in this corpus is a semantic dup: pure minhash keepers
+    assert got3 == sorted(r["doc_id"] for r in keepers.collect())
