@@ -423,3 +423,61 @@ def rare_token_stats(
              ).alias("rare_frac"),
         )
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    by: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> dict[str, int]:
+    """Per-``by`` keep rates (integer ppm, for ``source_sample``) that
+    realize TEMPERATURE-SCALED mixing: group sampling mass proportional to
+    ``n_s ** alpha`` (alpha=1 keeps natural proportions, alpha=0 weights
+    every group equally, alpha≈0.5 is the multilingual/Gopher-style
+    upsample-the-tail setting), with an expected total of
+    ``target_frac * N`` rows kept.
+
+    ``rate_s = min(1, target_frac * N * n_s**alpha / sum_t(n_t**alpha)
+    / n_s)`` then ``ppm = floor(1e6 * rate)``. A head group whose rate
+    clamps at 1.0 makes the realized total undershoot the target (the
+    mass is NOT redistributed — one-shot rates keep the draw a pure
+    per-row function, which is what makes the sample reproducible and
+    monotone; iterate on target_frac if exact totals matter).
+
+    Driver-side by design: the per-group count table is |groups|-sized
+    (bounded collect, same convention as the vocab boundary counts), the
+    float normalization happens ONCE here — in sorted group order, so the
+    sum is reproducible — and the corpus-side filter then runs on integer
+    ppm thresholds only (exact in any engine; see source_sample). The
+    cross-engine bet vs a SQL replay of the rate formula is a ulp of
+    sqrt/pow at a floor(1e6*rate) boundary — negligible and of the same
+    class as the documented GEMM association bet."""
+    counts = {
+        r[by]: r["n"]
+        for r in df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total_n = float(sum(counts.values()))
+    tot = sum(float(n) ** alpha for _, n in sorted(counts.items()))
+    rates: dict[str, int] = {}
+    for grp, n in sorted(counts.items()):
+        rate = min(1.0, target_frac * total_n * float(n) ** alpha / tot / n)
+        rates[grp] = int(1_000_000 * rate)
+    return rates
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    by: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "mixrate",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling in one call:
+    ``source_sample(df, rates=temperature_rates(df, alpha, target_frac))``.
+    Two corpus passes (one tiny count agg, one broadcast-join filter);
+    the draw is a pure function of (id, salt) — reproducible and monotone
+    under target_frac increases exactly like source_sample."""
+    rates = temperature_rates(df, by=by, alpha=alpha, target_frac=target_frac)
+    return source_sample(df, id_col, rates, by=by, salt=salt)

@@ -1,0 +1,227 @@
+"""DSIR-style importance resampling: select raw-corpus documents whose
+hashed-n-gram distribution looks like a target (high-quality) corpus.
+
+No analog exists in the reference (its data selection is row filtering on
+trajectory columns); this is the data-SELECTION counterpart of the
+curation family — Xie et al., "Data Selection for Language Models via
+Importance Resampling" (NeurIPS 2023): fit two bag-of-hashed-n-grams
+models, one on the target corpus and one on the raw pool, weight every raw
+document by its log importance ratio, and keep the top-k. The hashed
+feature space (``buckets`` cells) makes the model size INDEPENDENT of
+corpus size — the only state that crosses stages is one
+``buckets``-row table.
+
+Determinism contract (the reason the weights are integers):
+
+* Buckets hash with the same md5-60bit primitive as every other operator
+  (functions.text.md5_long), so any engine reproduces the bucket stream.
+* The per-bucket log ratio is computed ONCE, on the buckets-sized count
+  table, as ``round(scale * (ln(ct+a) - ln(cr+a) + ln(Tr+aB) - ln(Tt+aB)))``
+  and CAST TO INT64 — so the per-document weight is an INTEGER SUM, which
+  Spark's shuffle-order-nondeterministic aggregation cannot perturb
+  (float sums are not associative; int64 sums are). The only cross-engine
+  bet is ``ln`` differing in the last ulp exactly at a rounding boundary
+  of the scaled ratio — probability ~1e-6 across 8k buckets per corpus
+  pair, the same class as the documented 1e-13 GEMM association bet.
+* Greedy top-k selection orders by (llr_sum DESC, id ASC) — fully
+  deterministic. The Gumbel-top-k variant (sampling from the softmax of
+  weights, the paper's §3 sampler) derives its noise from md5(id#salt),
+  also engine-reproducible.
+
+Scale shape: two corpus scans (one to count, one to weight) + one tiny
+count-table join. The gram stream is one explode; the count table is one
+groupBy on a uniform 13-bit key; the weight join BROADCASTS the
+buckets-row ratio table so the corpus-side gram stream never shuffles on
+the bucket key; per-doc weights are one groupBy(id). Selection is
+TakeOrdered (per-partition top-k, then merge) — no global sort. At 100 TB
+the cost is the same as two shingle passes of the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geofeaturegeneration_spark.functions.text import md5_long
+from geofeaturegeneration_spark.operators.dedup import _shingles_expr
+
+GUMBEL_DENOM = float(1 << 60)  # md5_long range; (h+0.5)/2^60 ∈ (0,1)
+
+
+def _gram_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    buckets: int,
+    salt: str,
+) -> DataFrame:
+    """(id, b) stream of hashed 1..n-gram bucket ids, one row per gram
+    OCCURRENCE (the bag-of-n-grams model counts multiplicity). Grams of
+    every size share one explode: the per-size shingle arrays are
+    concatenated first. The words split is STAGED as a real column (the
+    HOF-lambda re-execution hazard — see dedup._shingles_expr) and the
+    explode is ``explode_outer`` + null filter so
+    InferFiltersFromGenerate cannot push a copy of the staged gram tree
+    into a pre-explode filter (the plan-audit-pinned trap). Every doc has
+    at least one unigram ('' splits to ['']), so no id is lost."""
+    grams = None
+    for k in range(1, n + 1):
+        e = _shingles_expr("_gfs_w", k)
+        grams = e if grams is None else F.concat(grams, e)
+    return (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_gfs_w"))
+        .select(F.col(id_col), F.explode_outer(grams).alias("_g"))
+        .filter(F.col("_g").isNotNull())
+        .select(
+            F.col(id_col),
+            (
+                md5_long(F.concat(F.col("_g"), F.lit(f"#{salt}"))) % buckets
+            ).alias("b"),
+        )
+    )
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    buckets: int = 8192,
+    salt: str = "dsir",
+) -> DataFrame:
+    """The hashed bag-of-n-grams model of one corpus: (b, cnt) with b in
+    [0, buckets). One explode + one groupBy on a uniform key; the output
+    is buckets-sized regardless of corpus size."""
+    return (
+        _gram_buckets(df, id_col, text_col, n, buckets, salt)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bucket_log_ratios(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    buckets: int,
+    alpha: float = 1.0,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Per-bucket SCALED-INTEGER log importance ratio
+    ``llr = round(scale * ln(p_target(b) / p_raw(b)))`` with add-``alpha``
+    smoothing, from the two corpus count tables. Materializes the two
+    totals driver-side (two 1-row collects over buckets-row tables — the
+    same bounded-collect convention as vocab boundary counts) so the
+    ratio expression carries them as literals instead of a
+    nested-loop-join of 1-row aggregates.
+
+    The ln-term ORDER is fixed (ct, cr, Tr, Tt) and mirrored verbatim in
+    the DuckDB oracle so both engines evaluate the identical float
+    expression tree before the single round-to-int."""
+    t = target_counts.select(F.col("b"), F.col("cnt").alias("_ct"))
+    r = raw_counts.select(F.col("b"), F.col("cnt").alias("_cr"))
+    # tiny tables (≤ buckets rows); cut lineage so the totals collect and
+    # the join below don't recompute the corpus-side groupBys twice
+    t = t.localCheckpoint(eager=False)
+    r = r.localCheckpoint(eager=False)
+    tt = t.agg(F.sum("_ct")).collect()[0][0] or 0
+    tr = r.agg(F.sum("_cr")).collect()[0][0] or 0
+    ct = F.coalesce(F.col("_ct"), F.lit(0)).cast("double") + F.lit(float(alpha))
+    cr = F.coalesce(F.col("_cr"), F.lit(0)).cast("double") + F.lit(float(alpha))
+    llr = (
+        F.log(ct)
+        - F.log(cr)
+        + F.log(F.lit(float(tr) + alpha * buckets))
+        - F.log(F.lit(float(tt) + alpha * buckets))
+    )
+    return t.join(r, "b", "full").select(
+        F.col("b"),
+        F.round(F.lit(float(scale)) * llr, 0).cast("long").alias("llr"),
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    target_id_col: str,
+    target_text_col: str,
+    n: int = 2,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    scale: int = 10_000,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Per-document importance weight of every raw doc against the target
+    corpus: (id_col, n_grams, llr_sum, weight) where ``llr_sum`` is the
+    exact int64 sum of the scaled per-bucket log ratios over the doc's
+    gram occurrences and ``weight = llr_sum / scale`` (one IEEE division,
+    engine-exact). Positive weight = looks more like the target than like
+    the raw pool. The ratio table is broadcast; the raw gram stream never
+    shuffles on the bucket key."""
+    tc = hashed_ngram_counts(target, target_id_col, target_text_col, n, buckets, salt)
+    rc = hashed_ngram_counts(raw, id_col, text_col, n, buckets, salt)
+    llr = bucket_log_ratios(tc, rc, buckets, alpha=alpha, scale=scale)
+    grams = _gram_buckets(raw, id_col, text_col, n, buckets, salt)
+    return (
+        grams.join(F.broadcast(llr), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(F.coalesce(F.col("llr"), F.lit(0))).alias("llr_sum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.col("llr_sum"),
+            (F.col("llr_sum").cast("double") / F.lit(float(scale))).alias(
+                "weight"
+            ),
+        )
+    )
+
+
+def importance_resample(
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    target_id_col: str,
+    target_text_col: str,
+    k: int,
+    gumbel_beta: float | None = None,
+    gumbel_salt: str = "gumbel",
+    scale: int = 10_000,
+    **kwargs,
+) -> DataFrame:
+    """Keep the ``k`` raw docs that look most like the target corpus:
+    (id_col, n_grams, llr_sum, weight, score). ``gumbel_beta=None`` is the
+    deterministic greedy top-k (order by llr_sum DESC, id ASC);
+    ``gumbel_beta=b`` adds scaled-integer Gumbel noise
+    ``round(scale*b*g)`` with ``g = -ln(-ln(u))``, ``u = (md5(id#salt)+0.5)
+    / 2^60`` — the paper's Gumbel-top-k sampler, still a pure function of
+    the row id so the sample is reproducible anywhere.
+
+    Selection is ``orderBy(...).limit(k)`` — Spark plans TakeOrdered
+    (per-partition heap + merge), so no global sort materializes."""
+    w = importance_weights(
+        raw, id_col, text_col, target, target_id_col, target_text_col,
+        scale=scale, **kwargs,
+    )
+    if gumbel_beta is None:
+        score = F.col("llr_sum")
+    else:
+        h = md5_long(
+            F.concat(F.col(id_col).cast("string"), F.lit(f"#{gumbel_salt}"))
+        )
+        u = (h.cast("double") + F.lit(0.5)) / F.lit(GUMBEL_DENOM)
+        g = -F.log(-F.log(u))
+        score = F.col("llr_sum") + F.round(
+            F.lit(float(scale) * float(gumbel_beta)) * g, 0
+        ).cast("long")
+    return (
+        w.withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -179,3 +179,95 @@ def contrastive_samples(
         )
     )
     return sl.join(negs, entity_col, "left")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    shard_size: int,
+    salt: str = "shuffle",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global corpus shuffle + fixed-size shard assignment —
+    the export step between curation and training: training loops want the
+    corpus in a random-but-reproducible order, cut into equal shards
+    (webdataset/TFRecord-style), and the order must not depend on cluster
+    size, partition count, or input file layout.
+
+    Every row gets its global position ``pos`` (0-based) in the total
+    order by ``(md5(id#salt), id)`` — a stable pseudo-random permutation,
+    re-drawable with a different salt — plus ``shard = pos / shard_size``
+    and ``shard_pos = pos % shard_size``. Output ``shard`` is ready for
+    ``write.partitionBy('shard')``; only the LAST shard is ever short.
+
+    Scale shape: NO global single-partition window (the naive
+    ``row_number() OVER (ORDER BY h)`` formulation). The stream is
+    range-partitioned on the hash, sorted within partitions, and positions
+    are assigned as partition-offset + local index inside one
+    ``mapInPandas`` pass — the distributed zipWithIndex pattern the vocab
+    builder uses (vocab.build_vocab), including its lineage-cut guard:
+    ``repartitionByRange`` samples boundaries nondeterministically, so the
+    partitioning is pinned with a lazy ``localCheckpoint`` before the
+    count pass and the assignment pass read it (a recomputed partition
+    could otherwise disagree with the collected counts). Positions depend
+    only on the global sort order, not on boundary placement, so the
+    result is identical at any parallelism — the property the oracle
+    checks. Cost: one range shuffle of the full rows + one tiny counts
+    collect (one row per partition)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    if shard_size < 1:
+        raise ValueError("shard_size must be >= 1")
+    for c in ("pos", "shard", "shard_pos"):
+        if c in df.columns:
+            raise ValueError(f"shuffle_shards output column '{c}' already exists")
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
+    ranged = (
+        df.withColumn("_shuf_h", h)
+        .repartitionByRange(num_partitions, F.col("_shuf_h"), F.col(id_col))
+        .sortWithinPartitions(F.col("_shuf_h").asc(), F.col(id_col).asc())
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    n_by_pid = {r["_pid"]: r["count"] for r in counts}
+    starts: dict[int, int] = {}
+    acc = 0
+    for pid in range(num_partitions):
+        starts[pid] = acc
+        acc += n_by_pid.get(pid, 0)
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField("pos", T.LongType(), False),
+            T.StructField("shard", T.LongType(), False),
+            T.StructField("shard_pos", T.LongType(), False),
+        ]
+    )
+
+    def assign(iterator):
+        from pyspark import TaskContext
+
+        next_pos = starts[TaskContext.get().partitionId()]
+        for pdf in iterator:
+            n = len(pdf)
+            pdf = pdf.drop(columns=["_shuf_h"])
+            pos = np.arange(next_pos, next_pos + n, dtype="int64")
+            pdf["pos"] = pos
+            pdf["shard"] = pos // shard_size
+            pdf["shard_pos"] = pos % shard_size
+            next_pos += n
+            yield pdf
+
+    return ranged.mapInPandas(assign, schema=out_schema)

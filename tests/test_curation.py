@@ -346,3 +346,50 @@ def test_quality_filter_each_rule_and_keep(spark):
     assert out[6]["stop_stuffed"] and not out[6]["keep"]
     assert out[7]["repetitive"] and not out[7]["keep"]
     assert out[7]["n_words"] == 8
+
+
+# ------------------------------------------------------- temperature mixing
+
+
+def test_temperature_rates_alpha_one_is_uniform_rate(spark, docs):
+    from geofeaturegeneration_spark.operators import temperature_rates
+
+    # alpha=1 keeps natural proportions: every group's keep-rate equals
+    # target_frac exactly (q_s = n_s/N so rate = f*N*(n_s/N)/n_s = f)
+    rates = temperature_rates(docs, by="source", alpha=1.0, target_frac=0.5)
+    assert rates == {"web": 500_000, "books": 500_000}
+
+
+def test_temperature_rates_alpha_zero_equalizes_mass(spark):
+    from geofeaturegeneration_spark.operators import temperature_rates
+
+    rows = [(i, "big" if i < 8 else "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING")
+    # alpha=0: each of the 2 groups gets f*N/G = 0.4*10/2 = 2 expected rows
+    # -> big (n=8) rate 2/8 = 0.25, small (n=2) rate 2/2 = 1.0
+    rates = temperature_rates(df, by="source", alpha=0.0, target_frac=0.4)
+    assert rates == {"big": 250_000, "small": 1_000_000}
+
+
+def test_temperature_rates_clamped_at_one(spark):
+    from geofeaturegeneration_spark.operators import temperature_rates
+
+    rows = [(i, "big" if i < 9 else "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING")
+    # alpha=0, f=0.9: per-group mass 4.5 rows; small (n=1) clamps at 1.0
+    rates = temperature_rates(df, by="source", alpha=0.0, target_frac=0.9)
+    assert rates["small"] == 1_000_000
+    assert rates["big"] == 500_000  # 4.5/9
+
+
+def test_temperature_mix_is_monotone_in_target(spark):
+    from geofeaturegeneration_spark.operators import temperature_mix
+
+    rows = [(i, f"s{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING")
+    small = {r["doc_id"] for r in
+             temperature_mix(df, "doc_id", alpha=0.5, target_frac=0.25).collect()}
+    big = {r["doc_id"] for r in
+           temperature_mix(df, "doc_id", alpha=0.5, target_frac=0.5).collect()}
+    assert small <= big               # raising the target only ADDS rows
+    assert 0 < len(small) < len(big) < 400
