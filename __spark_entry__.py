@@ -930,6 +930,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # freed by folding `minmax_norm` (a two-expression window op,
         # driver-green r01-r03) into extra_queries()
         "semantic_dedup": q_semantic_dedup,
+        # round 4: DSIR importance resampling (new operator; its
+        # importance_weights stage is verified transitively — resample IS
+        # weights + TakeOrdered — and value-exact in extras) — slot freed
+        # by folding `tokens_ordered` (the literal input stage of the
+        # in-window chunk_sequences, same _doc_tokens output) into
+        # extra_queries()
+        "importance_resample": q_importance_resample,
+        # round 4: deterministic global shuffle->shard export (new
+        # operator) — slot freed by folding `time_features` (pure calendar
+        # column expressions, driver-green r01-r03) into extra_queries()
+        "shuffle_shards": q_shuffle_shards,
         # --- the rest of the contract ---
         "tpch_pricing": q_tpch_pricing,
         "orders_enrich": q_orders_enrich,
@@ -942,7 +953,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "interaction_matrix": q_interaction,
         "vocab_encode": q_vocab_encode,
-        "tokens_ordered": q_tokens_ordered,
         "chunk_sequences": q_chunks,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
@@ -964,7 +974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_subseq": q_sliding,
         "grid_cantor": q_grid,
         "geohash": q_geohash,
-        "time_features": q_time_features,
     }
 
 
@@ -1150,6 +1159,70 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 10_000
+DSIR_K = 200
+
+
+def _dsir_corpora(spark, sf_dir):
+    """Deterministic target/raw split of the documents table for the DSIR
+    queries: every 11th doc plays the high-quality target corpus, the rest
+    are the raw pool (the same %-derivation pattern as decontaminate)."""
+    docs = _docs_wide(spark, sf_dir)
+    raw = docs.filter(F.col("doc_id") % 11 != 0).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("tid"), F.col("text").alias("ttext")
+    )
+    return raw, target
+
+
+def q_importance_resample(spark, sf_dir):
+    """DSIR importance resampling: greedy top-k raw docs by hashed-bigram
+    log importance ratio against the target corpus. Integer llr sums keep
+    the ranking shuffle-order-proof; selection is TakeOrdered."""
+    from geofeaturegeneration_spark.operators import importance_resample
+
+    raw, target = _dsir_corpora(spark, sf_dir)
+    return importance_resample(
+        raw, "doc_id", "text", target, "tid", "ttext",
+        k=DSIR_K, buckets=DSIR_BUCKETS, scale=DSIR_SCALE,
+    )
+
+
+def q_importance_weights(spark, sf_dir):
+    """The weights stage of importance_resample: per-doc integer llr sums
+    + the derived double weight over the full raw pool."""
+    from geofeaturegeneration_spark.operators import importance_weights
+
+    raw, target = _dsir_corpora(spark, sf_dir)
+    return importance_weights(
+        raw, "doc_id", "text", target, "tid", "ttext",
+        buckets=DSIR_BUCKETS, scale=DSIR_SCALE,
+    )
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic global corpus shuffle + fixed-size shard export:
+    pos = global rank by (md5(id#shuffle), id) via distributed
+    zipWithIndex — NO single-partition window; identical at any
+    parallelism, which is exactly what the oracle's row_number replay
+    checks."""
+    from geofeaturegeneration_spark.operators import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return shuffle_shards(docs, "doc_id", shard_size=256)
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture sampling (alpha=0.5 upsample-the-tail,
+    target half the corpus): driver-computed integer ppm rates realized
+    through the source_sample draw."""
+    from geofeaturegeneration_spark.operators import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_mix(docs, "doc_id", alpha=0.5, target_frac=0.5)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-matched queries OUTSIDE the driver's 50-entry window: physical
     twins of contract entries (identical output, different plan) and folded
@@ -1213,6 +1286,21 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-exact under compare_oracle
         "decimate": q_decimate,
         "minmax_norm": q_minmax,
+        # round 4: folded out of the driver window (driver-green r01-r03)
+        # to give importance_resample and shuffle_shards contract rows —
+        # tokens_ordered is the literal input stage of the in-window
+        # chunk_sequences (same _doc_tokens output, chunking added);
+        # time_features is pure calendar expressions
+        "tokens_ordered": q_tokens_ordered,
+        "time_features": q_time_features,
+        # the weights stage of the in-window importance_resample (resample
+        # IS this table + TakeOrdered) — verified transitively, value-exact
+        # here
+        "importance_weights": q_importance_weights,
+        # temperature-scaled mixing: a driver-side rate computation whose
+        # corpus-side filter IS the in-window source_sample draw — verified
+        # transitively through source_sample's contract row
+        "temperature_mix": q_temperature_mix,
         # node-degree features derived ENTIRELY from the in-window
         # traj_graph edge table (union + groupBy of its output) — verified
         # transitively by the contract entry, value-exact here
@@ -1246,6 +1334,42 @@ sh AS (
                                      i -> array_to_string(ws[i:i+2],' '))) AS s
         FROM w)
 )"""
+
+# DSIR shared CTEs (importance_weights / importance_resample): hashed
+# 1..2-gram bucket streams over the %11 target/raw split, bucket counts,
+# scaled-int log ratios (ln-term order fixed to match bucket_log_ratios),
+# per-doc int64 sums. generate_series(1,0) is EMPTY in DuckDB, so one-word
+# docs contribute their unigram only — same as Spark's guarded shingles.
+_DSIR_GRAM = """
+SELECT doc_id, g FROM (
+  SELECT doc_id, unnest(ws) AS g FROM {src}
+  UNION ALL
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+                        i -> array_to_string(ws[i:i+1],' '))) AS g FROM {src})
+"""
+_DSIR_CTES = f"""
+WITH
+rawd AS (SELECT doc_id, string_split(text,' ') ws FROM documents
+         WHERE doc_id % 11 <> 0),
+tgtd AS (SELECT doc_id, string_split(text,' ') ws FROM documents
+         WHERE doc_id % 11 = 0),
+rg AS (SELECT doc_id, ({_MD5L.format(x="g || '#dsir'")}) % 1024 AS b
+       FROM ({_DSIR_GRAM.format(src='rawd')})),
+tg AS (SELECT doc_id, ({_MD5L.format(x="g || '#dsir'")}) % 1024 AS b
+       FROM ({_DSIR_GRAM.format(src='tgtd')})),
+rc AS (SELECT b, count(*) AS c FROM rg GROUP BY b),
+tc AS (SELECT b, count(*) AS c FROM tg GROUP BY b),
+tot AS (SELECT (SELECT sum(c) FROM tc) AS tt, (SELECT sum(c) FROM rc) AS tr),
+llr AS (SELECT b,
+               round(10000.0 * (ln(coalesce(tc.c, 0)::DOUBLE + 1.0)
+                     - ln(coalesce(rc.c, 0)::DOUBLE + 1.0)
+                     + ln(tr::DOUBLE + 1024.0)
+                     - ln(tt::DOUBLE + 1024.0)))::BIGINT AS llr
+        FROM tc FULL OUTER JOIN rc USING (b), tot),
+w AS (SELECT rg.doc_id, count(*)::INT AS n_grams,
+             sum(coalesce(llr.llr, 0))::BIGINT AS llr_sum
+      FROM rg LEFT JOIN llr USING (b) GROUP BY rg.doc_id)
+"""
 
 
 # Hash-sampled negative-candidate CTEs (expects an ``inter`` CTE with
@@ -2261,6 +2385,51 @@ FROM documents
 WHERE ({_MD5L.format(x="doc_id::VARCHAR || '#mixrate'")}) % 1000000
       < (CASE source WHEN 'src0' THEN 800000
                      WHEN 'src1' THEN 300000 ELSE 0 END)
+""",
+        # mirrors operators/curation.temperature_mix (alpha=0.5,
+        # target_frac=0.5): the rate formula replays with the same float-op
+        # order (sqrt is IEEE-exact in both engines; temperature_rates
+        # routes alpha=0.5 through math.sqrt, never pow); the corpus-side
+        # draw is the integer-ppm source_sample threshold
+        "temperature_mix": f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT sum(n)::DOUBLE AS total_n, sum(sqrt(n::DOUBLE)) AS tot FROM c),
+p AS (SELECT source,
+             floor(1000000 * least(1.0,
+                 0.5 * total_n * sqrt(n::DOUBLE) / tot / n))::BIGINT AS ppm
+      FROM c, t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN p USING (source)
+WHERE ({_MD5L.format(x="d.doc_id::VARCHAR || '#mixrate'")}) % 1000000 < p.ppm
+""",
+        # mirrors operators/split.shuffle_shards (shard_size=256, salt
+        # 'shuffle'): the distributed zipWithIndex result must equal the
+        # naive global row_number definition at any parallelism
+        "shuffle_shards": f"""
+WITH p AS (
+  SELECT doc_id, source,
+         (row_number() OVER (ORDER BY
+            ({_MD5L.format(x="doc_id::VARCHAR || '#shuffle'")}) ASC,
+            doc_id ASC) - 1)::BIGINT AS pos
+  FROM documents)
+SELECT doc_id, source, pos, pos // 256 AS shard, pos % 256 AS shard_pos
+FROM p
+""",
+        # mirror operators/importance (n=2, buckets=1024, alpha=1.0,
+        # scale=10000; target = every 11th doc): hashed 1..2-gram buckets,
+        # per-bucket scaled-int log ratio with the SAME ln-term order as
+        # bucket_log_ratios, integer per-doc sums. sum(BIGINT) is HUGEINT
+        # in DuckDB -> cast back to BIGINT to match Spark's long.
+        "importance_weights": _DSIR_CTES + """
+SELECT doc_id, n_grams, llr_sum, llr_sum::DOUBLE / 10000.0 AS weight
+FROM w
+""",
+        "importance_resample": _DSIR_CTES + f"""
+SELECT doc_id, n_grams, llr_sum, llr_sum::DOUBLE / 10000.0 AS weight,
+       llr_sum AS score
+FROM (SELECT *, row_number() OVER (ORDER BY llr_sum DESC, doc_id ASC) AS rn
+      FROM w)
+WHERE rn <= {DSIR_K}
 """,
         # mirrors operators/curation.rare_token_stats (rare_below=2);
         # rare_frac is one IEEE division of two exact bigints — identical

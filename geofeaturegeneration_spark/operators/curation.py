@@ -453,15 +453,30 @@ def temperature_rates(
     cross-engine bet vs a SQL replay of the rate formula is a ulp of
     sqrt/pow at a floor(1e6*rate) boundary — negligible and of the same
     class as the documented GEMM association bet."""
+    import math
+
     counts = {
         r[by]: r["n"]
         for r in df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+
+    # alpha 0.5/1.0/0.0 route through exactly-rounded primitives (sqrt is
+    # IEEE-correct in every engine; pow(x, 0.5) is NOT guaranteed to equal
+    # sqrt(x)) so the common temperatures replay bit-identically in SQL
+    def _pow(n: int) -> float:
+        if alpha == 0.5:
+            return math.sqrt(float(n))
+        if alpha == 1.0:
+            return float(n)
+        if alpha == 0.0:
+            return 1.0
+        return float(n) ** alpha
+
     total_n = float(sum(counts.values()))
-    tot = sum(float(n) ** alpha for _, n in sorted(counts.items()))
+    tot = sum(_pow(n) for _, n in sorted(counts.items()))
     rates: dict[str, int] = {}
     for grp, n in sorted(counts.items()):
-        rate = min(1.0, target_frac * total_n * float(n) ** alpha / tot / n)
+        rate = min(1.0, target_frac * total_n * _pow(n) / tot / n)
         rates[grp] = int(1_000_000 * rate)
     return rates
 
