@@ -970,7 +970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
-        "embed_payload": q_embed_payload,
+        # round 4: CCNet-style hashed-bigram LM scoring (new operator) —
+        # slot freed by folding `embed_payload` (driver-green r01-r03; the
+        # multimodal family keeps two in-window slots) into extra_queries()
+        "lm_logprob": q_lm_logprob,
         "sliding_subseq": q_sliding,
         "grid_cantor": q_grid,
         "geohash": q_geohash,
@@ -1213,6 +1216,20 @@ def q_shuffle_shards(spark, sf_dir):
     return shuffle_shards(docs, "doc_id", shard_size=256)
 
 
+def q_lm_logprob(spark, sf_dir):
+    """CCNet-style hashed-bigram LM scoring: train on the %11 target
+    corpus, score the raw pool. Integer lp sums keep the score
+    shuffle-order-proof; avg_logprob is one IEEE division (higher = more
+    target-like; perplexity = exp(-avg) is monotone in it)."""
+    from geofeaturegeneration_spark.operators import lm_logprob
+
+    raw, target = _dsir_corpora(spark, sf_dir)
+    return lm_logprob(
+        raw, "doc_id", "text", target, "tid", "ttext",
+        buckets=DSIR_BUCKETS, scale=DSIR_SCALE,
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-scaled mixture sampling (alpha=0.5 upsample-the-tail,
     target half the corpus): driver-computed integer ppm rates realized
@@ -1301,6 +1318,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-side filter IS the in-window source_sample draw — verified
         # transitively through source_sample's contract row
         "temperature_mix": q_temperature_mix,
+        # round 4: folded out of the driver window (driver-green r01-r03)
+        # to give lm_logprob a contract row — the multimodal family keeps
+        # multimodal_meta and frame_sample in-window
+        "embed_payload": q_embed_payload,
         # node-degree features derived ENTIRELY from the in-window
         # traj_graph edge table (union + groupBy of its output) — verified
         # transitively by the contract entry, value-exact here
@@ -1369,6 +1390,44 @@ llr AS (SELECT b,
 w AS (SELECT rg.doc_id, count(*)::INT AS n_grams,
              sum(coalesce(llr.llr, 0))::BIGINT AS llr_sum
       FROM rg LEFT JOIN llr USING (b) GROUP BY rg.doc_id)
+"""
+
+# Hashed-bigram LM CTEs (lm_logprob): (space, g) streams — space 0 =
+# contexts (all words but the doc's last; ws[1:0] is EMPTY for one-word
+# docs), space 1 = bigrams (generate_series(1,0) is EMPTY) — hashed per
+# space, model trained on the %11 target corpus. Smoothing floors are
+# PYTHON literals shared with the operator (alpha=1 -> bigram floor
+# round(scale*ln(1)) = 0; context floor round(scale*ln(alpha*buckets))).
+_LM_D_CTX = 69315  # round(10000 * ln(1.0 * 1024))
+_LM_STREAM = """
+SELECT doc_id, 0 AS space, unnest(ws[1:len(ws)-1]) AS g FROM {src}
+UNION ALL
+SELECT doc_id, 1 AS space, unnest(list_transform(generate_series(1, len(ws)-1),
+                      i -> array_to_string(ws[i:i+1],' '))) AS g FROM {src}
+"""
+_LM_CTES = f"""
+WITH
+rawd AS (SELECT doc_id, string_split(text,' ') ws FROM documents
+         WHERE doc_id % 11 <> 0),
+tgtd AS (SELECT doc_id, string_split(text,' ') ws FROM documents
+         WHERE doc_id % 11 = 0),
+tb AS (SELECT space, ({_MD5L.format(x="g || '#lm' || space::VARCHAR")}) % 1024 AS b
+       FROM ({_LM_STREAM.format(src='tgtd')})),
+rb AS (SELECT doc_id, space,
+              ({_MD5L.format(x="g || '#lm' || space::VARCHAR")}) % 1024 AS b
+       FROM ({_LM_STREAM.format(src='rawd')})),
+model AS (SELECT space, b,
+                 round(10000.0 * CASE WHEN space = 1
+                       THEN ln(count(*)::DOUBLE + 1.0)
+                       ELSE ln(count(*)::DOUBLE + 1024.0) END)::BIGINT AS llp
+          FROM tb GROUP BY space, b),
+sc AS (SELECT rb.doc_id,
+              sum(rb.space)::INT AS n_bigrams,
+              sum((CASE WHEN rb.space = 1 THEN 1 ELSE -1 END)
+                  * coalesce(model.llp,
+                             CASE WHEN rb.space = 1 THEN 0
+                                  ELSE {_LM_D_CTX} END))::BIGINT AS lp_sum
+       FROM rb LEFT JOIN model USING (space, b) GROUP BY rb.doc_id)
 """
 
 
@@ -2430,6 +2489,21 @@ SELECT doc_id, n_grams, llr_sum, llr_sum::DOUBLE / 10000.0 AS weight,
 FROM (SELECT *, row_number() OVER (ORDER BY llr_sum DESC, doc_id ASC) AS rn
       FROM w)
 WHERE rn <= {DSIR_K}
+""",
+        # mirrors operators/importance.lm_logprob (buckets=1024, alpha=1.0,
+        # scale=10000; target = every 11th doc): hashed-bigram LM trained
+        # on the target, scaled-int per-bucket log-probs, exact int64
+        # per-doc sums; avg_logprob is one IEEE division. Docs with < 2
+        # words keep a (0, 0, NULL) row.
+        "lm_logprob": _LM_CTES + """
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       coalesce(sc.lp_sum, 0)::BIGINT AS lp_sum,
+       CASE WHEN sc.n_bigrams > 0
+            THEN sc.lp_sum::DOUBLE / (10000.0 * sc.n_bigrams)
+       END AS avg_logprob
+FROM (SELECT doc_id FROM documents WHERE doc_id % 11 <> 0) d
+LEFT JOIN sc USING (doc_id)
 """,
         # mirrors operators/curation.rare_token_stats (rare_below=2);
         # rare_frac is one IEEE division of two exact bigints — identical

@@ -90,6 +90,9 @@ HEADLINE = [
     "span_dedup",
     "traj_graph",
     "semantic_dedup",
+    "importance_resample",
+    "shuffle_shards",
+    "lm_logprob",
 ]
 
 

@@ -225,3 +225,196 @@ def importance_resample(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style hashed-bigram LM scoring (perplexity filtering)
+# ---------------------------------------------------------------------------
+#
+# The other standard "does this look like clean text" signal (Wenzek et al.,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl Data",
+# LREC 2020): score every document by its log-likelihood under a language
+# model trained on a high-quality target corpus, then keep/bucket by
+# perplexity. CCNet uses a 5-gram KenLM; the scale-shaped analog here is a
+# hashed-BIGRAM model with add-alpha smoothing — the model is one
+# (space, bucket) -> scaled-int log-prob table of at most 2*buckets rows,
+# independent of corpus size, so it broadcasts.
+#
+#   P(w_i | w_{i-1}) = (c_bi(b(w_{i-1} w_i)) + alpha)
+#                    / (c_ctx(b(w_{i-1}))    + alpha * buckets)
+#
+# where c_bi counts hashed bigram occurrences in the target corpus and
+# c_ctx counts hashed CONTEXT occurrences (every word except a doc's last —
+# exactly the bigram left-hand sides, so the model is properly normalized
+# over the hashed vocabulary). Both live in one table keyed (space, b)
+# with space 1 = bigram numerators, space 0 = context denominators; the
+# two ln() terms are rounded to scaled int64 PER BUCKET (same determinism
+# contract as bucket_log_ratios: per-doc scores are integer sums, immune
+# to shuffle-order float nonassociativity; the only cross-engine bet is a
+# last-ulp ln at a rounding boundary).
+#
+# DSIR (above) asks "is this doc more target-like than raw-pool-like";
+# the LM score asks "is this doc probable target text at all" — no raw
+# model, so one corpus never contaminates another's score, and the model
+# trains once and scores any number of corpora.
+
+
+def _lm_stream(
+    df: DataFrame, id_col: str, text_col: str, buckets: int, salt: str
+) -> DataFrame:
+    """(id, space, b) stream: one row per bigram occurrence (space=1) and
+    one per context occurrence (space=0, the doc's words minus its last —
+    the bigram left-hand sides). The words split is STAGED once (HOF
+    lambdas re-execute captured expressions per element) and the lambdas
+    only read their element; explode_outer + null filter keeps
+    InferFiltersFromGenerate from substituting the staged tree into a
+    pre-explode filter. Docs with < 2 words emit nothing (restored by the
+    scorer's left join); hashing salts the two spaces apart."""
+    ctx = F.when(
+        F.size(F.col("_gfs_w")) >= 2,
+        F.slice(F.col("_gfs_w"), 1, F.size(F.col("_gfs_w")) - 1),
+    ).otherwise(F.array().cast("array<string>"))
+    ctx_structs = F.transform(
+        ctx, lambda x: F.struct(F.lit(0).alias("space"), x.alias("g"))
+    )
+    bi_structs = F.transform(
+        _shingles_expr("_gfs_w", 2),
+        lambda x: F.struct(F.lit(1).alias("space"), x.alias("g")),
+    )
+    return (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_gfs_w"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(F.concat(ctx_structs, bi_structs)).alias("_sg"),
+        )
+        .filter(F.col("_sg").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("_sg.space").alias("space"),
+            (
+                md5_long(
+                    F.concat(
+                        F.col("_sg.g"),
+                        F.lit(f"#{salt}"),
+                        F.col("_sg.space").cast("string"),
+                    )
+                )
+                % buckets
+            ).alias("b"),
+        )
+    )
+
+
+def lm_bucket_logprobs(
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    scale: int = 10_000,
+    salt: str = "lm",
+) -> DataFrame:
+    """Train the hashed-bigram LM on the target corpus: (space, b, llp)
+    with ``llp = round(scale * ln(cnt + alpha))`` for bigram buckets
+    (space=1) and ``round(scale * ln(cnt + alpha*buckets))`` for context
+    buckets (space=0). At most 2*buckets rows — train once, broadcast to
+    every scoring job. One explode + one groupBy on a uniform key."""
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0 (add-alpha smoothing)")
+    c = F.col("cnt").cast("double")
+    llp = F.when(
+        F.col("space") == 1, F.log(c + F.lit(float(alpha)))
+    ).otherwise(F.log(c + F.lit(float(alpha) * buckets)))
+    return (
+        _lm_stream(target, id_col, text_col, buckets, salt)
+        .groupBy("space", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("space"),
+            F.col("b"),
+            F.round(F.lit(float(scale)) * llp, 0).cast("long").alias("llp"),
+        )
+    )
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    scale: int = 10_000,
+    salt: str = "lm",
+) -> DataFrame:
+    """Score every doc under a trained ``lm_bucket_logprobs`` model:
+    (id_col, n_bigrams, lp_sum, avg_logprob) where ``lp_sum`` is the exact
+    int64 sum over bigram positions of ``llp_bi(b2) - llp_ctx(b1)`` and
+    ``avg_logprob = lp_sum / (scale * n_bigrams)`` (one IEEE division of
+    exact integers — engine-exact). Higher avg_logprob = more
+    target-like; CCNet's perplexity is ``exp(-avg_logprob)``, monotone in
+    it, so bucket/filter on avg_logprob directly and no cross-engine
+    ``exp`` bet enters the contract. Docs with < 2 words (or null text)
+    keep a row with n_bigrams=0, lp_sum=0, avg_logprob NULL.
+
+    The model is BROADCAST — the corpus-side stream never shuffles on the
+    bucket key; unseen buckets coalesce to the smoothing floor (a Python
+    literal, identical in the SQL oracle). ``buckets/alpha/scale/salt``
+    must match the values the model was trained with."""
+    import math
+
+    d_bi = int(round(scale * math.log(alpha)))
+    d_ctx = int(round(scale * math.log(alpha * buckets)))
+    stream = _lm_stream(df, id_col, text_col, buckets, salt)
+    llp = F.coalesce(
+        F.col("llp"),
+        F.when(F.col("space") == 1, F.lit(d_bi)).otherwise(F.lit(d_ctx)).cast("long"),
+    )
+    scored = (
+        stream.join(F.broadcast(model), ["space", "b"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("space") == 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("space") == 1, llp).otherwise(-llp)
+            ).alias("lp_sum"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("lp_sum"), F.lit(0).cast("long")).alias("lp_sum"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("lp_sum").cast("double")
+                / (F.lit(float(scale)) * F.col("n_bigrams").cast("double")),
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def lm_logprob(
+    raw: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    target_id_col: str,
+    target_text_col: str,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    scale: int = 10_000,
+    salt: str = "lm",
+) -> DataFrame:
+    """Train on ``target``, score ``raw`` — one call. For repeated scoring
+    (the production shape: train the model on the clean corpus ONCE,
+    persist the <= 2*buckets-row table, score every batch) call
+    ``lm_bucket_logprobs`` + ``lm_score`` separately."""
+    model = lm_bucket_logprobs(
+        target, target_id_col, target_text_col, buckets, alpha, scale, salt
+    )
+    return lm_score(raw, id_col, text_col, model, buckets, alpha, scale, salt)

@@ -198,6 +198,126 @@ def test_empty_text_docs_still_weighted(spark):
     assert got == {1: 1, 2: 3}
 
 
+# ------------------------------------------------------------ bigram LM
+
+
+def _lm_bucket(gram: str, space: int, salt: str = "lm") -> int:
+    return _md5_long(f"{gram}#{salt}{space}") % BUCKETS
+
+
+def _py_lm(raw_rows, target_rows, alpha=1.0):
+    """Exact replay of lm_logprob: train the (space, b) -> llp table on
+    target_rows, score raw_rows as int64 sums."""
+    cnt: dict[tuple[int, int], int] = {}
+
+    def stream(text):
+        ws = text.split(" ")
+        for w in ws[:-1]:
+            yield 0, _lm_bucket(w, 0)
+        for i in range(len(ws) - 1):
+            yield 1, _lm_bucket(" ".join(ws[i : i + 2]), 1)
+
+    for _i, text in target_rows:
+        for sp, b in stream(text):
+            cnt[(sp, b)] = cnt.get((sp, b), 0) + 1
+    llp = {
+        (sp, b): int(round(SCALE * math.log(c + (alpha if sp else alpha * BUCKETS))))
+        for (sp, b), c in cnt.items()
+    }
+    d = {1: int(round(SCALE * math.log(alpha))),
+         0: int(round(SCALE * math.log(alpha * BUCKETS)))}
+    out = {}
+    for i, text in raw_rows:
+        s, n = 0, 0
+        for sp, b in stream(text):
+            v = llp.get((sp, b), d[sp])
+            s += v if sp == 1 else -v
+            n += sp
+        out[i] = (n, s, s / (SCALE * n) if n else None)
+    return out
+
+
+def test_lm_logprob_exact_vs_python(spark, corpora):
+    from geofeaturegeneration_spark.operators import lm_logprob
+
+    raw, target, raw_rows, target_rows = corpora
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lp_sum"], r["avg_logprob"])
+        for r in lm_logprob(
+            raw, "doc_id", "text", target, "tid", "ttext",
+            buckets=BUCKETS, scale=SCALE,
+        ).collect()
+    }
+    exp = _py_lm(raw_rows, target_rows)
+    assert got == exp
+
+
+def test_lm_score_ranks_target_lookalikes_first(spark, corpora):
+    from geofeaturegeneration_spark.operators import lm_logprob
+
+    raw, target, _r, _t = corpora
+    a = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm_logprob(
+            raw, "doc_id", "text", target, "tid", "ttext", buckets=BUCKETS
+        ).collect()
+    }
+    # every target-lookalike is more probable than every junk doc
+    assert min(a[1], a[2], a[3]) > max(a[4], a[5], a[6])
+
+
+def test_lm_score_short_docs_kept_with_null_avg(spark, corpora):
+    from geofeaturegeneration_spark.operators import lm_logprob
+
+    _raw, target, _r, _t = corpora
+    raw = spark.createDataFrame(
+        [(1, "oneword"), (2, ""), (3, "the cat")], "doc_id INT, text STRING"
+    )
+    rows = {
+        r["doc_id"]: (r["n_bigrams"], r["lp_sum"], r["avg_logprob"])
+        for r in lm_logprob(
+            raw, "doc_id", "text", target, "tid", "ttext", buckets=BUCKETS
+        ).collect()
+    }
+    assert rows[1] == (0, 0, None)
+    assert rows[2] == (0, 0, None)  # '' splits to [''] -> one word
+    assert rows[3][0] == 1 and rows[3][2] is not None
+
+
+def test_lm_model_reuse_equals_one_call(spark, corpora):
+    from geofeaturegeneration_spark.operators import (
+        lm_bucket_logprobs,
+        lm_logprob,
+        lm_score,
+    )
+
+    raw, target, _r, _t = corpora
+    model = lm_bucket_logprobs(target, "tid", "ttext", buckets=BUCKETS)
+    via_model = lm_score(raw, "doc_id", "text", model, buckets=BUCKETS)
+    one_call = lm_logprob(
+        raw, "doc_id", "text", target, "tid", "ttext", buckets=BUCKETS
+    )
+    assert sorted(via_model.collect()) == sorted(one_call.collect())
+
+
+def test_lm_score_partition_invariant(spark, corpora):
+    from geofeaturegeneration_spark.operators import lm_logprob
+
+    raw, target, _r, _t = corpora
+    base = sorted(
+        lm_logprob(
+            raw, "doc_id", "text", target, "tid", "ttext", buckets=BUCKETS
+        ).collect()
+    )
+    re = sorted(
+        lm_logprob(
+            raw.repartition(7), "doc_id", "text",
+            target.repartition(5), "tid", "ttext", buckets=BUCKETS,
+        ).collect()
+    )
+    assert base == re
+
+
 # ---------------------------------------------------------------- shuffle
 
 
