@@ -5,20 +5,27 @@
         --checkpoint /path/to/ckpt [--buckets 8] [--max-bucket-size 1000] \
         [--force]
 
-The flagship 100 TB story — (optional) quality filter -> MinHash LSH pairs
--> connected components -> (optional) test-set decontamination ->
-(optional) semantic embedding-space dedup -> keeper filter (+ optional
-mixing recipe + PII scrub riding the output pass) — (+ optional
-exact-substring span dedup over the surviving corpus) — composed as ONE
-resumable pipeline behind the checkpoint store (reference analog: the
-stage-separated pipeline of AttachFeature.py:1046-1112), not just unit
-operators. Three to eight stages, each recorded per partition in the
-CheckpointStore so a crash resumes without recomputing finished work:
+The flagship 100 TB story — (optional) quality filter -> (optional)
+perplexity filter (hashed-bigram LM trained once on a clean corpus) ->
+MinHash LSH pairs -> connected components -> (optional) test-set
+decontamination -> (optional) semantic embedding-space dedup -> keeper
+filter (+ optional mixing recipe + PII scrub riding the output pass) —
+(+ optional exact-substring span dedup over the surviving corpus) —
+composed as ONE resumable pipeline behind the checkpoint store (reference
+analog: the stage-separated pipeline of AttachFeature.py:1046-1112), not
+just unit operators. Three to ten stages, each recorded per partition in
+the CheckpointStore so a crash resumes without recomputing finished work:
 
 0. ``quality`` (optional, per doc-id hash bucket): C4/Gopher keep
    verdicts (curation.quality_filter) land as an ids-only table; every
    later stage semi-joins it, so rejected docs never reach the shingle
    pass — at 100 TB the filter pays for itself in stage-1 compute.
+0.4/0.5. ``lm_model`` / ``ppl`` (optional): train the hashed-bigram LM on
+   the clean target corpus ONCE (a <= 2*buckets-row table, one global
+   unit), then score each corpus bucket against the persisted model
+   (broadcast join, embarrassingly parallel) and keep docs at or above
+   ``ppl_min_avg_logprob`` — the CCNet perplexity filter as two resumable
+   stages. Later stages semi-join the keep table like quality's.
 1. ``signatures`` (per doc-id hash bucket, embarrassingly parallel): band
    signatures via ``minhash_band_signatures`` written partitioned by
    bucket. At 10^12 docs this is the stage that dominates compute (shingle
@@ -72,6 +79,8 @@ from geofeaturegeneration_spark.checkpoint import CheckpointStore, run_partition
 from geofeaturegeneration_spark.operators import (
     decontaminate,
     dedup_clusters,
+    lm_bucket_logprobs,
+    lm_score,
     lsh_pairs_from_band_sigs,
     minhash_band_signatures,
     semantic_dedup,
@@ -106,6 +115,10 @@ def run_dedup_pipeline(
     scrub: bool = False,
     quality: bool = False,
     quality_kwargs: dict | None = None,
+    ppl_target=None,
+    ppl_fingerprint: str | None = None,
+    ppl_min_avg_logprob: float = -7.0,
+    ppl_buckets: int = 8192,
     mix_rates_ppm: dict[str, int] | None = None,
     mix_by: str = "source",
     mix_default_ppm: int = 0,
@@ -133,6 +146,14 @@ def run_dedup_pipeline(
     filter pays for itself in stage-1 compute. ``quality_kwargs`` override
     the filter's thresholds.
 
+    ``ppl_target`` (optional, (doc_id, text)) adds the PERPLEXITY filter:
+    a global stage persists ``lm_bucket_logprobs(ppl_target)`` (train the
+    LM once), a per-bucket stage scores the quality keepers against the
+    broadcast model and keeps docs with ``avg_logprob >=
+    ppl_min_avg_logprob`` (docs with < 2 words are unscoreable and KEPT —
+    the other filters judge them). Threshold, bucket count, and the
+    target corpus identity are all in the lineage key.
+
     ``mix_rates_ppm`` applies the ``curation.source_sample`` mixing recipe
     inside the output stage (docs must carry ``mix_by``): the draw is a
     pure function of doc_id, so like the PII scrub it rides the pass that
@@ -154,11 +175,11 @@ def run_dedup_pipeline(
     them exactly like contamination. Quality-rejected docs never enter the
     screen; knobs + the embedding table's identity are in the lineage key.
 
-    The full curation story — filter -> dedup -> decontaminate -> semantic
-    -> mix -> scrub -> span-dedup — is therefore ONE resumable artifact;
-    per-stage wall-clock is recorded in the CheckpointStore metrics table.
-    Returns the per-stage PartitionResult lists (3 to 8 of them, in
-    pipeline order)."""
+    The full curation story — filter -> perplexity -> dedup ->
+    decontaminate -> semantic -> mix -> scrub -> span-dedup — is
+    therefore ONE resumable artifact; per-stage wall-clock is recorded in
+    the CheckpointStore metrics table. Returns the per-stage
+    PartitionResult lists (3 to 10 of them, in pipeline order)."""
     store = CheckpointStore(spark, ckpt_path)
     qua_path = os.path.join(out_root, "quality")
     spn_path = os.path.join(out_root, "span_intervals")
@@ -186,6 +207,13 @@ def run_dedup_pipeline(
         lineage += ";scrub=1"
     if quality:
         lineage += f";quality={sorted((quality_kwargs or {}).items())}"
+    if ppl_target is not None:
+        # the LM model's bytes depend on the target corpus identity and the
+        # bucket count; the keep verdicts also on the threshold
+        lineage += (
+            f";ppl={ppl_min_avg_logprob}:{ppl_buckets}"
+            f":{ppl_fingerprint or 'anon'}"
+        )
     if mix_rates_ppm is not None:
         lineage += (
             f";mix={mix_by}:{sorted(mix_rates_ppm.items())}:{mix_default_ppm}"
@@ -232,7 +260,7 @@ def run_dedup_pipeline(
         ]
     )
 
-    def kept_only(part, key: str):
+    def _qua_only(part, key: str):
         """Restrict a bucket's docs to the quality keepers (no-op when the
         quality stage is off). The keep table is ids-only and partition-
         pruned to the same bucket."""
@@ -244,6 +272,86 @@ def run_dedup_pipeline(
             .select("doc_id")
         )
         return part.join(kept, "doc_id", "left_semi")
+
+    # stage 0.4/0.5 (optional): perplexity filter — train the hashed-bigram
+    # LM on the clean target corpus ONCE (a <= 2*ppl_buckets-row table, one
+    # global checkpoint unit), then score each corpus bucket against the
+    # persisted model (embarrassingly parallel, broadcast model join) and
+    # land keep verdicts as an ids-only table. Docs the model cannot score
+    # (< 2 words) are KEPT — they are judged by the other filters. Scoring
+    # runs on the quality keepers only, so rejected docs are never scored.
+    lmm_path = os.path.join(out_root, "lm_model")
+    ppl_path = os.path.join(out_root, "ppl")
+    lmm_schema = T.StructType(
+        [
+            T.StructField("space", T.IntegerType()),
+            T.StructField("b", T.LongType()),
+            T.StructField("llp", T.LongType()),
+            T.StructField("part_key", T.StringType()),
+        ]
+    )
+    r_lmm = r_ppl = None
+    if ppl_target is not None:
+        def lmm_one(_key: str):
+            return lm_bucket_logprobs(
+                ppl_target, "doc_id", "text", buckets=ppl_buckets
+            )
+
+        r_lmm = run_partitioned(
+            spark, store, f"{job_id}/lm_model", ["all"], lmm_one,
+            lmm_path, "part_key", lineage, force=force,
+        )
+
+        def ppl_one(key: str):
+            part = _qua_only(docs.filter(bucket_of == key), key)
+            model = spark.read.schema(lmm_schema).parquet(lmm_path).drop(
+                "part_key"
+            )
+            scored = lm_score(
+                part, "doc_id", "text", model, buckets=ppl_buckets
+            )
+            return scored.filter(
+                (F.col("n_bigrams") == 0)
+                | (F.col("avg_logprob") >= F.lit(float(ppl_min_avg_logprob)))
+            ).select("doc_id")
+
+        r_ppl = run_partitioned(
+            spark, store, f"{job_id}/ppl", bucket_keys, ppl_one,
+            ppl_path, "part_key", lineage, force=force,
+        )
+
+    def kept_only(part, key: str):
+        """Quality + perplexity keepers of one bucket (each a no-op when
+        its stage is off)."""
+        part = _qua_only(part, key)
+        if ppl_target is not None:
+            kept = (
+                spark.read.schema(qua_schema).parquet(ppl_path)
+                .filter(F.col("part_key").cast("string") == key)
+                .select("doc_id")
+            )
+            part = part.join(kept, "doc_id", "left_semi")
+        return part
+
+    def restrict_global(df):
+        """Semi-join a global id-carrying table down to the quality + ppl
+        keepers across all of this run's buckets (no-op when both stages
+        are off)."""
+        if quality:
+            kept = (
+                spark.read.schema(qua_schema).parquet(qua_path)
+                .filter(F.col("part_key").cast("string").isin(bucket_keys))
+                .select("doc_id")
+            )
+            df = df.join(kept, "doc_id", "left_semi")
+        if ppl_target is not None:
+            kept = (
+                spark.read.schema(qua_schema).parquet(ppl_path)
+                .filter(F.col("part_key").cast("string").isin(bucket_keys))
+                .select("doc_id")
+            )
+            df = df.join(kept, "doc_id", "left_semi")
+        return df
 
     # stage 1: band signatures per corpus bucket (resumable unit = bucket)
     def sig_one(key: str):
@@ -271,14 +379,7 @@ def run_dedup_pipeline(
         pairs = lsh_pairs_from_band_sigs(
             sigs, "doc_id", max_bucket_size=max_bucket_size
         )
-        ids = docs.select("doc_id")
-        if quality:
-            kept = (
-                spark.read.schema(qua_schema).parquet(qua_path)
-                .filter(F.col("part_key").cast("string").isin(bucket_keys))
-                .select("doc_id")
-            )
-            ids = ids.join(kept, "doc_id", "left_semi")
+        ids = restrict_global(docs.select("doc_id"))
         return dedup_clusters(ids, "doc_id", pairs)
 
     r_clu = run_partitioned(
@@ -315,14 +416,7 @@ def run_dedup_pipeline(
     r_sem = None
     if embeddings is not None:
         def sem_one(_key: str):
-            emb = embeddings
-            if quality:
-                kept = (
-                    spark.read.schema(qua_schema).parquet(qua_path)
-                    .filter(F.col("part_key").cast("string").isin(bucket_keys))
-                    .select("doc_id")
-                )
-                emb = emb.join(kept, "doc_id", "left_semi")
+            emb = restrict_global(embeddings)
             cents = train_ivf_centroids(
                 emb, "doc_id", "embedding", k=semantic_clusters
             )
@@ -437,14 +531,17 @@ def run_dedup_pipeline(
             fin_path, "part_key", lineage, force=force,
         )
 
-    stages = [r_sig, r_clu]
+    stages = []
+    if r_qua is not None:
+        stages.append(r_qua)
+    if r_lmm is not None:
+        stages.extend([r_lmm, r_ppl])
+    stages.extend([r_sig, r_clu])
     if r_con is not None:
         stages.append(r_con)
     if r_sem is not None:
         stages.append(r_sem)
     stages.append(r_out)
-    if r_qua is not None:
-        stages.insert(0, r_qua)
     if r_spn is not None:
         stages.extend([r_spn, r_fin])
     return tuple(stages)
@@ -472,6 +569,16 @@ def main(argv=None) -> int:
     p.add_argument("--quality", action="store_true",
                    help="prepend the checkpointed quality_filter stage; "
                         "rejected docs never reach the shingle pass")
+    p.add_argument("--ppl-target", default=None,
+                   help="optional clean-corpus parquet (doc_id, text): "
+                        "trains the hashed-bigram LM once (global stage) "
+                        "and drops docs below --ppl-min-avg-logprob "
+                        "(CCNet-style perplexity filter) before shingling")
+    p.add_argument("--ppl-min-avg-logprob", type=float, default=-7.0,
+                   help="keep docs with avg_logprob >= this (perplexity "
+                        "<= exp(7) ~ 1100 by default); unscoreable "
+                        "(<2-word) docs are kept")
+    p.add_argument("--ppl-buckets", type=int, default=8192)
     p.add_argument("--span-dedup", type=int, default=None, metavar="K",
                    help="append exact-substring dedup at K-token window "
                         "granularity over the surviving corpus (global "
@@ -496,6 +603,9 @@ def main(argv=None) -> int:
     spark = get_spark("run_dedup")
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.bench) if args.bench else None
+    ppl_target = (
+        spark.read.parquet(args.ppl_target) if args.ppl_target else None
+    )
     embeddings = (
         spark.read.parquet(args.embeddings) if args.embeddings else None
     )
@@ -508,6 +618,9 @@ def main(argv=None) -> int:
         bench=bench, bench_fingerprint=args.bench,
         decon_min_hits=args.decon_min_hits, scrub=args.scrub,
         quality=args.quality,
+        ppl_target=ppl_target, ppl_fingerprint=args.ppl_target,
+        ppl_min_avg_logprob=args.ppl_min_avg_logprob,
+        ppl_buckets=args.ppl_buckets,
         mix_rates_ppm=json.loads(args.mix) if args.mix else None,
         span_k=args.span_dedup,
         embeddings=embeddings, emb_fingerprint=args.embeddings,
@@ -515,14 +628,17 @@ def main(argv=None) -> int:
         semantic_clusters=args.semantic_clusters,
         semantic_max_cluster=args.semantic_max_cluster,
     )
-    names = ["signatures", "clusters"]
+    names = []
+    if args.quality:
+        names.append("quality")
+    if args.ppl_target:
+        names.extend(["lm_model", "ppl"])
+    names.extend(["signatures", "clusters"])
     if bench is not None:
         names.append("contamination")
     if embeddings is not None:
         names.append("semantic")
     names.append("output")
-    if args.quality:
-        names.insert(0, "quality")
     if args.span_dedup is not None:
         names.extend(["span_intervals", "span_clean"])
     summary = {

@@ -540,6 +540,98 @@ def test_dedup_pipeline_shrinking_buckets_prunes_stale_partitions(
     )
 
 
+def test_dedup_pipeline_ppl_stage(spark, tmp_path):
+    """--ppl-target adds the two perplexity stages (train LM once, score
+    per bucket): junk docs score below the threshold and never reach the
+    output; the result equals the hand-composed lm_logprob + minhash
+    keepers; a re-run skips every stage; loosening the threshold
+    invalidates (knob in the lineage key) and the junk docs come back."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators import (
+        dedup_clusters,
+        lm_logprob,
+        minhash_lsh_pairs,
+    )
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "source")
+    # every 5th doc becomes out-of-vocabulary junk (distinct per doc so the
+    # junk docs are NOT minhash duplicates of each other — the ppl stage,
+    # not dedup, must be what removes them)
+    junk = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda i: F.concat(
+                F.lit("zq"),
+                ((F.col("doc_id") * 31 + i) % 9973).cast("string"),
+            ),
+        ),
+    )
+    docs = base.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0, junk).otherwise(F.col("text"))
+    )
+    target = base.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+    ).select("doc_id", "text")
+
+    scored = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm_logprob(
+            docs, "doc_id", "text", target, "doc_id", "text"
+        ).collect()
+    }
+    junk_ids = {i for i in scored if i % 5 == 0}
+    hi_junk = max(scored[i] for i in junk_ids)
+    lo_clean = min(scored[i] for i in scored if i not in junk_ids)
+    assert hi_junk < lo_clean, "junk must be separable by avg_logprob"
+    thr = (hi_junk + lo_clean) / 2
+
+    out, ck = str(tmp_path / "out_ppl"), str(tmp_path / "ck_ppl")
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              ppl_target=target, ppl_fingerprint="t1",
+              ppl_min_avg_logprob=thr)
+    stages = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert len(stages) == 5  # lm_model, ppl, signatures, clusters, output
+    assert all(not r.skipped for st in stages for r in st)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/deduped").collect()
+    )
+    assert junk_ids and not (set(got) & junk_ids)
+
+    # hand-composed: ppl keepers -> minhash keepers
+    kept = docs.filter(
+        ~F.col("doc_id").isin([int(i) for i in junk_ids])
+    )
+    pairs = minhash_lsh_pairs(
+        kept, "doc_id", "text", k=3, n_hashes=16, bands=4,
+        max_bucket_size=100,
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_clusters(kept.select("doc_id"), "doc_id", pairs)
+        .filter("is_keeper")
+        .collect()
+    )
+    assert got == want
+
+    # immediate re-run: everything skipped
+    st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert all(r.skipped for st in st2 for r in st)
+
+    # loosening the threshold re-runs (lineage) and the junk docs return
+    st3 = RD.run_dedup_pipeline(
+        spark, docs, out, ck, **dict(kw, ppl_min_avg_logprob=-1e9)
+    )
+    assert all(not r.skipped for st in st3 for r in st)
+    got3 = set(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/deduped").collect()
+    )
+    assert junk_ids <= got3
+
+
 def test_dedup_pipeline_semantic_stage(spark, tmp_path):
     """--embeddings adds the SemDeDup stage: final output equals the
     hand-composed minhash-keepers minus semantic drops; an immediate
