@@ -3,11 +3,16 @@ at a fixed local[] parallelism and print one JSON line.
 
     python tools/scale_worker.py <cpus> <seq_path> [n_runs] [job]
 
-job = "pipeline" (default: the token feature pipeline) or "pack"
-(corpus-level training-sequence packing over the same table — the newest
-wide operator: offset window over doc rows + linear explode; n_groups is
-FIXED at 64 across parallelism levels so the output is provably identical
-while the work redistributes).
+job = "pipeline" (default: the token feature pipeline), "pack"
+(corpus-level training-sequence packing over the same table: offset
+window over doc rows + linear explode; n_groups is FIXED at 64 across
+parallelism levels so the output is provably identical while the work
+redistributes), "semdedup" (semantic_dedup over a synthetic embedding
+corpus; quantizer trained once outside the timed region), or "dsir"
+(importance_weights over the dedup-scaling text corpus: hashed 1..2-gram
+counting + broadcast ratio join — the gram-counting stage is the
+embarrassingly-parallel CPU bulk, the same shape that dominates at
+corpus scale).
 """
 
 from __future__ import annotations
@@ -86,6 +91,33 @@ def main() -> None:
             )
             out.write.format("noop").mode("overwrite").save()
             return n_vecs, time.perf_counter() - t0
+    elif job == "dsir":
+        import time
+
+        from pyspark.sql import functions as F
+
+        from geofeaturegeneration_spark.operators import importance_weights
+
+        def run_job(spark, path):
+            docs = spark.read.parquet(path)
+            raw = docs.filter(F.col("doc_id") % 11 != 0).select(
+                "doc_id", "text"
+            )
+            target = docs.filter(F.col("doc_id") % 11 == 0).select(
+                F.col("doc_id").alias("tid"), F.col("text").alias("ttext")
+            )
+            # grams scored = raw-side 1..2-gram occurrences: a pure
+            # expression agg over the raw docs (one cheap pass, NOT timed —
+            # it is a property of the corpus, identical at every level)
+            n_grams = raw.agg(
+                F.sum(2 * F.size(F.split("text", " ")) - 1)
+            ).collect()[0][0]
+            t0 = time.perf_counter()
+            w = importance_weights(
+                raw, "doc_id", "text", target, "tid", "ttext"
+            )
+            w.write.format("noop").mode("overwrite").save()
+            return n_grams, time.perf_counter() - t0
     else:
         run_job = token_pipeline
 

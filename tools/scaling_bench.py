@@ -100,19 +100,30 @@ def main() -> None:
                         "threads — so 8->32 measures the host, not the engine)")
     p.add_argument("--md-out", default=None, help="append a results section to this md file")
     p.add_argument("--job", default="pipeline",
-                   choices=["pipeline", "pack", "semdedup"],
+                   choices=["pipeline", "pack", "semdedup", "dsir"],
                    help="pipeline = token feature pipeline; pack = "
                         "pack_sequences over the same table; semdedup = "
                         "semantic_dedup over a synthetic embedding corpus "
-                        "(--n-vecs)")
+                        "(--n-vecs); dsir = importance_weights over the "
+                        "dedup-scaling text corpus (--n-copies/"
+                        "--text-repeat)")
     p.add_argument("--n-vecs", type=int, default=400000,
                    help="corpus size for --job semdedup")
+    p.add_argument("--n-copies", type=int, default=20,
+                   help="corpus replication for --job dsir (20 -> 100k docs)")
+    p.add_argument("--text-repeat", type=int, default=3,
+                   help="doc-length multiplier for --job dsir")
     args = p.parse_args()
 
-    seq_path = (
-        ensure_emb_input(args.n_vecs) if args.job == "semdedup"
-        else ensure_input(args.n_docs)
-    )
+    if args.job == "semdedup":
+        seq_path = ensure_emb_input(args.n_vecs)
+    elif args.job == "dsir":
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from dedup_scaling import ensure_corpus
+
+        seq_path = ensure_corpus(args.n_copies, args.text_repeat)
+    else:
+        seq_path = ensure_input(args.n_docs)
     lo = run_level(args.n_low, seq_path, args.job)
     hi = run_level(args.n_low * 4, seq_path, args.job)
     ratio = hi["tokens_per_sec"] / lo["tokens_per_sec"]
@@ -131,8 +142,9 @@ def main() -> None:
         "pipeline": "token feature pipeline",
         "pack": "pack_sequences (seq_len=512, n_groups=64)",
         "semdedup": "semantic_dedup (16 trained clusters, threshold 0.95)",
+        "dsir": "DSIR importance_weights (hashed 1..2-grams, 8192 buckets)",
     }[args.job]
-    unit = "vectors" if args.job == "semdedup" else "tokens"
+    unit = {"semdedup": "vectors", "dsir": "grams"}.get(args.job, "tokens")
     if args.md_out:
         with open(args.md_out, "a") as f:
             f.write(
