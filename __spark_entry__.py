@@ -1240,6 +1240,23 @@ def q_temperature_mix(spark, sf_dir):
     return temperature_mix(docs, "doc_id", alpha=0.5, target_frac=0.5)
 
 
+def q_temperature_tokens(spark, sf_dir):
+    """Token-budget temperature mixing (alpha=0.5, target half the corpus
+    TOKENS): group mass = exact int64 word-count sums instead of doc
+    counts — the form pretraining mixes are specified in. Same pure
+    per-row draw; different salt so the two samples are independent."""
+    from geofeaturegeneration_spark.functions.text import n_words
+    from geofeaturegeneration_spark.operators import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", n_words(F.col("text")).alias("n_tok")
+    )
+    return temperature_mix(
+        docs, "doc_id", alpha=0.5, target_frac=0.5,
+        salt="tokrate", weight_col="n_tok",
+    ).drop("n_tok")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-matched queries OUTSIDE the driver's 50-entry window: physical
     twins of contract entries (identical output, different plan) and folded
@@ -1318,6 +1335,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-side filter IS the in-window source_sample draw — verified
         # transitively through source_sample's contract row
         "temperature_mix": q_temperature_mix,
+        # token-budget form of the same recipe (weight_col): group mass =
+        # exact int64 token sums, rates realized through the identical
+        # source_sample draw
+        "temperature_tokens": q_temperature_tokens,
         # round 4: folded out of the driver window (driver-green r01-r03)
         # to give lm_logprob a contract row — the multimodal family keeps
         # multimodal_meta and frame_sample in-window
@@ -2460,6 +2481,25 @@ p AS (SELECT source,
 SELECT d.doc_id, d.source
 FROM documents d JOIN p USING (source)
 WHERE ({_MD5L.format(x="d.doc_id::VARCHAR || '#mixrate'")}) % 1000000 < p.ppm
+""",
+        # mirrors operators/curation.temperature_mix with weight_col
+        # (token-budget mixing, salt 'tokrate'): group mass = exact BIGINT
+        # word-count sums (whitespace split, the repo-wide token
+        # convention), then the identical sqrt rate formula and integer-ppm
+        # draw. DuckDB sums to HUGEINT -> cast back to BIGINT like Spark's
+        # long before the float normalization.
+        "temperature_tokens": f"""
+WITH c AS (SELECT source,
+                  sum(len(string_split(text, ' ')))::BIGINT AS n
+           FROM documents GROUP BY source),
+t AS (SELECT sum(n)::DOUBLE AS total_n, sum(sqrt(n::DOUBLE)) AS tot FROM c),
+p AS (SELECT source,
+             floor(1000000 * least(1.0,
+                 0.5 * total_n * sqrt(n::DOUBLE) / tot / n))::BIGINT AS ppm
+      FROM c, t)
+SELECT d.doc_id, d.source
+FROM documents d JOIN p USING (source)
+WHERE ({_MD5L.format(x="d.doc_id::VARCHAR || '#tokrate'")}) % 1000000 < p.ppm
 """,
         # mirrors operators/split.shuffle_shards (shard_size=256, salt
         # 'shuffle'): the distributed zipWithIndex result must equal the

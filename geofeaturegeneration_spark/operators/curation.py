@@ -430,6 +430,7 @@ def temperature_rates(
     by: str = "source",
     alpha: float = 0.5,
     target_frac: float = 0.5,
+    weight_col: str | None = None,
 ) -> dict[str, int]:
     """Per-``by`` keep rates (integer ppm, for ``source_sample``) that
     realize TEMPERATURE-SCALED mixing: group sampling mass proportional to
@@ -437,6 +438,17 @@ def temperature_rates(
     every group equally, alpha≈0.5 is the multilingual/Gopher-style
     upsample-the-tail setting), with an expected total of
     ``target_frac * N`` rows kept.
+
+    ``weight_col`` switches the mixing mass from doc COUNTS to an integer
+    per-doc weight — pass a token-count column to get the token-budget
+    form pretraining mixes are actually specified in (Gopher/LLaMA quote
+    per-source token shares, not doc shares). With weights, ``n_s`` above
+    becomes ``tok_s = sum(weight)`` per group and the expected total kept
+    WEIGHT is exactly ``target_frac * sum(weight)`` regardless of how doc
+    lengths vary within a group: each doc is kept with its group's rate,
+    so E[kept weight in s] = rate_s * tok_s and the rate formula cancels
+    tok_s. Weights are summed as int64 (exact — no float accumulation
+    order enters the rates).
 
     ``rate_s = min(1, target_frac * N * n_s**alpha / sum_t(n_t**alpha)
     / n_s)`` then ``ppm = floor(1e6 * rate)``. A head group whose rate
@@ -455,9 +467,13 @@ def temperature_rates(
     class as the documented GEMM association bet."""
     import math
 
+    mass = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
     counts = {
-        r[by]: r["n"]
-        for r in df.groupBy(by).agg(F.count(F.lit(1)).alias("n")).collect()
+        r[by]: r["n"] for r in df.groupBy(by).agg(mass.alias("n")).collect()
     }
 
     # alpha 0.5/1.0/0.0 route through exactly-rounded primitives (sqrt is
@@ -488,11 +504,17 @@ def temperature_mix(
     alpha: float = 0.5,
     target_frac: float = 0.5,
     salt: str = "mixrate",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-scaled mixture sampling in one call:
     ``source_sample(df, rates=temperature_rates(df, alpha, target_frac))``.
     Two corpus passes (one tiny count agg, one broadcast-join filter);
     the draw is a pure function of (id, salt) — reproducible and monotone
-    under target_frac increases exactly like source_sample."""
-    rates = temperature_rates(df, by=by, alpha=alpha, target_frac=target_frac)
+    under target_frac increases exactly like source_sample. With
+    ``weight_col`` the recipe is a TOKEN budget (see temperature_rates):
+    expected kept tokens = target_frac * total tokens, group token shares
+    tempered by alpha."""
+    rates = temperature_rates(
+        df, by=by, alpha=alpha, target_frac=target_frac, weight_col=weight_col
+    )
     return source_sample(df, id_col, rates, by=by, salt=salt)

@@ -382,6 +382,47 @@ def test_temperature_rates_clamped_at_one(spark):
     assert rates["big"] == 500_000  # 4.5/9
 
 
+def test_temperature_rates_token_weighted(spark):
+    from geofeaturegeneration_spark.operators import temperature_rates
+
+    # two sources with equal DOC counts but 9:1 token mass — doc-count
+    # rates can't tell them apart; token-weighted rates must
+    rows = [(i, "long" if i < 5 else "short", 900 if i < 5 else 100)
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING, n_tok INT")
+    # alpha=1 on weights: rate = f everywhere (natural token proportions)
+    assert temperature_rates(
+        df, by="source", alpha=1.0, target_frac=0.5, weight_col="n_tok"
+    ) == {"long": 500_000, "short": 500_000}
+    # alpha=0 on weights: each group gets f*T/G = 0.4*5000/2 = 1000 tokens
+    # -> long (4500 tok) rate 1000/4500, short (500 tok) rate 1.0 (clamped
+    # from 2.0)
+    rates = temperature_rates(
+        df, by="source", alpha=0.0, target_frac=0.4, weight_col="n_tok"
+    )
+    assert rates == {"long": int(1e6 * 1000 / 4500), "short": 1_000_000}
+
+
+def test_temperature_mix_token_weighted_expected_total(spark):
+    from geofeaturegeneration_spark.functions.text import n_words
+    from geofeaturegeneration_spark.operators import temperature_mix
+
+    # docs of wildly varying length across 4 sources: expected KEPT TOKENS
+    # = target_frac * total tokens (the weight cancels in the rate), even
+    # though doc lengths vary within each group
+    rows = [(i, f"s{i % 4}", " ".join(["w"] * (1 + (i * 7) % 50)))
+            for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING, text STRING")
+    df = df.withColumn("n_tok", n_words(F.col("text")))
+    total = df.agg(F.sum("n_tok")).collect()[0][0]
+    kept = (
+        temperature_mix(df, "doc_id", alpha=0.5, target_frac=0.5,
+                        weight_col="n_tok")
+        .agg(F.sum("n_tok")).collect()[0][0]
+    )
+    assert abs(kept - 0.5 * total) < 0.12 * total
+
+
 def test_temperature_mix_is_monotone_in_target(spark):
     from geofeaturegeneration_spark.operators import temperature_mix
 
