@@ -42,6 +42,13 @@ the CheckpointStore so a crash resumes without recomputing finished work:
    + clustered GEMM screen (similarity.semantic_dedup); lands as an
    ids-only drop table the output stage anti-joins. The corpus text never
    moves through this stage.
+2.8 ``mix_rates`` (optional, global): ``--mix-alpha`` computes the
+   temperature-scaled mixing recipe (curation.temperature_rates) over the
+   SURVIVING corpus — keepers minus contamination minus semantic drops —
+   instead of taking explicit ``--mix`` rates; ``--mix-tokens`` weighs it
+   by exact int64 token counts (the token-budget form). The persisted
+   table is |sources|-sized; the output stage applies it as the same
+   source_sample draw.
 3. ``output`` (per doc-id hash bucket): keeper filter — each bucket of the
    corpus equi-joins its slice of the cluster table and keeps survivors.
    Text bytes are only touched here and in stage 1. ``--scrub`` folds PII
@@ -88,10 +95,12 @@ from geofeaturegeneration_spark.operators import (
     span_reassemble,
     train_ivf_centroids,
 )
+from geofeaturegeneration_spark.functions.text import n_words
 from geofeaturegeneration_spark.operators.curation import (
     pii_clean_col,
     quality_filter,
     source_sample,
+    temperature_rates,
 )
 from geofeaturegeneration_spark.session import get_spark
 
@@ -122,6 +131,9 @@ def run_dedup_pipeline(
     mix_rates_ppm: dict[str, int] | None = None,
     mix_by: str = "source",
     mix_default_ppm: int = 0,
+    mix_alpha: float | None = None,
+    mix_target_frac: float = 0.5,
+    mix_by_tokens: bool = False,
     span_k: int | None = None,
     embeddings=None,
     emb_fingerprint: str | None = None,
@@ -160,6 +172,18 @@ def run_dedup_pipeline(
     already rewrites text — no extra stage, but it IS part of the lineage
     key (changing the recipe invalidates the output stage only).
 
+    ``mix_alpha`` computes the recipe INSIDE the job instead (mutually
+    exclusive with ``mix_rates_ppm``): a checkpointed MIX_RATES stage runs
+    ``curation.temperature_rates`` over the surviving corpus (keepers
+    minus contamination minus semantic drops — the same population the
+    output stage emits), so the temperature recipe reflects what dedup
+    actually kept, not the raw input. ``mix_by_tokens=True`` weighs the
+    recipe by exact int64 word-count sums (the token-budget form mixes are
+    actually specified in; one extra text-bytes pass, which is why the
+    stage is checkpointed). The rate table is |sources|-sized; the output
+    stage reads it back and applies the identical source_sample draw.
+    alpha/target/weighting are all in the lineage key.
+
     ``span_k`` appends the EXACT-SUBSTRING dedup modality over the
     surviving corpus: a global checkpointed stage persists the (small)
     duplicated-span interval table (``span_dup_intervals``; winners are
@@ -180,6 +204,11 @@ def run_dedup_pipeline(
     therefore ONE resumable artifact; per-stage wall-clock is recorded in
     the CheckpointStore metrics table. Returns the per-stage
     PartitionResult lists (3 to 10 of them, in pipeline order)."""
+    if mix_alpha is not None and mix_rates_ppm is not None:
+        raise ValueError(
+            "mix_alpha (computed temperature recipe) and mix_rates_ppm "
+            "(explicit rates) are mutually exclusive"
+        )
     store = CheckpointStore(spark, ckpt_path)
     qua_path = os.path.join(out_root, "quality")
     spn_path = os.path.join(out_root, "span_intervals")
@@ -217,6 +246,14 @@ def run_dedup_pipeline(
     if mix_rates_ppm is not None:
         lineage += (
             f";mix={mix_by}:{sorted(mix_rates_ppm.items())}:{mix_default_ppm}"
+        )
+    if mix_alpha is not None:
+        # the computed recipe depends on alpha/target/weighting (the rate
+        # TABLE depends on upstream stages too, but those share this
+        # lineage key already)
+        lineage += (
+            f";tmix={mix_by}:{mix_alpha}:{mix_target_frac}"
+            f":{int(mix_by_tokens)}"
         )
     if span_k is not None:
         lineage += f";span={span_k}"
@@ -434,6 +471,63 @@ def run_dedup_pipeline(
             sem_path, "part_key", lineage, force=force,
         )
 
+    # stage 2.8 (optional): computed temperature-mix recipe — ONE global
+    # checkpoint unit producing the |sources|-sized rate table from the
+    # SURVIVING corpus (keepers minus contamination minus semantic drops,
+    # the exact population the output stage emits). Token weighting costs
+    # one text-bytes pass, which is why the result is checkpointed.
+    mixr_path = os.path.join(out_root, "mix_rates")
+    if mix_alpha is not None:
+        mixr_schema = T.StructType(
+            [
+                docs.schema[mix_by],
+                T.StructField("ppm", T.IntegerType()),
+                T.StructField("part_key", T.StringType()),
+            ]
+        )
+
+        def mixr_one(_key: str):
+            clusters = (
+                spark.read.parquet(clu_path)
+                .filter(F.col("is_keeper"))
+                .select("doc_id")
+            )
+            kept = restrict_global(docs).join(clusters, "doc_id", "left_semi")
+            if bench is not None:
+                bad = (
+                    spark.read.schema(con_schema).parquet(con_path)
+                    .filter(F.col("part_key").cast("string").isin(bucket_keys))
+                    .select("doc_id")
+                )
+                kept = kept.join(bad, "doc_id", "left_anti")
+            if embeddings is not None:
+                sem_bad = spark.read.schema(sem_schema).parquet(
+                    sem_path
+                ).select("doc_id")
+                kept = kept.join(sem_bad, "doc_id", "left_anti")
+            if mix_by_tokens:
+                kept = kept.withColumn("_w", n_words(F.col("text")))
+            rates = temperature_rates(
+                kept, by=mix_by, alpha=mix_alpha,
+                target_frac=mix_target_frac,
+                weight_col="_w" if mix_by_tokens else None,
+            )
+            return spark.createDataFrame(
+                sorted(rates.items()), T.StructType(mixr_schema.fields[:-1])
+            )
+
+        r_mixr = run_partitioned(
+            spark, store, f"{job_id}/mix_rates", ["all"], mixr_one,
+            mixr_path, "part_key", lineage, force=force,
+        )
+        mix_rates_ppm = {
+            r[mix_by]: r["ppm"]
+            for r in spark.read.schema(mixr_schema).parquet(mixr_path)
+            .drop("part_key").collect()
+        }
+    else:
+        r_mixr = None
+
     # final stage: keeper filter (minus contaminated docs and semantic
     # drops) per corpus bucket (only stage touching text bytes besides 1
     # and 2.5)
@@ -541,6 +635,8 @@ def run_dedup_pipeline(
         stages.append(r_con)
     if r_sem is not None:
         stages.append(r_sem)
+    if r_mixr is not None:
+        stages.append(r_mixr)
     stages.append(r_out)
     if r_spn is not None:
         stages.extend([r_spn, r_fin])
@@ -588,6 +684,15 @@ def main(argv=None) -> int:
                    help="JSON object of per-source keep rates in ppm, e.g. "
                         "'{\"web\": 800000, \"books\": 1000000}' — applied "
                         "as source_sample inside the output stage")
+    p.add_argument("--mix-alpha", type=float, default=None,
+                   help="compute the mixing recipe INSIDE the job: "
+                        "temperature-scaled rates (n^alpha) over the "
+                        "surviving corpus (mutually exclusive with --mix)")
+    p.add_argument("--mix-target", type=float, default=0.5,
+                   help="target kept fraction for --mix-alpha")
+    p.add_argument("--mix-tokens", action="store_true",
+                   help="weigh the --mix-alpha recipe by token counts "
+                        "(the token-budget form) instead of doc counts")
     p.add_argument("--embeddings", default=None,
                    help="optional embeddings parquet (doc_id, embedding); "
                         "adds the SEMANTIC dedup stage (SemDeDup): docs "
@@ -622,6 +727,8 @@ def main(argv=None) -> int:
         ppl_min_avg_logprob=args.ppl_min_avg_logprob,
         ppl_buckets=args.ppl_buckets,
         mix_rates_ppm=json.loads(args.mix) if args.mix else None,
+        mix_alpha=args.mix_alpha, mix_target_frac=args.mix_target,
+        mix_by_tokens=args.mix_tokens,
         span_k=args.span_dedup,
         embeddings=embeddings, emb_fingerprint=args.embeddings,
         semantic_threshold=args.semantic_threshold,
@@ -638,6 +745,8 @@ def main(argv=None) -> int:
         names.append("contamination")
     if embeddings is not None:
         names.append("semantic")
+    if args.mix_alpha is not None:
+        names.append("mix_rates")
     names.append("output")
     if args.span_dedup is not None:
         names.extend(["span_intervals", "span_clean"])

@@ -374,6 +374,73 @@ def test_full_curation_pipeline_all_stages_kill_resume(
         ), job
 
 
+def test_dedup_pipeline_computed_mix_stage(spark, tmp_path):
+    """mix_alpha computes the temperature recipe INSIDE the job, over the
+    SURVIVING corpus: the mixed output equals source_sample(unmixed
+    output, temperature_rates(unmixed output, token-weighted)); a same-
+    flags resume skips every stage including the checkpointed rate table;
+    lowering the target re-runs (conservative global lineage) and, because
+    the draw is monotone, yields a subset of the bigger sample."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.functions.text import n_words
+    from geofeaturegeneration_spark.operators.curation import (
+        source_sample,
+        temperature_rates,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "source")
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100)
+
+    # reference: the unmixed pipeline output IS the surviving corpus the
+    # rate stage must base the recipe on
+    out0, ck0 = str(tmp_path / "out_plain"), str(tmp_path / "ck_plain")
+    RD.run_dedup_pipeline(spark, docs, out0, ck0, **kw)
+    plain = spark.read.parquet(os.path.join(out0, "deduped")).drop("part_key")
+
+    out1, ck1 = str(tmp_path / "out_mix"), str(tmp_path / "ck_mix")
+    mkw = dict(mix_alpha=0.5, mix_target_frac=0.5, mix_by_tokens=True, **kw)
+    stages = RD.run_dedup_pipeline(spark, docs, out1, ck1, **mkw)
+    assert len(stages) == 4  # signatures, clusters, mix_rates, output
+    mixed = spark.read.parquet(os.path.join(out1, "deduped"))
+
+    rates = temperature_rates(
+        plain.withColumn("_w", n_words(F.col("text"))),
+        by="source", alpha=0.5, target_frac=0.5, weight_col="_w",
+    )
+    want = source_sample(plain, "doc_id", rates, by="source", salt="mixrate")
+    got_ids = sorted(r["doc_id"] for r in mixed.collect())
+    want_ids = sorted(r["doc_id"] for r in want.collect())
+    assert got_ids == want_ids
+    assert 0 < len(got_ids) < plain.count()
+
+    # same flags resume: everything skips, including the rate stage
+    r2 = RD.run_dedup_pipeline(spark, docs, out1, ck1, **mkw)
+    assert all(r.skipped for stage in r2 for r in stage)
+
+    # a different target changes the lineage key -> full re-run (the
+    # conservative global-lineage contract), and the smaller sample is a
+    # SUBSET of the bigger one (the draw is monotone in the rates)
+    r3 = RD.run_dedup_pipeline(
+        spark, docs, out1, ck1,
+        mix_alpha=0.5, mix_target_frac=0.25, mix_by_tokens=True, **kw
+    )
+    assert all(not r.skipped for stage in r3 for r in stage)
+    small_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out1, "deduped")).collect()
+    }
+    assert small_ids < set(got_ids)
+
+    # explicit rates and the computed recipe are mutually exclusive
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        RD.run_dedup_pipeline(
+            spark, docs, out1, ck1,
+            mix_rates_ppm={"src0": 1}, mix_alpha=0.5, **kw
+        )
+
+
 def test_dedup_pipeline_span_stages(spark, tmp_path):
     """--span-dedup K appends the exact-substring modality: the final
     span_deduped/ table equals span_dedup() run by hand over the deduped/
