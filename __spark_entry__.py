@@ -969,12 +969,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition": q_repetition,
         "multimodal_meta": q_multimodal_meta,
-        "frame_sample": q_frame_sample,
         # round 4: CCNet-style hashed-bigram LM scoring (new operator) —
         # slot freed by folding `embed_payload` (driver-green r01-r03; the
         # multimodal family keeps two in-window slots) into extra_queries()
         "lm_logprob": q_lm_logprob,
-        "sliding_subseq": q_sliding,
+        # round 4: mergeable-sketch family (new operators). Slots freed by
+        # folding `frame_sample` (driver-green r01-r03; multimodal keeps
+        # multimodal_meta in-window) and `sliding_subseq` (driver-green
+        # r01-r03; the windows family keeps lag_lead + rolling in-window)
+        # into extra_queries().
+        "heavy_hitters": q_heavy_hitters,
+        "bloom_screen": q_bloom_screen,
         "grid_cantor": q_grid,
         "geohash": q_geohash,
     }
@@ -1053,6 +1058,50 @@ def q_rare_tokens(spark, sf_dir):
 
     docs = _docs_wide(spark, sf_dir)
     return rare_token_stats(docs, "doc_id", "text", rare_below=2)
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT frequent 3-word shingles via the lossless count-min screen
+    (operators/sketch.py:heavy_hitters). At sf0.01 the shingle key has
+    ~16k distinct values against a width-8192 sketch, so the screen runs
+    with REAL cell collisions and must still return the byte-exact
+    ``GROUP BY HAVING`` answer — which is the oracle. The full-cardinality
+    value shuffle never happens: the only wide shuffle is the
+    (depth x width)-bounded sketch build; the second pass filters map-side
+    through chained broadcast lookups before the (heavy-only) groupBy."""
+    from geofeaturegeneration_spark.operators import heavy_hitters
+    from geofeaturegeneration_spark.operators.dedup import _shingles_expr
+
+    docs = _docs_wide(spark, sf_dir)
+    stream = (
+        docs.select(F.split(F.col("text"), " ").alias("_gfs_w"))
+        .select(F.explode_outer(_shingles_expr("_gfs_w", 3)).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    return heavy_hitters(stream, "shingle", min_count=5, depth=4, width=8192)
+
+
+def q_bloom_screen(spark, sf_dir):
+    """Incremental cross-batch dedup screen (operators/sketch.py): build
+    the Bloom position table over the even-doc_id half of the corpus (the
+    'already ingested' side, touched exactly once), then flag a batch of
+    the odd half PLUS every 10th even doc — true re-ingested duplicates,
+    so the no-false-negative side of the screen is exercised non-vacuously
+    (every doc_id%10==0 row must flag true). The oracle replays the
+    identical salted-md5 bit positions, so the ~(1-e^(-kn/m))^k spurious
+    flags match bit-for-bit too. Screen side is k chained broadcast joins,
+    zero batch-side shuffle."""
+    from geofeaturegeneration_spark.operators import bloom_build, bloom_screen
+
+    docs = _docs_wide(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    ).select("doc_id", "text")
+    bloom = bloom_build(corpus, "text", m_bits=1 << 14, k=4)
+    return bloom_screen(batch, "text", bloom, m_bits=1 << 14, k=4).select(
+        "doc_id", "might_contain"
+    )
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -1275,6 +1324,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compare_oracle.
         "vocab": q_vocab,
         "token_roundtrip": q_token_roundtrip,
+        # round 4: folded to free the heavy_hitters / bloom_screen sketch
+        # slots — frame_sample keeps its multimodal sibling
+        # (multimodal_meta) in-window, sliding_subseq its windows siblings
+        # (lag_lead, rolling); both were driver-green r01-r03 and stay
+        # value-exact under compare_oracle.
+        "frame_sample": q_frame_sample,
+        "sliding_subseq": q_sliding,
         # round 4: the literal first stage of the in-window dedup_exact
         # (exact_dedup groups BY this fingerprint) — folded to free the
         # span_dedup slot
@@ -2548,6 +2604,36 @@ LEFT JOIN sc USING (doc_id)
         # mirrors operators/curation.rare_token_stats (rare_below=2);
         # rare_frac is one IEEE division of two exact bigints — identical
         # in any engine
+        # heavy_hitters: the CMS screen is LOSSLESS (estimates never
+        # undercount), so the Spark result is byte-identical to the naive
+        # exact query — which is therefore the oracle. Same 3-word-shingle
+        # construction as _SHINGLE_CTE (without DISTINCT/hashing: the
+        # sketch counts multiplicity of the raw shingle strings).
+        "heavy_hitters": """
+WITH w AS (SELECT string_split(text,' ') ws FROM documents),
+g AS (SELECT unnest(list_transform(generate_series(1, len(ws)-2),
+                                   i -> array_to_string(ws[i:i+2],' '))) AS shingle
+      FROM w WHERE len(ws) >= 3)
+SELECT shingle, count(*) AS cnt
+FROM g GROUP BY shingle HAVING count(*) >= 5
+""",
+        # bloom_screen: replay the k=4 salted-md5 bit positions over
+        # m=2^14 bits; might_contain = all 4 positions of the batch value
+        # present in the corpus's DISTINCT position set (matches Spark's
+        # chained broadcast left joins bit-for-bit, spurious flags
+        # included).
+        "bloom_screen": f"""
+WITH pos AS (SELECT DISTINCT
+               ({_MD5L.format(x="text || '#bloom#' || i::VARCHAR")}) % 16384 AS pos
+             FROM documents, range(4) t(i) WHERE doc_id % 2 = 0),
+batch AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 2 = 1 OR doc_id % 10 = 0),
+bp AS (SELECT doc_id,
+              ({_MD5L.format(x="text || '#bloom#' || i::VARCHAR")}) % 16384 AS pos
+       FROM batch, range(4) t(i))
+SELECT bp.doc_id, (count(p.pos) = 4) AS might_contain
+FROM bp LEFT JOIN pos p USING (pos) GROUP BY bp.doc_id
+""",
         "rare_tokens": """
 WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
 c AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),

@@ -93,6 +93,8 @@ HEADLINE = [
     "importance_resample",
     "shuffle_shards",
     "lm_logprob",
+    "heavy_hitters",
+    "bloom_screen",
 ]
 
 

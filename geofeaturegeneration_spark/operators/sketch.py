@@ -1,0 +1,315 @@
+"""Mergeable probabilistic sketches for corpus statistics at 100-TB scale:
+count-min frequency sketching (+ an EXACT heavy-hitters screen built on it)
+and a Bloom-filter membership screen for incremental cross-batch dedup.
+
+No analog exists in the reference (its frequency statistics are pandas
+``value_counts`` over one in-memory frame); these are the tools a
+pretraining pipeline needs when the DISTINCT cardinality of a key (tokens,
+URLs, fingerprints) is too large to shuffle or to hold per-executor:
+
+* ``cms_build`` / ``cms_merge`` / ``cms_query`` — Cormode & Muthukrishnan's
+  count-min sketch as a (depth x width)-row DataFrame. The sketch size is
+  a CONSTANT (depth*width rows) regardless of corpus size, sketches of
+  shards merge by cell-wise addition (one union + groupBy), and estimates
+  never underestimate — the properties that make it the canonical
+  distributed-counting tool. ``rare_token_stats`` (curation.py) is the
+  exact-count sibling that assumes the vocabulary fits in executor memory;
+  this family is what replaces it when it does not.
+* ``heavy_hitters`` — EXACT frequent-items extraction with a sketch-based
+  screen: because a CMS estimate is always >= the true count, filtering
+  the stream to rows whose estimate reaches the threshold drops no true
+  heavy hitter, and the exact groupBy afterwards sees only candidate-heavy
+  keys. The full-cardinality value shuffle never happens; the only wide
+  shuffle is the width-bounded sketch build. The screen is LOSSLESS, so
+  the result is byte-identical to the naive ``GROUP BY ... HAVING`` — the
+  DuckDB oracle is exactly that query.
+* ``bloom_build`` / ``bloom_screen`` / ``bloom_novel`` — membership screen
+  for incremental ingestion: build a Bloom filter over the existing
+  corpus's keys ONCE (size bounded by ``m_bits`` regardless of corpus
+  size), broadcast it, and screen every new batch map-side — no join
+  against the corpus, no corpus re-scan per batch. One-sided error:
+  a key present in the corpus is ALWAYS flagged (no false negatives —
+  no duplicate sneaks through); a novel key is flagged spuriously with
+  probability ~(1 - e^(-k*n/m))^k, so ``bloom_novel`` under-keeps, never
+  under-drops. The filter is represented as a DISTINCT bit-position table
+  (<= m_bits rows, int64), which merges across shards by union-distinct
+  and round-trips through parquet — the packed-bitset form is a pure
+  physical optimization this representation never blocks.
+
+Determinism contract: the only hash is the repo-wide md5-60bit primitive
+(functions.text.md5_long) salted per (family, row); every screen decision
+is a pure function of the input values, so results are identical across
+engines, partitionings, and retries (verified by the DuckDB oracles and
+the repartition-invariance tests).
+
+Scale shapes: ``cms_build`` is one depth-way array explode + one groupBy
+on a uniform (d, w) key whose output is depth*width rows. ``cms_query`` /
+``heavy_hitters`` / ``bloom_screen`` do per-row lookups as CHAINED
+BROADCAST equi-joins (depth resp. k of them, all map-side, zero shuffle
+on the big side) — never a groupBy on the looked-up key. ``bloom_build``
+is one k-way explode + distinct on a uniform key bounded by m_bits.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geofeaturegeneration_spark.functions.text import md5_long
+
+
+def _cell_hash(value: Column, row: int, width: int, salt: str) -> Column:
+    """Bucket of ``value`` in hash row ``row``: md5-60bit of
+    ``value#salt#row`` mod ``width``. The row index participates in the
+    hashed STRING (not as a second mod) so rows are independent hash
+    functions, and the salt keeps sketch families from aliasing each
+    other (the same convention as every other operator's salted md5)."""
+    return (
+        md5_long(F.concat(value.cast("string"), F.lit(f"#{salt}#{row}")))
+        % F.lit(width)
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    salt: str = "cms",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch of one column: (d, w, cnt) with exactly one row
+    per NON-EMPTY cell (absent cells are zero; ``cms_query`` restores
+    them). ``weight_col`` counts each row with an integer weight instead
+    of 1 (e.g. pre-aggregated (token, count) shards).
+
+    Plan: the depth hashes of a row are built as one array literal-loop
+    (depth is a small constant), exploded once, and aggregated on the
+    uniform (d, w) key — one explode + one groupBy, output depth*width
+    rows regardless of input size. Null values are skipped (they carry no
+    frequency information and would otherwise all alias md5('null'))."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    v = F.col(value_col)
+    wt = (
+        F.col(weight_col).cast("long") if weight_col is not None else F.lit(1).cast("long")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("int").alias("d"),
+                _cell_hash(v, d, width, salt).alias("w"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(F.explode(cells).alias("_c"), wt.alias("_wt"))
+        .groupBy(F.col("_c.d").alias("d"), F.col("_c.w").alias("w"))
+        .agg(F.sum("_wt").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of same-shape sketches (same depth/width/salt — the
+    caller's contract, as with any CMS). union + groupBy on the
+    (depth*width)-bounded key: sketch shards of a 100-TB corpus merge for
+    the cost of shuffling a few thousand rows."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
+    return (
+        reduce(DataFrame.unionByName, sketches)
+        .groupBy("d", "w")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _chained_lookup(
+    df: DataFrame,
+    value: Column,
+    sketch: DataFrame,
+    depth: int,
+    width: int,
+    salt: str,
+) -> tuple[DataFrame, Column]:
+    """Annotate ``df`` with the CMS estimate of ``value`` as CHAINED
+    BROADCAST left joins — one per hash row, each against the
+    width-bounded slice of the sketch. All map-side: the big side never
+    shuffles, never groups. Returns (annotated df, estimate column)."""
+    est = None
+    for d in range(depth):
+        slice_d = sketch.filter(F.col("d") == d).select(
+            F.col("w").alias(f"_w{d}"), F.col("cnt").alias(f"_cnt{d}")
+        )
+        df = df.withColumn(f"_w{d}", _cell_hash(value, d, width, salt)).join(
+            F.broadcast(slice_d), f"_w{d}", "left"
+        )
+        c = F.coalesce(F.col(f"_cnt{d}"), F.lit(0).cast("long"))
+        est = c if est is None else F.least(est, c)
+    return df, est
+
+
+def cms_query(
+    sketch: DataFrame,
+    items: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 8192,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``items``: adds an ``est``
+    column (min over the depth hash rows; >= the true count, with
+    overestimation bounded by the usual e/width tail). depth/width/salt
+    must match ``cms_build``. Lookup is map-side (chained broadcast
+    joins) — ``items`` never shuffles."""
+    out, est = _chained_lookup(
+        items, F.col(value_col), sketch, depth, width, salt
+    )
+    helper = [c for c in out.columns if c.startswith(("_w", "_cnt"))]
+    return out.withColumn("est", est).drop(*helper)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 8192,
+    salt: str = "cms",
+) -> DataFrame:
+    """EXACT frequent values: (value_col, cnt) for every value occurring
+    at least ``min_count`` times — byte-identical to
+    ``GROUP BY value HAVING count(*) >= min_count`` (the oracle), but the
+    full-cardinality shuffle never happens. Two passes:
+
+    1. ``cms_build`` — the only wide shuffle, on the uniform (d, w) key,
+       output depth*width rows.
+    2. Re-scan: per-row estimate via chained broadcast lookups (map-side),
+       filter ``est >= min_count`` — LOSSLESS, because a CMS estimate
+       never undercounts — then exact groupBy over the surviving rows.
+       On a zipf-shaped corpus the survivors are the heavy keys plus a
+       small collision tail (tunable via ``width``), so the value-keyed
+       shuffle is tiny even when the vocabulary is billions.
+
+    The screened groupBy's key skew is exactly the heavy hitters
+    themselves — map-side partial aggregation (automatic for count)
+    collapses each to one row per map task, so no salting is needed."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    sketch = cms_build(df, value_col, depth, width, salt)
+    v = F.col(value_col)
+    stream, est = _chained_lookup(
+        df.filter(v.isNotNull()).select(v), v, sketch, depth, width, salt
+    )
+    return (
+        stream.filter(est >= F.lit(min_count))
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(min_count))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership screen (incremental cross-batch dedup)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(value: Column, i: int, m_bits: int, salt: str) -> Column:
+    """Bit position ``i`` of ``value``: md5-60bit of ``value#salt#i`` mod
+    ``m_bits`` (k independent salted hashes, same construction as the CMS
+    rows)."""
+    return (
+        md5_long(F.concat(value.cast("string"), F.lit(f"#{salt}#{i}")))
+        % F.lit(m_bits)
+    ).cast("long")
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom filter over a corpus key as the DISTINCT set of set bit
+    positions: (pos) with pos in [0, m_bits). At most m_bits rows — the
+    filter size is bounded by the parameter, NOT the corpus (pick
+    ``m_bits ~ 10 * n_distinct`` for ~1% false positives at k=4; at the
+    default 2^20 the table broadcasts in ~8 MB worst-case). Filters of
+    corpus shards merge by union-distinct; the table round-trips through
+    parquet, so "build once, screen every future batch" is one persisted
+    artifact. One k-way explode + distinct on the uniform position key."""
+    if k < 1 or m_bits < 1:
+        raise ValueError("k and m_bits must be >= 1")
+    v = F.col(value_col)
+    positions = F.array(*[_bloom_pos(v, i, m_bits, salt) for i in range(k)])
+    return (
+        df.filter(v.isNotNull())
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_screen(
+    batch: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Annotate every batch row with ``might_contain``: true iff ALL k bit
+    positions of its value are set in ``bloom``. m_bits/k/salt must match
+    ``bloom_build``. One-sided: a value that was in the filter's corpus is
+    ALWAYS true (no false negatives); a novel value is true only on a
+    k-way hash collision. Null values screen as might_contain=false
+    (``bloom_build`` never inserts them).
+
+    Plan: k chained broadcast left semi-style joins against the bounded
+    position table — all map-side, the batch never shuffles."""
+    v = F.col(value_col)
+    out = batch
+    hit_all: Column | None = None
+    for i in range(k):
+        pos_i = bloom.select(F.col("pos").alias(f"_p{i}")).withColumn(
+            f"_hit{i}", F.lit(True)
+        )
+        out = out.withColumn(f"_p{i}", _bloom_pos(v, i, m_bits, salt)).join(
+            F.broadcast(pos_i), f"_p{i}", "left"
+        )
+        h = F.coalesce(F.col(f"_hit{i}"), F.lit(False))
+        hit_all = h if hit_all is None else (hit_all & h)
+    helper = [c for c in out.columns if c.startswith(("_p", "_hit"))]
+    return (
+        out.withColumn("might_contain", v.isNotNull() & hit_all)
+        .drop(*helper)
+    )
+
+
+def bloom_novel(
+    batch: DataFrame,
+    value_col: str,
+    corpus: DataFrame,
+    corpus_value_col: str | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Incremental-ingest screen: the batch rows whose key is GUARANTEED
+    absent from the corpus (``might_contain`` false). Every true duplicate
+    is dropped (no false negatives); a ~(1-e^(-k*n/m))^k fraction of novel
+    rows is spuriously dropped with them — the standard Bloom trade
+    (under-keep, never under-drop), sized by ``m_bits``. For exact
+    semantics on the survivors' side, follow with ``dedup.dedup_exact``
+    against the (much smaller) flagged set; for the screen itself the
+    corpus is touched ONCE (``bloom_build``) no matter how many batches
+    follow — build the filter, persist the position table, screen forever.
+    """
+    bloom = bloom_build(
+        corpus, corpus_value_col or value_col, m_bits, k, salt
+    )
+    screened = bloom_screen(batch, value_col, bloom, m_bits, k, salt)
+    return screened.filter(~F.col("might_contain")).drop("might_contain")
