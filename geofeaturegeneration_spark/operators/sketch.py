@@ -138,7 +138,17 @@ def _chained_lookup(
     """Annotate ``df`` with the CMS estimate of ``value`` as CHAINED
     BROADCAST left joins — one per hash row, each against the
     width-bounded slice of the sketch. All map-side: the big side never
-    shuffles, never groups. Returns (annotated df, estimate column)."""
+    shuffles, never groups. Returns (annotated df, estimate column).
+
+    The sketch's lineage is CUT first (lazy localCheckpoint — the tiny-
+    table convention of bucket_log_ratios/vocab): without it, Catalyst
+    pushes each slice's ``d == i`` filter through the aggregate and
+    SPECIALIZES the subtree per slice (per-slice grouping expressions),
+    so exchange reuse never fires and the corpus feeding ``cms_build``
+    would be re-scanned and re-exploded once per hash row — a depth×
+    full-corpus cost hiding behind a depth×width-row table. With the cut,
+    the sketch computes once and the slices read the cached rows."""
+    sketch = sketch.localCheckpoint(eager=False)
     est = None
     for d in range(depth):
         slice_d = sketch.filter(F.col("d") == d).select(
@@ -269,7 +279,13 @@ def bloom_screen(
     (``bloom_build`` never inserts them).
 
     Plan: k chained broadcast left semi-style joins against the bounded
-    position table — all map-side, the batch never shuffles."""
+    position table — all map-side, the batch never shuffles. The position
+    table's lineage is CUT first (lazy localCheckpoint, same reason as
+    ``_chained_lookup``): otherwise each of the k join sides re-derives
+    the table from its source — k re-scans of the corpus when ``bloom``
+    comes straight from ``bloom_build`` — instead of reading the computed
+    <= m_bits rows k times."""
+    bloom = bloom.localCheckpoint(eager=False)
     v = F.col(value_col)
     out = batch
     hit_all: Column | None = None

@@ -263,3 +263,21 @@ def test_top_customers_global_window_is_post_limit(spark):
         or [-1]
     )
     assert limit_at != -1, f"no limit below the global window:\n{phys}"
+
+
+def test_sketch_lookups_scan_corpus_once(spark):
+    """heavy_hitters / bloom_screen scale guard (round 4): the chained
+    broadcast lookup slices must read the CHECKPOINTED sketch / position
+    table, not re-derive it per hash row. Without the lineage cut,
+    Catalyst pushes each slice's d==i filter through the aggregate and
+    specializes the subtree per slice (exchange reuse never fires), so the
+    corpus would be re-scanned and re-exploded depth (resp. k) times.
+    Pinned: the composed plan contains exactly ONE parquet scan (the
+    second-pass stream / the batch side) and the slices read ExistingRDD."""
+    for name in ("heavy_hitters", "bloom_screen"):
+        df = E.queries()[name](spark, SF_DIR)
+        phys = df._jdf.queryExecution().executedPlan().toString()
+        n_scans = phys.count("Scan parquet")
+        assert n_scans == 1, f"{name}: {n_scans} parquet scans (want 1)\n{phys}"
+        assert phys.count("ExistingRDD") == 4, name
+        assert "CartesianProduct" not in phys and "NestedLoop" not in phys
