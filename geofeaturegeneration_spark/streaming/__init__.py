@@ -1,5 +1,8 @@
 from geofeaturegeneration_spark.streaming.asof import stream_asof_join
-from geofeaturegeneration_spark.streaming.screen import stream_minhash_screen
+from geofeaturegeneration_spark.streaming.screen import (
+    stream_bloom_screen,
+    stream_minhash_screen,
+)
 from geofeaturegeneration_spark.streaming.sessions import (
     stream_exact_dedup,
     stream_gap_sessions,
@@ -12,4 +15,5 @@ __all__ = [
     "stream_exact_dedup",
     "stream_asof_join",
     "stream_minhash_screen",
+    "stream_bloom_screen",
 ]

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from geofeaturegeneration_spark.operators.dedup import with_band_sigs
+from geofeaturegeneration_spark.operators.sketch import bloom_screen
 
 
 def _band_rows(
@@ -104,3 +105,34 @@ def stream_minhash_screen(
         .dropDuplicatesWithinWatermark([id_col, "corpus_id"])
         .select(id_col, time_col, "corpus_id")
     )
+
+
+def stream_bloom_screen(
+    stream_docs: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    salt: str = "bloom",
+    novel_only: bool = False,
+) -> DataFrame:
+    """Exact-membership ingest screen for a document stream: flag (or with
+    ``novel_only`` drop) arriving rows whose key is already in an existing
+    corpus, using the corpus's persisted Bloom position table
+    (``operators/sketch.bloom_build`` — build once in batch, read the
+    <= m_bits-row parquet here as the static side).
+
+    Where ``stream_minhash_screen`` (above) finds NEAR-duplicates via a
+    stream-static band join, this is its EXACT-membership sibling with a
+    memory bound the minhash table cannot give: the static side is
+    m_bits-bounded no matter how large the corpus, and the screen is
+    COMPLETELY STATELESS — the batch operator's chained broadcast joins
+    are all stream-static, so no watermark, no state store, and the
+    micro-batch plan is the batch plan (parity pinned in
+    test_streaming.py). One-sided error as in batch: corpus members ALWAYS
+    flag (no duplicate passes the screen); novel rows flag spuriously at
+    ~(1-e^(-k*n/m))^k, so ``novel_only`` under-keeps, never under-drops."""
+    out = bloom_screen(stream_docs, value_col, bloom, m_bits, k, salt)
+    if novel_only:
+        out = out.filter(~F.col("might_contain")).drop("might_contain")
+    return out

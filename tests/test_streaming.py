@@ -384,3 +384,75 @@ def test_stream_minhash_screen_matches_batch_cross(spark, tmp_path):
     want = sorted((r["id_a"], r["id_b"]) for r in batch.collect())
     assert got == want
     assert got == [(1, 100), (3, 101)]  # each pair exactly once
+
+
+def test_stream_bloom_screen_matches_batch(spark, tmp_path):
+    """Streaming Bloom screen vs the batch operator on the same data:
+    per-row flags identical (micro-batch plan IS the batch plan — the
+    screen is stateless), every true corpus member flagged, and
+    novel_only keeps exactly the batch bloom_novel set."""
+    from geofeaturegeneration_spark.operators import (
+        bloom_build,
+        bloom_novel,
+        bloom_screen,
+    )
+    from geofeaturegeneration_spark.streaming import stream_bloom_screen
+
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(100)], "key STRING"
+    )
+    arriving = [(i, f"doc-{i}") for i in range(80, 140)]  # 20 dups + 40 novel
+    schema = "row_id INT, key STRING"
+    path = str(tmp_path / "bloom_in")
+    spark.createDataFrame(arriving, schema).coalesce(1).write.parquet(path)
+
+    bloom = bloom_build(corpus, "key", m_bits=1 << 14, k=4)
+    # persist the position table as a real artifact, as production would
+    bpath = str(tmp_path / "bloom_table")
+    bloom.write.parquet(bpath)
+    bloom_static = spark.read.parquet(bpath)
+
+    out = stream_bloom_screen(
+        spark.readStream.schema(schema).parquet(path),
+        "key", bloom_static, m_bits=1 << 14, k=4,
+    )
+    name = f"bloom_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "streaming query did not finish"
+    got = {
+        r["row_id"]: r["might_contain"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch_df = spark.createDataFrame(arriving, schema)
+    want = {
+        r["row_id"]: r["might_contain"]
+        for r in bloom_screen(
+            batch_df, "key", bloom_static, m_bits=1 << 14, k=4
+        ).collect()
+    }
+    assert got == want
+    for i in range(80, 100):  # true members always flag
+        assert got[i] is True
+
+    # novel_only == batch bloom_novel
+    out2 = stream_bloom_screen(
+        spark.readStream.schema(schema).parquet(path),
+        "key", bloom_static, m_bits=1 << 14, k=4, novel_only=True,
+    )
+    name2 = f"bloomn_{uuid.uuid4().hex[:8]}"
+    q2 = (
+        out2.writeStream.format("memory").queryName(name2)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q2.awaitTermination(180)
+    got_novel = sorted(
+        r["row_id"] for r in spark.sql(f"SELECT * FROM {name2}").collect()
+    )
+    want_novel = sorted(
+        r["row_id"]
+        for r in bloom_novel(batch_df, "key", corpus, m_bits=1 << 14, k=4).collect()
+    )
+    assert got_novel == want_novel
