@@ -2617,19 +2617,21 @@ g AS (SELECT unnest(list_transform(generate_series(1, len(ws)-2),
 SELECT shingle, count(*) AS cnt
 FROM g GROUP BY shingle HAVING count(*) >= 5
 """,
-        # bloom_screen: replay the k=4 salted-md5 bit positions over
-        # m=2^14 bits; might_contain = all 4 positions of the batch value
-        # present in the corpus's DISTINCT position set (matches Spark's
-        # chained broadcast left joins bit-for-bit, spurious flags
-        # included).
+        # bloom_screen: replay the Kirsch-Mitzenmacher bit positions
+        # (h1 + i*h2) % 2^14 from the two salted base md5s; might_contain
+        # = all 4 positions of the batch value present in the corpus's
+        # DISTINCT position set (matches Spark's chained broadcast left
+        # joins bit-for-bit, spurious flags included).
         "bloom_screen": f"""
-WITH pos AS (SELECT DISTINCT
-               ({_MD5L.format(x="text || '#bloom#' || i::VARCHAR")}) % 16384 AS pos
-             FROM documents, range(4) t(i) WHERE doc_id % 2 = 0),
-batch AS (SELECT doc_id, text FROM documents
+WITH d2 AS (SELECT doc_id,
+                   ({_MD5L.format(x="text || '#bloom#a'")}) AS h1,
+                   ({_MD5L.format(x="text || '#bloom#b'")}) AS h2
+            FROM documents),
+pos AS (SELECT DISTINCT (h1 + i*h2) % 16384 AS pos
+        FROM d2, range(4) t(i) WHERE doc_id % 2 = 0),
+batch AS (SELECT doc_id, h1, h2 FROM d2
           WHERE doc_id % 2 = 1 OR doc_id % 10 = 0),
-bp AS (SELECT doc_id,
-              ({_MD5L.format(x="text || '#bloom#' || i::VARCHAR")}) % 16384 AS pos
+bp AS (SELECT doc_id, (h1 + i*h2) % 16384 AS pos
        FROM batch, range(4) t(i))
 SELECT bp.doc_id, (count(p.pos) = 4) AS might_contain
 FROM bp LEFT JOIN pos p USING (pos) GROUP BY bp.doc_id

@@ -36,11 +36,15 @@ URLs, fingerprints) is too large to shuffle or to hold per-executor:
   and round-trips through parquet — the packed-bitset form is a pure
   physical optimization this representation never blocks.
 
-Determinism contract: the only hash is the repo-wide md5-60bit primitive
-(functions.text.md5_long) salted per (family, row); every screen decision
-is a pure function of the input values, so results are identical across
-engines, partitionings, and retries (verified by the DuckDB oracles and
-the repartition-invariance tests).
+Determinism contract: the only hash primitive is the repo-wide md5-60bit
+(functions.text.md5_long); each family computes TWO salted base hashes
+per value and derives its depth resp. k hash functions as
+``h1 + i*h2 mod width`` (Kirsch & Mitzenmacher 2006 — the standard trick
+that preserves the CMS/Bloom error analysis while making md5 volume
+independent of depth/k). Every screen decision is a pure integer function
+of the input values, so results are identical across engines,
+partitionings, and retries (verified by the DuckDB oracles and the
+repartition-invariance tests).
 
 Scale shapes: ``cms_build`` is one depth-way array explode + one groupBy
 on a uniform (d, w) key whose output is depth*width rows. ``cms_query`` /
@@ -60,16 +64,29 @@ from pyspark.sql import functions as F
 from geofeaturegeneration_spark.functions.text import md5_long
 
 
-def _cell_hash(value: Column, row: int, width: int, salt: str) -> Column:
-    """Bucket of ``value`` in hash row ``row``: md5-60bit of
-    ``value#salt#row`` mod ``width``. The row index participates in the
-    hashed STRING (not as a second mod) so rows are independent hash
-    functions, and the salt keeps sketch families from aliasing each
-    other (the same convention as every other operator's salted md5)."""
+def _base_hashes(value: Column, salt: str) -> tuple[Column, Column]:
+    """The TWO md5-60bit base hashes every derived hash function is built
+    from (Kirsch & Mitzenmacher 2006: ``g_i(x) = h1(x) + i*h2(x)`` retains
+    the count-min / Bloom error analysis while computing two real hashes
+    per value instead of depth resp. k) — the md5 volume is the dominant
+    CPU cost of both families, so this halves-to-quarters the hot stage.
+    The salt keeps sketch families from aliasing each other (the same
+    convention as every other operator's salted md5)."""
+    s = value.cast("string")
     return (
-        md5_long(F.concat(value.cast("string"), F.lit(f"#{salt}#{row}")))
-        % F.lit(width)
-    ).cast("int")
+        md5_long(F.concat(s, F.lit(f"#{salt}#a"))),
+        md5_long(F.concat(s, F.lit(f"#{salt}#b"))),
+    )
+
+
+def _derived_bucket(h1: Column, h2: Column, i: int, mod: int) -> Column:
+    """``(h1 + i*h2) % mod`` as int64 arithmetic. h1, h2 < 2^60 and i is a
+    small constant, so ``h1 + i*h2 < 2^63`` for i <= 7 — no ANSI overflow;
+    larger depths/k wrap h2's contribution through an extra mod first."""
+    if i == 0:
+        return h1 % F.lit(mod)
+    contrib = (h2 % F.lit(mod)) * F.lit(i) if i > 7 else h2 * F.lit(i)
+    return (h1 + contrib) % F.lit(mod)
 
 
 def cms_build(
@@ -96,18 +113,26 @@ def cms_build(
     wt = (
         F.col(weight_col).cast("long") if weight_col is not None else F.lit(1).cast("long")
     )
+    h1, h2 = _base_hashes(v, salt)
+    # the two md5s are STAGED as real columns so the depth derived buckets
+    # are integer arithmetic over two attribute reads, never depth
+    # re-evaluations of the hash (the HOF-capture / CSE discipline)
+    staged = df.filter(v.isNotNull()).select(
+        wt.alias("_wt"), h1.alias("_h1"), h2.alias("_h2")
+    )
     cells = F.array(
         *[
             F.struct(
                 F.lit(d).cast("int").alias("d"),
-                _cell_hash(v, d, width, salt).alias("w"),
+                _derived_bucket(F.col("_h1"), F.col("_h2"), d, width)
+                .cast("int")
+                .alias("w"),
             )
             for d in range(depth)
         ]
     )
     return (
-        df.filter(v.isNotNull())
-        .select(F.explode(cells).alias("_c"), wt.alias("_wt"))
+        staged.select(F.explode(cells).alias("_c"), F.col("_wt"))
         .groupBy(F.col("_c.d").alias("d"), F.col("_c.w").alias("w"))
         .agg(F.sum("_wt").alias("cnt"))
     )
@@ -149,17 +174,22 @@ def _chained_lookup(
     full-corpus cost hiding behind a depth×width-row table. With the cut,
     the sketch computes once and the slices read the cached rows."""
     sketch = sketch.localCheckpoint(eager=False)
+    h1, h2 = _base_hashes(value, salt)
+    df = df.withColumn("_gfs_h1", h1).withColumn("_gfs_h2", h2)
     est = None
     for d in range(depth):
         slice_d = sketch.filter(F.col("d") == d).select(
             F.col("w").alias(f"_w{d}"), F.col("cnt").alias(f"_cnt{d}")
         )
-        df = df.withColumn(f"_w{d}", _cell_hash(value, d, width, salt)).join(
-            F.broadcast(slice_d), f"_w{d}", "left"
-        )
+        df = df.withColumn(
+            f"_w{d}",
+            _derived_bucket(
+                F.col("_gfs_h1"), F.col("_gfs_h2"), d, width
+            ).cast("int"),
+        ).join(F.broadcast(slice_d), f"_w{d}", "left")
         c = F.coalesce(F.col(f"_cnt{d}"), F.lit(0).cast("long"))
         est = c if est is None else F.least(est, c)
-    return df, est
+    return df.drop("_gfs_h1", "_gfs_h2"), est
 
 
 def cms_query(
@@ -227,14 +257,11 @@ def heavy_hitters(
 # ---------------------------------------------------------------------------
 
 
-def _bloom_pos(value: Column, i: int, m_bits: int, salt: str) -> Column:
-    """Bit position ``i`` of ``value``: md5-60bit of ``value#salt#i`` mod
-    ``m_bits`` (k independent salted hashes, same construction as the CMS
-    rows)."""
-    return (
-        md5_long(F.concat(value.cast("string"), F.lit(f"#{salt}#{i}")))
-        % F.lit(m_bits)
-    ).cast("long")
+def _bloom_pos(h1: Column, h2: Column, i: int, m_bits: int) -> Column:
+    """Bit position ``i`` of a value from its two staged base hashes:
+    ``(h1 + i*h2) % m_bits`` (the same Kirsch-Mitzenmacher derivation as
+    the CMS rows — 2 md5 per value total instead of k)."""
+    return _derived_bucket(h1, h2, i, m_bits).cast("long")
 
 
 def bloom_build(
@@ -255,12 +282,15 @@ def bloom_build(
     if k < 1 or m_bits < 1:
         raise ValueError("k and m_bits must be >= 1")
     v = F.col(value_col)
-    positions = F.array(*[_bloom_pos(v, i, m_bits, salt) for i in range(k)])
-    return (
-        df.filter(v.isNotNull())
-        .select(F.explode(positions).alias("pos"))
-        .distinct()
+    h1, h2 = _base_hashes(v, salt)
+    staged = df.filter(v.isNotNull()).select(h1.alias("_h1"), h2.alias("_h2"))
+    positions = F.array(
+        *[
+            _bloom_pos(F.col("_h1"), F.col("_h2"), i, m_bits)
+            for i in range(k)
+        ]
     )
+    return staged.select(F.explode(positions).alias("pos")).distinct()
 
 
 def bloom_screen(
@@ -287,18 +317,21 @@ def bloom_screen(
     <= m_bits rows k times."""
     bloom = bloom.localCheckpoint(eager=False)
     v = F.col(value_col)
-    out = batch
+    h1, h2 = _base_hashes(v, salt)
+    out = batch.withColumn("_gfs_h1", h1).withColumn("_gfs_h2", h2)
     hit_all: Column | None = None
     for i in range(k):
         pos_i = bloom.select(F.col("pos").alias(f"_p{i}")).withColumn(
             f"_hit{i}", F.lit(True)
         )
-        out = out.withColumn(f"_p{i}", _bloom_pos(v, i, m_bits, salt)).join(
-            F.broadcast(pos_i), f"_p{i}", "left"
-        )
+        out = out.withColumn(
+            f"_p{i}", _bloom_pos(F.col("_gfs_h1"), F.col("_gfs_h2"), i, m_bits)
+        ).join(F.broadcast(pos_i), f"_p{i}", "left")
         h = F.coalesce(F.col(f"_hit{i}"), F.lit(False))
         hit_all = h if hit_all is None else (hit_all & h)
-    helper = [c for c in out.columns if c.startswith(("_p", "_hit"))]
+    helper = [
+        c for c in out.columns if c.startswith(("_p", "_hit", "_gfs_h"))
+    ]
     return (
         out.withColumn("might_contain", v.isNotNull() & hit_all)
         .drop(*helper)
