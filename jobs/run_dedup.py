@@ -5,7 +5,10 @@
         --checkpoint /path/to/ckpt [--buckets 8] [--max-bucket-size 1000] \
         [--force]
 
-The flagship 100 TB story — (optional) quality filter -> (optional)
+The flagship 100 TB story — (optional) prior-corpus Bloom ingest screen
+(re-ingested duplicates dropped map-side before anything else; the prior
+corpus is touched once to build its m_bits-bounded position table) ->
+(optional) quality filter -> (optional)
 perplexity filter (hashed-bigram LM trained once on a clean corpus) ->
 MinHash LSH pairs -> connected components -> (optional) test-set
 decontamination -> (optional) semantic embedding-space dedup -> keeper
@@ -84,6 +87,8 @@ from pyspark.sql import functions as F
 
 from geofeaturegeneration_spark.checkpoint import CheckpointStore, run_partitioned
 from geofeaturegeneration_spark.operators import (
+    bloom_build,
+    bloom_screen,
     decontaminate,
     dedup_clusters,
     lm_bucket_logprobs,
@@ -124,6 +129,10 @@ def run_dedup_pipeline(
     scrub: bool = False,
     quality: bool = False,
     quality_kwargs: dict | None = None,
+    prior=None,
+    prior_fingerprint: str | None = None,
+    prior_m_bits: int = 1 << 20,
+    prior_k: int = 4,
     ppl_target=None,
     ppl_fingerprint: str | None = None,
     ppl_min_avg_logprob: float = -7.0,
@@ -157,6 +166,17 @@ def run_dedup_pipeline(
     docs — rejected docs never reach the shingling pass, so at 100 TB the
     filter pays for itself in stage-1 compute. ``quality_kwargs`` override
     the filter's thresholds.
+
+    ``prior`` (optional, (doc_id, text)) prepends the INCREMENTAL-INGEST
+    screen: one global stage persists the prior corpus's Bloom position
+    table (``sketch.bloom_build``, <= ``prior_m_bits`` rows no matter how
+    large the prior corpus), one per-bucket stage lands the guaranteed-
+    novel doc ids (``sketch.bloom_screen`` — map-side, no join against the
+    prior corpus), and every later stage sees only novel docs. A doc whose
+    text is in the prior corpus NEVER survives; a novel doc is spuriously
+    dropped at ~(1-e^(-k*n/m))^k (size ``prior_m_bits`` ~ 10x the prior's
+    distinct docs for ~1%). Filter geometry and the prior's identity are
+    in the lineage key.
 
     ``ppl_target`` (optional, (doc_id, text)) adds the PERPLEXITY filter:
     a global stage persists ``lm_bucket_logprobs(ppl_target)`` (train the
@@ -236,6 +256,12 @@ def run_dedup_pipeline(
         lineage += ";scrub=1"
     if quality:
         lineage += f";quality={sorted((quality_kwargs or {}).items())}"
+    if prior is not None:
+        # the Bloom position table's bytes depend on the filter geometry
+        # and the prior corpus's identity; the novel verdicts inherit both
+        lineage += (
+            f";prior={prior_m_bits}:{prior_k}:{prior_fingerprint or 'anon'}"
+        )
     if ppl_target is not None:
         # the LM model's bytes depend on the target corpus identity and the
         # bucket count; the keep verdicts also on the threshold
@@ -265,13 +291,81 @@ def run_dedup_pipeline(
             f":{semantic_max_cluster}:{emb_fingerprint or 'anon'}"
         )
 
+    from pyspark.sql import types as T
+
+    # stage -0.1/-0.05 (optional): incremental-ingest screen against a
+    # PREVIOUSLY INGESTED corpus. The prior corpus is touched exactly once
+    # (one global unit builds its <= prior_m_bits-row Bloom position table,
+    # sketch.bloom_build); each corpus bucket is then screened map-side
+    # (sketch.bloom_screen — k chained broadcast joins, no join against the
+    # prior corpus itself) and lands its GUARANTEED-NOVEL doc ids. Every
+    # later stage sees only novel docs, so re-ingested duplicates never
+    # reach quality scoring or the shingle pass. One-sided error: a doc
+    # whose text is in the prior corpus is ALWAYS dropped; a novel doc is
+    # spuriously dropped at ~(1-e^(-kn/m))^k, sized by prior_m_bits.
+    blm_path = os.path.join(out_root, "prior_bloom")
+    nvl_path = os.path.join(out_root, "novel")
+    blm_schema = T.StructType(
+        [
+            T.StructField("pos", T.LongType()),
+            T.StructField("part_key", T.StringType()),
+        ]
+    )
+    r_blm = r_nvl = None
+    if prior is not None:
+        def blm_one(_key: str):
+            return bloom_build(
+                prior, "text", m_bits=prior_m_bits, k=prior_k
+            )
+
+        r_blm = run_partitioned(
+            spark, store, f"{job_id}/prior_bloom", ["all"], blm_one,
+            blm_path, "part_key", lineage, force=force,
+        )
+
+        def nvl_one(key: str):
+            part = docs.filter(bucket_of == key)
+            bloom = spark.read.schema(blm_schema).parquet(blm_path).drop(
+                "part_key"
+            )
+            screened = bloom_screen(
+                part, "text", bloom, m_bits=prior_m_bits, k=prior_k
+            )
+            return screened.filter(~F.col("might_contain")).select("doc_id")
+
+        r_nvl = run_partitioned(
+            spark, store, f"{job_id}/novel", bucket_keys, nvl_one,
+            nvl_path, "part_key", lineage, force=force,
+        )
+
+    # explicit read schemas for the id-only stage tables: buckets that kept
+    # or flagged nothing write no parquet files, and schema inference over
+    # a file-less directory throws — the schemas are known statically
+    _nvl_id_field = docs.schema["doc_id"]
+    nvl_schema = T.StructType(
+        [_nvl_id_field, T.StructField("part_key", T.StringType())]
+    )
+
+    def _novel_only(part, key: str):
+        """Restrict a bucket's docs to the prior-screen novel set (no-op
+        when no prior corpus was given)."""
+        if prior is None:
+            return part
+        kept = (
+            spark.read.schema(nvl_schema).parquet(nvl_path)
+            .filter(F.col("part_key").cast("string") == key)
+            .select("doc_id")
+        )
+        return part.join(kept, "doc_id", "left_semi")
+
     # stage 0 (optional): quality keep-verdicts per corpus bucket — every
     # later stage semi-joins this id table, so rejected docs never reach
-    # the shingle pass
+    # the shingle pass (and, with --prior, never get quality-scored if they
+    # are re-ingested duplicates)
     r_qua = None
     if quality:
         def qua_one(key: str):
-            part = docs.filter(bucket_of == key)
+            part = _novel_only(docs.filter(bucket_of == key), key)
             rep = quality_filter(part, "doc_id", "text", **(quality_kwargs or {}))
             return rep.filter(F.col("keep")).select("doc_id")
 
@@ -279,11 +373,6 @@ def run_dedup_pipeline(
             spark, store, f"{job_id}/quality", bucket_keys, qua_one,
             qua_path, "part_key", lineage, force=force,
         )
-
-    # explicit read schemas for the id-only stage tables: buckets that kept
-    # or flagged nothing write no parquet files, and schema inference over
-    # a file-less directory throws — the schemas are known statically
-    from pyspark.sql import types as T
 
     _id_field = docs.schema["doc_id"]
     qua_schema = T.StructType(
@@ -298,9 +387,10 @@ def run_dedup_pipeline(
     )
 
     def _qua_only(part, key: str):
-        """Restrict a bucket's docs to the quality keepers (no-op when the
-        quality stage is off). The keep table is ids-only and partition-
-        pruned to the same bucket."""
+        """Restrict a bucket's docs to the prior-screen novel set, then the
+        quality keepers (each a no-op when its stage is off). The keep
+        tables are ids-only and partition-pruned to the same bucket."""
+        part = _novel_only(part, key)
         if not quality:
             return part
         kept = (
@@ -371,9 +461,16 @@ def run_dedup_pipeline(
         return part
 
     def restrict_global(df):
-        """Semi-join a global id-carrying table down to the quality + ppl
-        keepers across all of this run's buckets (no-op when both stages
-        are off)."""
+        """Semi-join a global id-carrying table down to the prior-novel +
+        quality + ppl keepers across all of this run's buckets (each a
+        no-op when its stage is off)."""
+        if prior is not None:
+            kept = (
+                spark.read.schema(nvl_schema).parquet(nvl_path)
+                .filter(F.col("part_key").cast("string").isin(bucket_keys))
+                .select("doc_id")
+            )
+            df = df.join(kept, "doc_id", "left_semi")
         if quality:
             kept = (
                 spark.read.schema(qua_schema).parquet(qua_path)
@@ -626,6 +723,8 @@ def run_dedup_pipeline(
         )
 
     stages = []
+    if r_blm is not None:
+        stages.extend([r_blm, r_nvl])
     if r_qua is not None:
         stages.append(r_qua)
     if r_lmm is not None:
@@ -665,6 +764,16 @@ def main(argv=None) -> int:
     p.add_argument("--quality", action="store_true",
                    help="prepend the checkpointed quality_filter stage; "
                         "rejected docs never reach the shingle pass")
+    p.add_argument("--prior", default=None,
+                   help="optional previously-ingested corpus parquet "
+                        "(doc_id, text): builds its Bloom position table "
+                        "once (global stage) and drops re-ingested "
+                        "duplicates map-side before any other stage — the "
+                        "incremental-ingest screen (sketch.bloom_*)")
+    p.add_argument("--prior-m-bits", type=int, default=1 << 20,
+                   help="Bloom filter size in bits (~10x the prior "
+                        "corpus's distinct docs for ~1%% spurious drops)")
+    p.add_argument("--prior-k", type=int, default=4)
     p.add_argument("--ppl-target", default=None,
                    help="optional clean-corpus parquet (doc_id, text): "
                         "trains the hashed-bigram LM once (global stage) "
@@ -707,6 +816,7 @@ def main(argv=None) -> int:
 
     spark = get_spark("run_dedup")
     docs = spark.read.parquet(args.input)
+    prior = spark.read.parquet(args.prior) if args.prior else None
     bench = spark.read.parquet(args.bench) if args.bench else None
     ppl_target = (
         spark.read.parquet(args.ppl_target) if args.ppl_target else None
@@ -723,6 +833,8 @@ def main(argv=None) -> int:
         bench=bench, bench_fingerprint=args.bench,
         decon_min_hits=args.decon_min_hits, scrub=args.scrub,
         quality=args.quality,
+        prior=prior, prior_fingerprint=args.prior,
+        prior_m_bits=args.prior_m_bits, prior_k=args.prior_k,
         ppl_target=ppl_target, ppl_fingerprint=args.ppl_target,
         ppl_min_avg_logprob=args.ppl_min_avg_logprob,
         ppl_buckets=args.ppl_buckets,
@@ -736,6 +848,8 @@ def main(argv=None) -> int:
         semantic_max_cluster=args.semantic_max_cluster,
     )
     names = []
+    if args.prior:
+        names.extend(["prior_bloom", "novel"])
     if args.quality:
         names.append("quality")
     if args.ppl_target:

@@ -769,3 +769,63 @@ def test_dedup_pipeline_semantic_stage(spark, tmp_path):
     )
     # at 0.99 nothing in this corpus is a semantic dup: pure minhash keepers
     assert got3 == sorted(r["doc_id"] for r in keepers.collect())
+
+
+def test_dedup_pipeline_prior_bloom_stage(spark, tmp_path):
+    """--prior prepends the incremental-ingest Bloom screen: the final
+    output NEVER contains a doc whose text is in the prior corpus (the
+    one-sided guarantee), equals the pipeline run by hand on the
+    bloom_novel pre-screened corpus, resumes with every stage skipped, and
+    a filter-geometry change invalidates the checkpoints."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators import bloom_novel
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # the prior corpus re-ships every 3rd doc's text (same bytes, its own
+    # ids) — exactly the re-ingestion scenario the screen exists for
+    prior = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              prior_m_bits=1 << 14, prior_k=4)
+
+    out, ck = str(tmp_path / "out_pr"), str(tmp_path / "ck_pr")
+    stages = RD.run_dedup_pipeline(
+        spark, docs, out, ck, prior=prior, prior_fingerprint="p1", **kw
+    )
+    assert len(stages) == 5  # prior_bloom, novel, signatures, clusters, output
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/deduped").collect()
+    )
+    # one-sided guarantee: no surviving text appears in the prior corpus
+    prior_texts = {r["text"] for r in prior.collect()}
+    surviving = {
+        r["text"] for r in spark.read.parquet(f"{out}/deduped").collect()
+    }
+    assert not (surviving & prior_texts)
+    # equals the plain pipeline run on the hand-pre-screened corpus
+    novel = bloom_novel(docs, "text", prior, m_bits=1 << 14, k=4)
+    out2, ck2 = str(tmp_path / "out_pr2"), str(tmp_path / "ck_pr2")
+    RD.run_dedup_pipeline(
+        spark, novel, out2, ck2,
+        **{k_: v for k_, v in kw.items() if not k_.startswith("prior")},
+    )
+    want = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out2}/deduped").collect()
+    )
+    assert got == want
+    assert len(got) < docs.count()  # the screen actually dropped docs
+
+    # resume skips everything; changing m_bits invalidates (stages re-run)
+    r2 = RD.run_dedup_pipeline(
+        spark, docs, out, ck, prior=prior, prior_fingerprint="p1", **kw
+    )
+    assert all(r.skipped for stage in r2 for r in stage)
+    kw2 = dict(kw, prior_m_bits=1 << 13)
+    r3 = RD.run_dedup_pipeline(
+        spark, docs, out, ck, prior=prior, prior_fingerprint="p1", **kw2
+    )
+    assert all(not r.skipped for stage in r3 for r in stage)
