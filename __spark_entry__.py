@@ -1104,6 +1104,21 @@ def q_bloom_screen(spark, sf_dir):
     )
 
 
+def q_cms_query(spark, sf_dir):
+    """Count-min point estimates for every distinct word, sketched at a
+    deliberately COLLIDING geometry (depth 3, width 64 for a ~31-word
+    vocabulary over ~27k occurrences) so the oracle replays real cell
+    aliasing, not just exact counts — pins the Kirsch-Mitzenmacher
+    (h1 + d*h2) % width cell math and the min-over-rows lookup
+    bit-for-bit cross-engine."""
+    from geofeaturegeneration_spark.operators import cms_build, cms_query
+
+    docs = _docs_wide(spark, sf_dir)
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    sketch = cms_build(tok, "w", depth=3, width=64)
+    return cms_query(sketch, tok.distinct(), "w", depth=3, width=64)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction over the documents corpus. The synthetic text carries
     no PII, so the query SPIKES deterministic emails / phones / IPs / SSNs /
@@ -1403,6 +1418,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # traj_graph edge table (union + groupBy of its output) — verified
         # transitively by the contract entry, value-exact here
         "graph_nodes": q_graph_nodes,
+        # the sketch ESTIMATES themselves, oracle-pinned cross-engine (the
+        # in-window heavy_hitters oracle checks only the exact final
+        # answer, which the lossless screen guarantees regardless of the
+        # sketch values; this extra replays the Kirsch-Mitzenmacher cell
+        # math bit-for-bit)
+        "cms_query": q_cms_query,
     }
 
 
@@ -2635,6 +2656,23 @@ bp AS (SELECT doc_id, (h1 + i*h2) % 16384 AS pos
        FROM batch, range(4) t(i))
 SELECT bp.doc_id, (count(p.pos) = 4) AS might_contain
 FROM bp LEFT JOIN pos p USING (pos) GROUP BY bp.doc_id
+""",
+        # cms_query: replay the KM cell math — cells (h1 + d*h2) % 64 from
+        # the two salted base md5s, sketch = per-cell counts, estimate =
+        # min over the 3 rows (0 when a cell is empty). Collisions at
+        # width 64 are real and must match bit-for-bit.
+        "cms_query": f"""
+WITH t AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+hh AS (SELECT w, ({_MD5L.format(x="w || '#cms#a'")}) AS h1,
+              ({_MD5L.format(x="w || '#cms#b'")}) AS h2 FROM t),
+sk AS (SELECT d, (h1 + d*h2) % 64 AS wc, count(*) AS cnt
+       FROM hh, range(3) t2(d) GROUP BY d, wc),
+items AS (SELECT DISTINCT w, h1, h2 FROM hh),
+lu AS (SELECT i.w, coalesce(sk.cnt, 0) AS c
+       FROM (SELECT w, d, (h1 + d*h2) % 64 AS wc
+             FROM items, range(3) t3(d)) i
+       LEFT JOIN sk ON sk.d = i.d AND sk.wc = i.wc)
+SELECT w, min(c) AS est FROM lu GROUP BY w
 """,
         "rare_tokens": """
 WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
