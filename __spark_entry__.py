@@ -1104,6 +1104,24 @@ def q_bloom_screen(spark, sf_dir):
     )
 
 
+def q_corpus_divergence(spark, sf_dir):
+    """Distribution drift between the even- and odd-doc_id halves of the
+    corpus over hashed 1..2-gram buckets (operators/importance.py:
+    corpus_divergence): one row (kl_ab, kl_ba, js) in nats. Each bucket's
+    contribution is one fixed float expression rounded to scaled int64,
+    so the sums are exact and the oracle replays them bit-for-bit
+    (including the shared ghost term for buckets observed in neither
+    half)."""
+    from geofeaturegeneration_spark.operators import corpus_divergence
+
+    docs = _docs_wide(spark, sf_dir)
+    return corpus_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text",
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        n=2, buckets=1024, scale=10_000_000,
+    )
+
+
 def q_cms_query(spark, sf_dir):
     """Count-min point estimates for every distinct word, sketched at a
     deliberately COLLIDING geometry (depth 3, width 64 for a ~31-word
@@ -1424,6 +1442,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch values; this extra replays the Kirsch-Mitzenmacher cell
         # math bit-for-bit)
         "cms_query": q_cms_query,
+        # corpus drift monitor (KL/JS over the shared hashed-gram space) —
+        # the DSIR models compared to each other instead of to a raw pool;
+        # one-row output, per-bucket contributions rounded to scaled int64
+        # so the cross-bucket sum is exact integer addition
+        "corpus_divergence": q_corpus_divergence,
     }
 
 
@@ -2656,6 +2679,48 @@ bp AS (SELECT doc_id, (h1 + i*h2) % 16384 AS pos
        FROM batch, range(4) t(i))
 SELECT bp.doc_id, (count(p.pos) = 4) AS might_contain
 FROM bp LEFT JOIN pos p USING (pos) GROUP BY bp.doc_id
+""",
+        # corpus_divergence: same gram/bucket construction as the DSIR
+        # CTEs over the two corpus halves; per-bucket terms rounded to
+        # scaled int64 in the IDENTICAL expression order (p = (c+1)/d with
+        # d = total + alpha*buckets as a plain double; term =
+        # p*(ln p - ln q)); ghost row = the shared absent-bucket term
+        # times (buckets - observed), exact integer multiply.
+        "corpus_divergence": f"""
+WITH ad AS (SELECT doc_id, string_split(text,' ') ws FROM documents
+            WHERE doc_id % 2 = 0),
+bd AS (SELECT doc_id, string_split(text,' ') ws FROM documents
+       WHERE doc_id % 2 = 1),
+ag AS (SELECT ({_MD5L.format(x="g || '#dsir'")}) % 1024 AS b
+       FROM ({_DSIR_GRAM.format(src='ad')})),
+bg AS (SELECT ({_MD5L.format(x="g || '#dsir'")}) % 1024 AS b
+       FROM ({_DSIR_GRAM.format(src='bd')})),
+ac AS (SELECT b, count(*) AS c FROM ag GROUP BY b),
+bc AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+tot AS (SELECT (SELECT sum(c) FROM ac)::DOUBLE + 1024.0 AS da,
+               (SELECT sum(c) FROM bc)::DOUBLE + 1024.0 AS db),
+j AS (SELECT coalesce(ac.c,0)::DOUBLE + 1.0 AS na,
+             coalesce(bc.c,0)::DOUBLE + 1.0 AS nb
+      FROM ac FULL OUTER JOIN bc USING (b)),
+terms AS (SELECT
+    round(10000000.0 * ((na/da) * (ln(na/da) - ln(nb/db))))::BIGINT AS ab,
+    round(10000000.0 * ((nb/db) * (ln(nb/db) - ln(na/da))))::BIGINT AS ba,
+    (round(10000000.0 * ((na/da) * (ln(na/da) - ln((na/da + nb/db)/2.0))))::BIGINT
+     + round(10000000.0 * ((nb/db) * (ln(nb/db) - ln((na/da + nb/db)/2.0))))::BIGINT) AS js2
+  FROM j, tot),
+ghost AS (SELECT
+    round(10000000.0 * ((1.0/da) * (ln(1.0/da) - ln(1.0/db))))::BIGINT
+      * (1024 - (SELECT count(*) FROM j)) AS ab,
+    round(10000000.0 * ((1.0/db) * (ln(1.0/db) - ln(1.0/da))))::BIGINT
+      * (1024 - (SELECT count(*) FROM j)) AS ba,
+    (round(10000000.0 * ((1.0/da) * (ln(1.0/da) - ln((1.0/da + 1.0/db)/2.0))))::BIGINT
+     + round(10000000.0 * ((1.0/db) * (ln(1.0/db) - ln((1.0/da + 1.0/db)/2.0))))::BIGINT)
+      * (1024 - (SELECT count(*) FROM j)) AS js2
+  FROM tot)
+SELECT sum(ab)::DOUBLE / 10000000.0 AS kl_ab,
+       sum(ba)::DOUBLE / 10000000.0 AS kl_ba,
+       sum(js2)::DOUBLE / (2.0 * 10000000.0) AS js
+FROM (SELECT * FROM terms UNION ALL SELECT * FROM ghost)
 """,
         # cms_query: replay the KM cell math — cells (h1 + d*h2) % 64 from
         # the two salted base md5s, sketch = per-cell counts, estimate =

@@ -418,3 +418,85 @@ def lm_logprob(
         target, target_id_col, target_text_col, buckets, alpha, scale, salt
     )
     return lm_score(raw, id_col, text_col, model, buckets, alpha, scale, salt)
+
+
+def corpus_divergence(
+    a: DataFrame,
+    a_id: str,
+    a_text: str,
+    b: DataFrame,
+    b_id: str,
+    b_text: str,
+    n: int = 2,
+    buckets: int = 8192,
+    alpha: float = 1.0,
+    scale: int = 10_000_000,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Distribution drift between two corpora over the shared hashed
+    1..n-gram space: ONE row (kl_ab, kl_ba, js) in nats — the monitoring
+    counterpart of DSIR (same ``hashed_ngram_counts`` models; compare
+    crawl snapshots, shards, or pre/post-curation corpora without moving
+    either corpus). KL(a||b) = sum_b pa*ln(pa/pb) with add-``alpha``
+    smoothing (so it is finite on disjoint supports); JS is the
+    symmetrized divergence against the midpoint m=(pa+pb)/2, bounded by
+    ln 2.
+
+    Determinism: each bucket's contribution is computed in ONE fixed
+    float expression order (pa, pb, m from the collected totals as
+    literals; contribution = p*(ln(p)-ln(q))) and rounded to a scaled
+    INT64 before summing, so the cross-bucket sum is exact integer
+    addition — shuffle order cannot perturb it, and the DuckDB oracle
+    replays the identical expression tree. The only cross-engine bet is
+    a last-ulp ln exactly at a rounding boundary of the scaled
+    contribution (~1e-5 over 8192 buckets at scale=1e7 — the documented
+    ln-bet class). Scale shape: two gram passes + one buckets-row full
+    join; the output is one row."""
+    ca = hashed_ngram_counts(a, a_id, a_text, n, buckets, salt).select(
+        F.col("b"), F.col("cnt").alias("_ca")
+    )
+    cb = hashed_ngram_counts(b, b_id, b_text, n, buckets, salt).select(
+        F.col("b"), F.col("cnt").alias("_cb")
+    )
+    ca = ca.localCheckpoint(eager=False)
+    cb = cb.localCheckpoint(eager=False)
+    ta = ca.agg(F.sum("_ca")).collect()[0][0] or 0
+    tb = cb.agg(F.sum("_cb")).collect()[0][0] or 0
+    da = float(ta) + alpha * buckets
+    db = float(tb) + alpha * buckets
+    pa = (F.coalesce(F.col("_ca"), F.lit(0)).cast("double") + F.lit(float(alpha))) / F.lit(da)
+    pb = (F.coalesce(F.col("_cb"), F.lit(0)).cast("double") + F.lit(float(alpha))) / F.lit(db)
+    m = (pa + pb) / F.lit(2.0)
+
+    def _term(p, q):
+        # fixed order: p * (ln p - ln q), scaled and rounded per bucket
+        return F.round(F.lit(float(scale)) * (p * (F.log(p) - F.log(q))), 0).cast("long")
+
+    joined = ca.join(cb, "b", "full").localCheckpoint(eager=False)
+    per_bucket = joined.select(
+        _term(pa, pb).alias("_ab"),
+        _term(pb, pa).alias("_ba"),
+        (_term(pa, m) + _term(pb, m)).alias("_js2"),
+    )
+    # buckets observed in NEITHER corpus still contribute under smoothing
+    # (pa=alpha/da vs pb=alpha/db): one synthetic row carries their shared
+    # per-bucket term times the missing-bucket count — exact int64
+    # multiplication of the same rounded term the oracle computes
+    n_missing = buckets - joined.count()
+    if n_missing > 0:
+        spark = a.sparkSession
+        pa0 = F.lit(float(alpha)) / F.lit(da)
+        pb0 = F.lit(float(alpha)) / F.lit(db)
+        m0 = (pa0 + pb0) / F.lit(2.0)
+        ghost = spark.range(1).select(
+            (_term(pa0, pb0) * F.lit(n_missing)).alias("_ab"),
+            (_term(pb0, pa0) * F.lit(n_missing)).alias("_ba"),
+            ((_term(pa0, m0) + _term(pb0, m0)) * F.lit(n_missing)).alias("_js2"),
+        )
+        per_bucket = per_bucket.unionByName(ghost)
+    s = F.lit(float(scale))
+    return per_bucket.agg(
+        (F.sum("_ab").cast("double") / s).alias("kl_ab"),
+        (F.sum("_ba").cast("double") / s).alias("kl_ba"),
+        (F.sum("_js2").cast("double") / (F.lit(2.0) * s)).alias("js"),
+    )

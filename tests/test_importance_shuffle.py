@@ -374,3 +374,62 @@ def test_shuffle_shards_guards(spark, shuffle_docs):
         shuffle_shards(
             shuffle_docs.withColumn("pos", F.lit(1)), "doc_id", 10
         )
+
+
+# ---------------------------------------------------------------------------
+# corpus_divergence (KL/JS drift monitor over the shared hashed-gram space)
+# ---------------------------------------------------------------------------
+
+
+def _div(spark, a_rows, b_rows, **kw):
+    from geofeaturegeneration_spark.operators import corpus_divergence
+
+    a = spark.createDataFrame(a_rows, "doc_id INT, text STRING")
+    b = spark.createDataFrame(b_rows, "doc_id INT, text STRING")
+    [row] = corpus_divergence(
+        a, "doc_id", "text", b, "doc_id", "text",
+        buckets=BUCKETS, **kw,
+    ).collect()
+    return row
+
+
+CLEAN = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+JUNK = [(i, "zzz qqq xxx kkk vvv www yyy jjj ppp") for i in range(8)]
+
+
+def test_divergence_identical_corpora_is_exactly_zero(spark):
+    row = _div(spark, CLEAN, [(i + 100, t) for i, t in CLEAN])
+    # same counts and totals -> pa == pb per bucket -> every scaled-int
+    # term is round(x*0) == 0 exactly, ghost included
+    assert (row["kl_ab"], row["kl_ba"], row["js"]) == (0.0, 0.0, 0.0)
+
+
+def test_divergence_symmetry_and_bounds(spark):
+    r_ab = _div(spark, CLEAN, JUNK)
+    r_ba = _div(spark, JUNK, CLEAN)
+    assert r_ab["kl_ab"] == r_ba["kl_ba"]
+    assert r_ab["kl_ba"] == r_ba["kl_ab"]
+    assert r_ab["js"] == r_ba["js"]
+    assert 0.0 < r_ab["js"] <= math.log(2.0) + 1e-9
+    assert r_ab["kl_ab"] > 0.0 and r_ab["kl_ba"] > 0.0
+
+
+def test_divergence_orders_drift(spark):
+    near = _div(spark, CLEAN, CLEAN[:4] + [(9, "the quick brown fox naps")])
+    far = _div(spark, CLEAN, JUNK)
+    assert far["js"] > near["js"] > 0.0
+
+
+def test_divergence_partitioning_invariant(spark):
+    from geofeaturegeneration_spark.operators import corpus_divergence
+
+    a = spark.createDataFrame(CLEAN, "doc_id INT, text STRING")
+    b = spark.createDataFrame(JUNK, "doc_id INT, text STRING")
+    r1 = corpus_divergence(
+        a, "doc_id", "text", b, "doc_id", "text", buckets=BUCKETS
+    ).collect()
+    r2 = corpus_divergence(
+        a.repartition(7), "doc_id", "text",
+        b.repartition(3), "doc_id", "text", buckets=BUCKETS,
+    ).collect()
+    assert list(map(tuple, r1)) == list(map(tuple, r2))
