@@ -100,13 +100,14 @@ def main() -> None:
                         "threads — so 8->32 measures the host, not the engine)")
     p.add_argument("--md-out", default=None, help="append a results section to this md file")
     p.add_argument("--job", default="pipeline",
-                   choices=["pipeline", "pack", "semdedup", "dsir"],
+                   choices=["pipeline", "pack", "semdedup", "dsir", "sketch"],
                    help="pipeline = token feature pipeline; pack = "
                         "pack_sequences over the same table; semdedup = "
                         "semantic_dedup over a synthetic embedding corpus "
                         "(--n-vecs); dsir = importance_weights over the "
                         "dedup-scaling text corpus (--n-copies/"
-                        "--text-repeat)")
+                        "--text-repeat); sketch = count-min heavy_hitters "
+                        "over the same corpus's 3-word shingles")
     p.add_argument("--n-vecs", type=int, default=400000,
                    help="corpus size for --job semdedup")
     p.add_argument("--n-copies", type=int, default=20,
@@ -117,7 +118,7 @@ def main() -> None:
 
     if args.job == "semdedup":
         seq_path = ensure_emb_input(args.n_vecs)
-    elif args.job == "dsir":
+    elif args.job in ("dsir", "sketch"):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from dedup_scaling import ensure_corpus
 
@@ -143,8 +144,10 @@ def main() -> None:
         "pack": "pack_sequences (seq_len=512, n_groups=64)",
         "semdedup": "semantic_dedup (16 trained clusters, threshold 0.95)",
         "dsir": "DSIR importance_weights (hashed 1..2-grams, 8192 buckets)",
+        "sketch": "count-min heavy_hitters (3-word shingles, depth 4, width 8192, min_count 20)",
     }[args.job]
-    unit = {"semdedup": "vectors", "dsir": "grams"}.get(args.job, "tokens")
+    unit = {"semdedup": "vectors", "dsir": "grams", "sketch": "shingles"}.get(
+        args.job, "tokens")
     if args.md_out:
         with open(args.md_out, "a") as f:
             f.write(
