@@ -219,6 +219,7 @@ def heavy_hitters(
     depth: int = 4,
     width: int = 8192,
     salt: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """EXACT frequent values: (value_col, cnt) for every value occurring
     at least ``min_count`` times — byte-identical to
@@ -236,18 +237,31 @@ def heavy_hitters(
 
     The screened groupBy's key skew is exactly the heavy hitters
     themselves — map-side partial aggregation (automatic for count)
-    collapses each to one row per map task, so no salting is needed."""
+    collapses each to one row per map task, so no salting is needed.
+
+    ``weight_col`` switches the mass from occurrences to an integer
+    per-row weight (e.g. token counts: "which domains own >= min_count
+    tokens") — the sketch counts weighted mass, the screen stays
+    lossless (weights must be NONNEGATIVE, or estimates can undercount
+    and the screen loses its guarantee), and ``cnt`` is the exact int64
+    weighted sum."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    sketch = cms_build(df, value_col, depth, width, salt)
+    sketch = cms_build(df, value_col, depth, width, salt, weight_col)
     v = F.col(value_col)
+    cols = [v] if weight_col is None else [v, F.col(weight_col)]
     stream, est = _chained_lookup(
-        df.filter(v.isNotNull()).select(v), v, sketch, depth, width, salt
+        df.filter(v.isNotNull()).select(*cols), v, sketch, depth, width, salt
+    )
+    mass = (
+        F.count(F.lit(1)).alias("cnt")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).alias("cnt")
     )
     return (
         stream.filter(est >= F.lit(min_count))
         .groupBy(value_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(mass)
         .filter(F.col("cnt") >= F.lit(min_count))
     )
 

@@ -163,3 +163,19 @@ def test_param_validation(spark):
         bloom_build(df, "v", k=0)
     with pytest.raises(ValueError):
         cms_merge()
+
+
+def test_heavy_hitters_weighted_equals_exact_weighted(spark):
+    # (domain, token_count) rows: mass threshold, not occurrence threshold
+    rows = [("a.com", 50), ("a.com", 60), ("b.com", 5), ("b.com", 4),
+            ("c.com", 100), ("d.com", 9)]
+    df = spark.createDataFrame(rows, "dom string, n_tok int").repartition(5)
+    got = sorted(
+        map(
+            tuple,
+            heavy_hitters(
+                df, "dom", min_count=10, depth=2, width=2, weight_col="n_tok"
+            ).collect(),
+        )
+    )
+    assert got == [("a.com", 110), ("c.com", 100)]
