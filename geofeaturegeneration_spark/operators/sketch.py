@@ -208,7 +208,9 @@ def cms_query(
     out, est = _chained_lookup(
         items, F.col(value_col), sketch, depth, width, salt
     )
-    helper = [c for c in out.columns if c.startswith(("_w", "_cnt"))]
+    helper = [f"_w{d}" for d in range(depth)] + [
+        f"_cnt{d}" for d in range(depth)
+    ]
     return out.withColumn("est", est).drop(*helper)
 
 
@@ -343,9 +345,11 @@ def bloom_screen(
         ).join(F.broadcast(pos_i), f"_p{i}", "left")
         h = F.coalesce(F.col(f"_hit{i}"), F.lit(False))
         hit_all = h if hit_all is None else (hit_all & h)
-    helper = [
-        c for c in out.columns if c.startswith(("_p", "_hit", "_gfs_h"))
-    ]
+    helper = (
+        [f"_p{i}" for i in range(k)]
+        + [f"_hit{i}" for i in range(k)]
+        + ["_gfs_h1", "_gfs_h2"]
+    )
     return (
         out.withColumn("might_contain", v.isNotNull() & hit_all)
         .drop(*helper)

@@ -179,3 +179,17 @@ def test_heavy_hitters_weighted_equals_exact_weighted(spark):
         )
     )
     assert got == [("a.com", 110), ("c.com", 100)]
+
+
+def test_helper_column_cleanup_preserves_underscore_user_columns(spark):
+    # cleanup drops exact helper names, not prefixes: user columns that
+    # happen to start with _w/_cnt/_p/_hit must survive
+    items = spark.createDataFrame(
+        [("the", 1.5, "x")], "v string, _weight double, _part string"
+    )
+    sketch = cms_build(_freq_df(spark, ZIPF), "v", depth=3, width=64)
+    out = cms_query(sketch, items, "v", depth=3, width=64)
+    assert set(out.columns) == {"v", "_weight", "_part", "est"}
+    bloom = bloom_build(_freq_df(spark, ZIPF), "v", m_bits=4096, k=3)
+    out2 = bloom_screen(items, "v", bloom, m_bits=4096, k=3)
+    assert set(out2.columns) == {"v", "_weight", "_part", "might_contain"}
