@@ -1122,6 +1122,39 @@ def q_corpus_divergence(spark, sf_dir):
     )
 
 
+def q_cms_merge(spark, sf_dir):
+    """Shard mergeability of the count-min sketch: build one sketch per
+    corpus half (even/odd doc_id word streams) and cms_merge them — the
+    result must equal the one-pass sketch of the whole stream, which is
+    what the oracle computes (one GROUP BY over the union). Pins the
+    cell-wise-sum semantics cross-engine."""
+    from geofeaturegeneration_spark.operators import cms_build, cms_merge
+
+    docs = _docs_wide(spark, sf_dir)
+    tok = lambda pred: docs.filter(pred).select(  # noqa: E731
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    a = cms_build(tok(F.col("doc_id") % 2 == 0), "w", depth=3, width=64)
+    b = cms_build(tok(F.col("doc_id") % 2 == 1), "w", depth=3, width=64)
+    return cms_merge(a, b)
+
+
+def q_bloom_novel(spark, sf_dir):
+    """bloom_novel over the same corpus/batch split as the in-window
+    bloom_screen contract query: the guaranteed-novel keeper ids (the
+    screen's flags inverted into a keep set, spurious drops included)."""
+    from geofeaturegeneration_spark.operators import bloom_novel
+
+    docs = _docs_wide(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    ).select("doc_id", "text")
+    return bloom_novel(
+        batch, "text", corpus, m_bits=1 << 14, k=4
+    ).select("doc_id")
+
+
 def q_cms_query(spark, sf_dir):
     """Count-min point estimates for every distinct word, sketched at a
     deliberately COLLIDING geometry (depth 3, width 64 for a ~31-word
@@ -1442,6 +1475,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch values; this extra replays the Kirsch-Mitzenmacher cell
         # math bit-for-bit)
         "cms_query": q_cms_query,
+        # sketch-shard mergeability, oracle-pinned: cms_merge over the two
+        # corpus halves' sketches must equal the one-pass build (the SQL
+        # groups the union directly)
+        "cms_merge": q_cms_merge,
+        # the novel-keeper form of the in-window bloom_screen (same split,
+        # same bit math — the screen's flags inverted to a keep set)
+        "bloom_novel": q_bloom_novel,
         # corpus drift monitor (KL/JS over the shared hashed-gram space) —
         # the DSIR models compared to each other instead of to a raw pool;
         # one-row output, per-bucket contributions rounded to scaled int64
@@ -2721,6 +2761,32 @@ SELECT sum(ab)::DOUBLE / 10000000.0 AS kl_ab,
        sum(ba)::DOUBLE / 10000000.0 AS kl_ba,
        sum(js2)::DOUBLE / (2.0 * 10000000.0) AS js
 FROM (SELECT * FROM terms UNION ALL SELECT * FROM ghost)
+""",
+        # cms_merge: merged shard sketches == one GROUP BY over the union
+        # of the two halves' (d, cell) streams, same KM cell math
+        "cms_merge": f"""
+WITH t AS (SELECT unnest(string_split(text,' ')) AS wd FROM documents),
+hh AS (SELECT ({_MD5L.format(x="wd || '#cms#a'")}) AS h1,
+              ({_MD5L.format(x="wd || '#cms#b'")}) AS h2 FROM t)
+SELECT d::INT AS d, ((h1 + d*h2) % 64)::INT AS w, count(*) AS cnt
+FROM hh, range(3) t2(d) GROUP BY 1, 2
+""",
+        # bloom_novel: the bloom_screen oracle's flags inverted into the
+        # keeper id set (docs missing at least one of the 4 bit positions)
+        "bloom_novel": f"""
+WITH d2 AS (SELECT doc_id,
+                   ({_MD5L.format(x="text || '#bloom#a'")}) AS h1,
+                   ({_MD5L.format(x="text || '#bloom#b'")}) AS h2
+            FROM documents),
+pos AS (SELECT DISTINCT (h1 + i*h2) % 16384 AS pos
+        FROM d2, range(4) t(i) WHERE doc_id % 2 = 0),
+batch AS (SELECT doc_id, h1, h2 FROM d2
+          WHERE doc_id % 2 = 1 OR doc_id % 10 = 0),
+bp AS (SELECT doc_id, (h1 + i*h2) % 16384 AS pos
+       FROM batch, range(4) t(i))
+SELECT bp.doc_id
+FROM bp LEFT JOIN pos p USING (pos) GROUP BY bp.doc_id
+HAVING count(p.pos) < 4
 """,
         # cms_query: replay the KM cell math — cells (h1 + d*h2) % 64 from
         # the two salted base md5s, sketch = per-cell counts, estimate =

@@ -46,6 +46,11 @@ of the input values, so results are identical across engines,
 partitionings, and retries (verified by the DuckDB oracles and the
 repartition-invariance tests).
 
+Annotating operators (``cms_query`` / ``bloom_screen``) stage their join
+helpers under the repo-reserved ``_gfs_`` column prefix and drop them by
+exact name, so user columns — underscore-prefixed or not — pass through
+untouched (pinned in test_sketch.py).
+
 Scale shapes: ``cms_build`` is one depth-way array explode + one groupBy
 on a uniform (d, w) key whose output is depth*width rows. ``cms_query`` /
 ``heavy_hitters`` / ``bloom_screen`` do per-row lookups as CHAINED
@@ -179,15 +184,15 @@ def _chained_lookup(
     est = None
     for d in range(depth):
         slice_d = sketch.filter(F.col("d") == d).select(
-            F.col("w").alias(f"_w{d}"), F.col("cnt").alias(f"_cnt{d}")
+            F.col("w").alias(f"_gfs_cmsw{d}"), F.col("cnt").alias(f"_gfs_cmsc{d}")
         )
         df = df.withColumn(
-            f"_w{d}",
+            f"_gfs_cmsw{d}",
             _derived_bucket(
                 F.col("_gfs_h1"), F.col("_gfs_h2"), d, width
             ).cast("int"),
-        ).join(F.broadcast(slice_d), f"_w{d}", "left")
-        c = F.coalesce(F.col(f"_cnt{d}"), F.lit(0).cast("long"))
+        ).join(F.broadcast(slice_d), f"_gfs_cmsw{d}", "left")
+        c = F.coalesce(F.col(f"_gfs_cmsc{d}"), F.lit(0).cast("long"))
         est = c if est is None else F.least(est, c)
     return df.drop("_gfs_h1", "_gfs_h2"), est
 
@@ -208,8 +213,8 @@ def cms_query(
     out, est = _chained_lookup(
         items, F.col(value_col), sketch, depth, width, salt
     )
-    helper = [f"_w{d}" for d in range(depth)] + [
-        f"_cnt{d}" for d in range(depth)
+    helper = [f"_gfs_cmsw{d}" for d in range(depth)] + [
+        f"_gfs_cmsc{d}" for d in range(depth)
     ]
     return out.withColumn("est", est).drop(*helper)
 
@@ -337,17 +342,17 @@ def bloom_screen(
     out = batch.withColumn("_gfs_h1", h1).withColumn("_gfs_h2", h2)
     hit_all: Column | None = None
     for i in range(k):
-        pos_i = bloom.select(F.col("pos").alias(f"_p{i}")).withColumn(
-            f"_hit{i}", F.lit(True)
+        pos_i = bloom.select(F.col("pos").alias(f"_gfs_bp{i}")).withColumn(
+            f"_gfs_bh{i}", F.lit(True)
         )
         out = out.withColumn(
-            f"_p{i}", _bloom_pos(F.col("_gfs_h1"), F.col("_gfs_h2"), i, m_bits)
-        ).join(F.broadcast(pos_i), f"_p{i}", "left")
-        h = F.coalesce(F.col(f"_hit{i}"), F.lit(False))
+            f"_gfs_bp{i}", _bloom_pos(F.col("_gfs_h1"), F.col("_gfs_h2"), i, m_bits)
+        ).join(F.broadcast(pos_i), f"_gfs_bp{i}", "left")
+        h = F.coalesce(F.col(f"_gfs_bh{i}"), F.lit(False))
         hit_all = h if hit_all is None else (hit_all & h)
     helper = (
-        [f"_p{i}" for i in range(k)]
-        + [f"_hit{i}" for i in range(k)]
+        [f"_gfs_bp{i}" for i in range(k)]
+        + [f"_gfs_bh{i}" for i in range(k)]
         + ["_gfs_h1", "_gfs_h2"]
     )
     return (

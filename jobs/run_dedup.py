@@ -223,7 +223,7 @@ def run_dedup_pipeline(
     decontaminate -> semantic -> mix -> scrub -> span-dedup — is
     therefore ONE resumable artifact; per-stage wall-clock is recorded in
     the CheckpointStore metrics table. Returns the per-stage
-    PartitionResult lists (3 to 10 of them, in pipeline order)."""
+    PartitionResult lists (3 to 13 of them, in pipeline order)."""
     if mix_alpha is not None and mix_rates_ppm is not None:
         raise ValueError(
             "mix_alpha (computed temperature recipe) and mix_rates_ppm "
@@ -387,12 +387,14 @@ def run_dedup_pipeline(
     )
 
     def _qua_only(part, key: str):
-        """Restrict a bucket's docs to the prior-screen novel set, then the
-        quality keepers (each a no-op when its stage is off). The keep
-        tables are ids-only and partition-pruned to the same bucket."""
-        part = _novel_only(part, key)
+        """Restrict a bucket's docs to the prior-screen novel set and the
+        quality keepers (each a no-op when its stage is off). When quality
+        is ON its keep table was computed over the novel-restricted docs
+        (qua_one), so quality-keeps ⊆ novel already and the separate novel
+        semi-join would be pure redundant I/O — it is applied only when
+        quality is off."""
         if not quality:
-            return part
+            return _novel_only(part, key)
         kept = (
             spark.read.schema(qua_schema).parquet(qua_path)
             .filter(F.col("part_key").cast("string") == key)
@@ -463,8 +465,9 @@ def run_dedup_pipeline(
     def restrict_global(df):
         """Semi-join a global id-carrying table down to the prior-novel +
         quality + ppl keepers across all of this run's buckets (each a
-        no-op when its stage is off)."""
-        if prior is not None:
+        no-op when its stage is off; the novel join is skipped when
+        quality is on — quality-keeps ⊆ novel by construction)."""
+        if prior is not None and not quality:
             kept = (
                 spark.read.schema(nvl_schema).parquet(nvl_path)
                 .filter(F.col("part_key").cast("string").isin(bucket_keys))
