@@ -470,6 +470,17 @@ def q_chunks(spark, sf_dir):
     )
 
 
+def q_chunk_strided(spark, sf_dir):
+    """Overlapping-window chunking (stride 16 at seq_len 32 — GPT-style
+    sliding context: each training row carries 16 tokens of left
+    context). Oracle replays window membership row-wise: padded position
+    p belongs to window i iff i*stride < p <= i*stride + seq_len."""
+    toks = _doc_tokens(spark, sf_dir)
+    return chunk_sequences(
+        toks, "tokens", SEQ_LEN, stride=SEQ_LEN // 2
+    ).select("doc_id", "chunk_idx", _arr_csv("chunk").alias("chunk"))
+
+
 def q_token_roundtrip(spark, sf_dir):
     toks = _doc_tokens(spark, sf_dir).withColumn("n_tok", F.size("tokens"))
     chunks = chunk_sequences(
@@ -1397,6 +1408,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-exact under compare_oracle.
         "frame_sample": q_frame_sample,
         "sliding_subseq": q_sliding,
+        # the overlapping-window (stride < seq_len) form of the in-window
+        # chunk_sequences — the GPT-style sliding-context export
+        "chunk_strided": q_chunk_strided,
         # round 4: the literal first stage of the in-window dedup_exact
         # (exact_dedup groups BY this fingerprint) — folded to free the
         # span_dedup slot
@@ -2166,6 +2180,26 @@ allr AS (SELECT * FROM realr UNION ALL SELECT * FROM padr)
 SELECT doc_id, ((pos-1)//{SEQ_LEN})::INT AS chunk_idx,
        array_to_string(list(tid ORDER BY pos), ',') AS chunk
 FROM allr GROUP BY 1, 2
+""",
+        # chunk_strided: per-token window membership — padded position p
+        # belongs to window i iff i*16 < p <= i*16 + 32, windows floored
+        # at one per doc; pad rows fill to (nw-1)*16 + 32
+        "chunk_strided": f"""
+WITH {_TOKENS_CTE.strip()},
+sized AS (SELECT doc_id, tokens, len(tokens) AS n,
+                 greatest(ceil((len(tokens) - {SEQ_LEN})/{SEQ_LEN // 2}.0)::INT + 1, 1) AS nw
+          FROM tok),
+sized2 AS (SELECT *, (nw-1)*{SEQ_LEN // 2} + {SEQ_LEN} AS tot FROM sized),
+realr AS (SELECT doc_id, nw, unnest(tokens) AS tid,
+                 unnest(generate_series(1, n)) AS pos FROM sized2),
+padr AS (SELECT doc_id, nw, 0 AS tid, unnest(generate_series(n+1, tot)) AS pos
+         FROM sized2 WHERE tot > n),
+allr AS (SELECT * FROM realr UNION ALL SELECT * FROM padr)
+SELECT doc_id, i::INT AS chunk_idx,
+       array_to_string(list(tid ORDER BY pos), ',') AS chunk
+FROM allr, range(0, 64) t(i)
+WHERE i < nw AND pos > i*{SEQ_LEN // 2} AND pos <= i*{SEQ_LEN // 2} + {SEQ_LEN}
+GROUP BY 1, 2
 """,
         "token_roundtrip": f"""
 WITH {_TOKENS_CTE.strip()}

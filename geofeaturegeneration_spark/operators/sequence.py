@@ -127,23 +127,60 @@ def chunk_sequences(
     pad_value: int = 0,
     chunk_col: str = "chunk",
     idx_col: str = "chunk_idx",
+    stride: int | None = None,
 ) -> DataFrame:
     """Pad then explode into fixed-length rows — the (n, 100) reshape of
     DP_GenerateTrajectory.py:82-93 as a long-form table:
     one output row per chunk with a 0-based ``chunk_idx``.
+
+    ``stride`` (default ``seq_len`` = disjoint chunks, the reference
+    semantics) < ``seq_len`` produces OVERLAPPING windows starting at
+    0, stride, 2*stride, ... — the GPT-style sliding-context export where
+    each training sequence carries ``seq_len - stride`` tokens of left
+    context; every token still appears in at least one window and the
+    tail window is padded. ``stride > seq_len`` would silently DROP
+    tokens, so it raises. The overlapped export is one-way (reassembly is
+    for the disjoint form).
 
     The padded array is materialized as a column BEFORE slicing: inlining
     the pad expression into every slice makes Spark re-evaluate it per
     chunk — O(n^2/seq_len) per row, which is what kills hot multi-chunk
     docs. As a column it is built once per row and each slice is O(seq_len).
     """
-    padded_df = df.withColumn(
-        "_padded", pad_to_multiple(F.col(tokens_col), seq_len, pad_value)
-    )
-    n_chunks = (F.size("_padded") / seq_len).cast("int")
+    if stride is None:
+        stride = seq_len
+    if not 0 < stride <= seq_len:
+        raise ValueError("stride must be in (0, seq_len]")
+    if stride == seq_len:
+        padded_df = df.withColumn(
+            "_padded", pad_to_multiple(F.col(tokens_col), seq_len, pad_value)
+        )
+        n_chunks = (F.size("_padded") / seq_len).cast("int")
+        starts = F.sequence(F.lit(0), n_chunks - 1)
+    else:
+        n = F.size(F.col(tokens_col))
+        # windows = ceil((n - seq_len)/stride) + 1, floored at 1 (short and
+        # empty docs still emit one padded window, matching the disjoint
+        # path's one-block floor)
+        n_win = F.greatest(
+            F.ceil((n - seq_len) / F.lit(stride)).cast("int") + 1, F.lit(1)
+        )
+        target = (n_win - 1) * stride + seq_len
+        padded_df = df.withColumn(
+            "_padded",
+            F.concat(
+                F.col(tokens_col),
+                F.array_repeat(F.lit(pad_value).cast("int"), target - n),
+            ),
+        )
+        n_chunks = F.greatest(
+            F.ceil((F.size(F.col(tokens_col)) - seq_len) / F.lit(stride)).cast("int") + 1,
+            F.lit(1),
+        )
+        starts = F.sequence(F.lit(0), n_chunks - 1)
     chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(F.col("_padded"), i * seq_len + 1, seq_len),
+        starts,
+        lambda i: F.slice(F.col("_padded"), i * stride + 1, seq_len),
     )
     return (
         padded_df.withColumn("_chunks", chunks)

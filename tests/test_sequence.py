@@ -231,3 +231,53 @@ def test_pack_sequences_window_is_over_docs_not_tokens(spark):
     gen = plan.index("Generate")
     win = plan.index("Window")
     assert win > gen, "Window must appear BELOW the Generate (doc rows)\n" + plan
+
+
+def test_chunk_strided_matches_python_replay(spark):
+    from geofeaturegeneration_spark.operators.sequence import chunk_sequences
+
+    rows = [(1, list(range(10))), (2, list(range(3))), (3, []),
+            (4, list(range(8)))]
+    df = spark.createDataFrame(rows, "doc_id INT, tokens array<int>")
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk"]
+        for r in chunk_sequences(df, "tokens", 8, stride=4).collect()
+    }
+
+    def replay(toks, seq_len=8, stride=4, pad=0):
+        n = len(toks)
+        import math
+        nw = max(math.ceil((n - seq_len) / stride) + 1, 1)
+        padded = toks + [pad] * ((nw - 1) * stride + seq_len - n)
+        return {i: padded[i * stride: i * stride + seq_len] for i in range(nw)}
+
+    want = {
+        (d, i): c for d, toks in rows for i, c in replay(toks).items()
+    }
+    assert got == want
+    # every original token appears in at least one window of its doc
+    for d, toks in rows:
+        seen = [t for (dd, _), c in got.items() if dd == d for t in c]
+        for t in toks:
+            assert t in seen
+
+
+def test_chunk_strided_default_equals_disjoint(spark):
+    from geofeaturegeneration_spark.operators.sequence import chunk_sequences
+
+    df = spark.createDataFrame(
+        [(1, list(range(20))), (2, [7])], "doc_id INT, tokens array<int>"
+    )
+    a = sorted(map(tuple, chunk_sequences(df, "tokens", 8).collect()))
+    b = sorted(map(tuple, chunk_sequences(df, "tokens", 8, stride=8).collect()))
+    assert a == b
+
+
+def test_chunk_strided_validates_stride(spark):
+    from geofeaturegeneration_spark.operators.sequence import chunk_sequences
+
+    df = spark.createDataFrame([(1, [1, 2])], "doc_id INT, tokens array<int>")
+    with pytest.raises(ValueError):
+        chunk_sequences(df, "tokens", 8, stride=9)  # gaps would drop tokens
+    with pytest.raises(ValueError):
+        chunk_sequences(df, "tokens", 8, stride=0)
