@@ -524,6 +524,27 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, "doc_id", pairs)
 
 
+def q_leakage_split(spark, sf_dir):
+    """Train/test split drawn on the dedup CLUSTER, not the doc id
+    (operators/split.py:leakage_safe_split): near-duplicates never
+    straddle the boundary. The cluster assignment is the in-window
+    dedup_clusters pipeline; the oracle extends its recursive-CTE
+    fixpoint with the same md5 bucket on cluster_id."""
+    from geofeaturegeneration_spark.operators import (
+        dedup_clusters,
+        leakage_safe_split,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=3, n_hashes=16, bands=4)
+    clusters = dedup_clusters(docs, "doc_id", pairs).select(
+        "doc_id", "cluster_id"
+    )
+    return leakage_safe_split(
+        docs.select("doc_id"), "doc_id", clusters
+    ).select("doc_id", "split_bucket", "is_test")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """max_doc_freq=5 exercises the explicit hot-shingle cap (drops 29
     shingles and shifts 13 jaccard values at sf0.01 vs uncapped, so the
@@ -1411,6 +1432,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the overlapping-window (stride < seq_len) form of the in-window
         # chunk_sequences — the GPT-style sliding-context export
         "chunk_strided": q_chunk_strided,
+        # the cluster-keyed form of the in-window hash_split: near-dups
+        # (from the in-window dedup_clusters fixpoint) never straddle the
+        # train/test boundary
+        "leakage_split": q_leakage_split,
         # round 4: the literal first stage of the in-window dedup_exact
         # (exact_dedup groups BY this fingerprint) — folded to free the
         # span_dedup slot
@@ -1530,6 +1555,34 @@ sh AS (
                                      i -> array_to_string(ws[i:i+2],' '))) AS s
         FROM w)
 )"""
+
+# Minhash-pair -> connected-component fixpoint, shared by dedup_clusters
+# and leakage_split: bands from the shingle stream, symmetric edges, the
+# recursive reachability closure, min-label components, and per-component
+# representatives (cluster_id = min doc_id).
+_CLUSTER_CTES = f"""
+WITH RECURSIVE {_SHINGLE_CTE.strip()},
+perm AS (SELECT i, (2*i+1)::BIGINT AS a, (i*i+1)::BIGINT AS b FROM range(16) t(i)),
+sig AS (SELECT doc_id, i, MIN((a*h+b) % 2147483647) AS mh
+        FROM sh, perm GROUP BY 1,2),
+band AS (SELECT doc_id, (i//4)::INT AS band,
+                string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig_str
+         FROM sig GROUP BY 1,2),
+prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b ON a.band=b.band AND a.sig_str=b.sig_str
+                                AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+cc AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+asg AS (SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS comp
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+reps AS (SELECT comp, min(doc_id) AS cluster_id FROM asg GROUP BY 1)"""
 
 # DSIR shared CTEs (importance_weights / importance_resample): hashed
 # 1..2-gram bucket streams over the %11 target/raw split, bucket counts,
@@ -2238,29 +2291,20 @@ FROM band a JOIN band b ON a.band=b.band AND a.sig_str=b.sig_str
 WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
 """,
         "dedup_clusters": f"""
-WITH RECURSIVE {_SHINGLE_CTE.strip()},
-perm AS (SELECT i, (2*i+1)::BIGINT AS a, (i*i+1)::BIGINT AS b FROM range(16) t(i)),
-sig AS (SELECT doc_id, i, MIN((a*h+b) % 2147483647) AS mh
-        FROM sh, perm GROUP BY 1,2),
-band AS (SELECT doc_id, (i//4)::INT AS band,
-                string_agg(mh::VARCHAR, '-' ORDER BY i) AS sig_str
-         FROM sig GROUP BY 1,2),
-prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM band a JOIN band b ON a.band=b.band AND a.sig_str=b.sig_str
-                                AND a.doc_id < b.doc_id),
-edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-          UNION SELECT id_b, id_a FROM prs),
-nodes AS (SELECT DISTINCT src AS id FROM edges),
-reach(a, b) AS (
-  SELECT id, id FROM nodes
-  UNION
-  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
-),
-cc AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
-asg AS (SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS comp
-        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
-reps AS (SELECT comp, min(doc_id) AS cluster_id FROM asg GROUP BY 1)
+{_CLUSTER_CTES}
 SELECT a.doc_id, r.cluster_id, (a.doc_id = r.cluster_id) AS is_keeper
+FROM asg a JOIN reps r ON a.comp = r.comp
+""",
+        # leakage_safe_split: the SAME cluster fixpoint, with the split
+        # bucket drawn on cluster_id instead of doc_id — every member of
+        # a near-dup cluster lands on one side of the boundary
+        "leakage_split": f"""
+{_CLUSTER_CTES}
+SELECT a.doc_id,
+       ((({_MD5L.format(x="r.cluster_id::VARCHAR || 'split'")}) % 100))::INT
+         AS split_bucket,
+       ((({_MD5L.format(x="r.cluster_id::VARCHAR || 'split'")}) % 100) < 20)
+         AS is_test
 FROM asg a JOIN reps r ON a.comp = r.comp
 """,
         "ngram_jaccard": f"""

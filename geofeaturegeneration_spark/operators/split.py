@@ -36,6 +36,41 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    cluster_col: str = "cluster_id",
+    test_pct: int = 20,
+    salt: str = "split",
+) -> DataFrame:
+    """``hash_split`` drawn on the DEDUP CLUSTER instead of the row id, so
+    a document and all of its near-duplicates land in the SAME split —
+    the leakage-safe form of the train/test draw (a doc whose near-copy
+    sits in the training set is not a fair eval row; plain per-doc
+    hashing splits ~test_pct of every multi-doc cluster across the
+    boundary). ``clusters`` is the (id_col, cluster_col) assignment from
+    ``dedup.dedup_clusters`` — cluster_id is the cluster's min doc id, so
+    singletons behave exactly like a per-doc draw with the same salt.
+
+    Rows without an assignment (not in ``clusters``) fall back to their
+    own id — the split is total. One broadcast-or-hash join on id + the
+    pure hash expression; no extra shuffle beyond the join."""
+    asg = clusters.select(
+        F.col(id_col), F.col(cluster_col).alias("_gfs_cluster")
+    )
+    key = F.coalesce(F.col("_gfs_cluster"), F.col(id_col))
+    bucket = (
+        md5_long(F.concat(key.cast("string"), F.lit(salt))) % 100
+    ).cast("int")
+    return (
+        df.join(asg, id_col, "left")
+        .withColumn("split_bucket", bucket)
+        .withColumn("is_test", F.col("split_bucket") < test_pct)
+        .drop("_gfs_cluster")
+    )
+
+
 def negative_samples(
     interactions: DataFrame,
     items: DataFrame,
