@@ -1277,6 +1277,40 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(lined, "doc_id", "text")
 
 
+def q_clean_lines(spark, sf_dir):
+    """C4 intra-document line cleaning. The synthetic docs are single
+    lines, so the query first LINE-IFIES each doc (a '.' + newline after
+    every 6 words — lines that PASS the rules), then appends lines that
+    each violate exactly one rule (a 2-word line, a javascript line with
+    terminal punctuation, a 9-word line without terminal punctuation) so
+    every line rule fires non-vacuously; every 7th doc gets a Lorem Ipsum
+    line and every 11th a curly-brace line so both page-level verdict
+    rules fire too (the Lorem line itself PASSES the line rules — only
+    the doc verdict sees it)."""
+    from geofeaturegeneration_spark.operators import clean_lines
+
+    docs = _docs_wide(spark, sf_dir)
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((\S+ ){5}\S+) ", "$1.\n"),
+            F.lit(
+                "\ntoo short.\nenable javascript to view this site now."
+                "\nthis trailing line has no terminal punctuation at all"
+            ),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nLorem Ipsum dolor sit amet consectetur."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.lit("\nfunction f() { return 1; } and some words here."),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return clean_lines(lined, "doc_id", "text")
+
+
 def q_quality_filter(spark, sf_dir):
     """C4/Gopher keep decision over the documents corpus; thresholds tuned
     so the synthetic docs split into keeps AND drops on several rules
@@ -1526,6 +1560,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-row output, per-bucket contributions rounded to scaled int64
         # so the cross-bucket sum is exact integer addition
         "corpus_divergence": q_corpus_divergence,
+        # C4-style intra-document line cleaning (terminal punctuation /
+        # min-words / banned-word lines + the page-level lorem-ipsum and
+        # curly-brace verdict) — the line-level sibling of line_dedup
+        "clean_lines": q_clean_lines,
     }
 
 
@@ -2935,6 +2973,43 @@ tot AS (SELECT doc_id, count(*)::INT AS n_lines FROM lines GROUP BY doc_id)
 SELECT t.doc_id, coalesce(a.clean,'') AS clean, t.n_lines,
        coalesce(a.n_kept,0)::INT AS n_kept
 FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        # mirrors operators/curation.clean_lines (C4 line rules: >=5 words,
+        # terminal punctuation after rtrim, no 'javascript'; page verdict:
+        # >=3 kept lines, no 'lorem ipsum' (ci), no '{') over the same
+        # line-ified + rule-spiked corpus as the Spark query
+        "clean_lines": """
+WITH lined AS (SELECT doc_id,
+        regexp_replace(text, '((\\S+ ){5}\\S+) ', '\\1.' || chr(10), 'g')
+        || chr(10) || 'too short.'
+        || chr(10) || 'enable javascript to view this site now.'
+        || chr(10) || 'this trailing line has no terminal punctuation at all'
+        || CASE WHEN doc_id%7=0
+                THEN chr(10) || 'Lorem Ipsum dolor sit amet consectetur.'
+                ELSE '' END
+        || CASE WHEN doc_id%11=0
+                THEN chr(10) || 'function f() { return 1; } and some words here.'
+                ELSE '' END AS text
+      FROM documents),
+ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS arr FROM lined),
+lines AS (SELECT doc_id, unnest(arr) AS line,
+                 unnest(generate_series(0, len(arr)-1)) AS line_no FROM ls),
+ok AS (SELECT doc_id, line_no, line FROM lines
+       WHERE len(string_split(line, ' ')) >= 5
+         AND right(rtrim(line), 1) IN ('.','!','?','"','''')
+         AND NOT contains(lower(line), 'javascript')),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean,
+               count(*)::INT AS n_kept
+        FROM ok GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*)::INT AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.clean,'') AS clean, t.n_lines,
+       coalesce(a.n_kept,0)::INT AS n_kept,
+       (coalesce(a.n_kept,0) >= 3
+        AND NOT contains(lower(l.text), 'lorem ipsum')
+        AND NOT contains(l.text, '{')) AS keep
+FROM tot t
+LEFT JOIN agg a USING (doc_id)
+JOIN lined l ON l.doc_id = t.doc_id
 """,
         # mirrors operators/dedup.span_dedup (k=8, md5 60-bit window hash,
         # min-(doc,pos) winner, gaps-and-islands span merge); the oracle's

@@ -315,6 +315,81 @@ def line_dedup(
     return out
 
 
+def clean_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_words: int = 5,
+    terminal_chars: str = ".!?\"'",
+    banned_substrings: tuple[str, ...] = ("javascript",),
+    doc_banned_substrings: tuple[str, ...] = ("lorem ipsum",),
+    doc_banned_chars: tuple[str, ...] = ("{",),
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style INTRA-document line cleaning (Raffel et al. 2020 §2.2) —
+    the per-line transform that precedes corpus-level work: drop every
+    line that (a) has fewer than ``min_words`` whitespace words, (b) does
+    not end (after rtrim) in one of ``terminal_chars``, or (c) mentions a
+    ``banned_substrings`` entry case-insensitively (C4's "javascript"
+    rule); reassemble the survivors in order. The sibling of line_dedup
+    (corpus-wide duplicate lines) and quality_filter (whole-doc verdict):
+    this one edits INSIDE the document with no cross-document evidence.
+
+    Returns (id_col, clean, n_lines, n_kept, keep) where ``keep`` is C4's
+    page-level verdict: at least ``min_kept_lines`` surviving lines AND no
+    ``doc_banned_substrings`` hit (case-insensitive, C4's "lorem ipsum")
+    AND no ``doc_banned_chars`` hit (case-sensitive, C4's curly brace —
+    code leakage) anywhere in the ORIGINAL text. Pass ``terminal_chars=''``
+    to skip the punctuation rule (e.g. for verse or chat corpora).
+
+    Scale shape: two narrow projections, zero shuffle, no explode — the
+    line array stays inside one row, so a 100-TB corpus cleans at scan
+    speed with no shuffle at all (contrast line_dedup, which must shuffle
+    twice because its evidence is corpus-wide). The per-line rules live in
+    one array ``filter`` lambda over the split — every expression inside
+    references only the lambda variable, so the HOF CodegenFallback
+    re-execution hazard (see functions/text._let) does not apply; the
+    kept array is staged as a column alias because it feeds three outputs
+    (clean, n_kept, keep) and SPARK-36718 keeps CollapseProject from
+    re-inlining a non-cheap expression referenced more than once."""
+    terminals = [F.lit(c) for c in terminal_chars]
+
+    def _line_ok(l: Column) -> Column:
+        ok = F.size(words(l)) >= min_words
+        if terminals:
+            last = F.substring(F.rtrim(l), -1, 1)
+            ok = ok & last.isin(*[c for c in terminal_chars])
+        low = F.lower(l)
+        for b in banned_substrings:
+            ok = ok & ~low.contains(F.lit(b.lower()))
+        return ok
+
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.split(F.col(text_col), F.lit(sep), -1).alias("_arr"),
+    ).select(
+        F.col(id_col),
+        F.col("_t"),
+        F.size(F.col("_arr")).cast("int").alias("n_lines"),
+        F.filter(F.col("_arr"), _line_ok).alias("_kept"),
+    )
+    doc_ok = F.size(F.col("_kept")) >= min_kept_lines
+    low_t = F.lower(F.col("_t"))
+    for b in doc_banned_substrings:
+        doc_ok = doc_ok & ~low_t.contains(F.lit(b.lower()))
+    for c in doc_banned_chars:
+        doc_ok = doc_ok & ~F.col("_t").contains(F.lit(c))
+    return staged.select(
+        F.col(id_col),
+        F.array_join(F.col("_kept"), sep).alias("clean"),
+        F.col("n_lines"),
+        F.size(F.col("_kept")).cast("int").alias("n_kept"),
+        doc_ok.alias("keep"),
+    )
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str,

@@ -310,6 +310,79 @@ def test_line_dedup_no_window_on_line_hash(spark):
     assert "partial_min" in plan or "partial" in plan.lower()
 
 
+def test_clean_lines_each_rule(spark):
+    """Every C4 line rule fires on exactly the line built to trip it, and
+    the survivors reassemble in original order."""
+    from geofeaturegeneration_spark.operators import clean_lines
+
+    text = "\n".join(
+        [
+            "this first line has enough words.",   # kept
+            "too short.",                           # < 5 words
+            "this line has no terminal punctuation at all",  # no terminal
+            "please enable JavaScript to view this page.",   # banned word (ci)
+            'he said "five words are quite enough."',        # kept (quote terminal)
+            "is this a real question here?",        # kept (?)
+            "trailing spaces still count fine.   ",  # kept (rtrim before check)
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id INT, text STRING")
+    row = clean_lines(df, "doc_id", "text").collect()[0]
+    assert row.n_lines == 7
+    assert row.n_kept == 4
+    assert row.clean.split("\n") == [
+        "this first line has enough words.",
+        'he said "five words are quite enough."',
+        "is this a real question here?",
+        "trailing spaces still count fine.   ",
+    ]
+    assert row.keep  # 4 kept lines >= 3, no page-level hit
+
+
+def test_clean_lines_page_verdict(spark):
+    """The page-level verdict fires on lorem ipsum (case-insensitive), on
+    a curly brace, and on fewer than min_kept_lines survivors — each
+    independently of the per-line survivors."""
+    from geofeaturegeneration_spark.operators import clean_lines
+
+    good = "one two three four five.\nsix seven eight nine ten.\na b c d e."
+    rows = [
+        (1, good),                                        # keep
+        (2, good + "\nWe use LOREM IPSUM filler text."),  # lorem -> drop
+        (3, good + "\nvar x = { a: 1 } in source code."), # brace -> drop
+        (4, "one two three four five."),                  # 1 kept < 3 -> drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r.doc_id: r for r in clean_lines(df, "doc_id", "text").collect()}
+    assert out[1].keep
+    assert not out[2].keep and out[2].n_kept == 4  # the lorem line ALSO passes line rules
+    assert not out[3].keep
+    assert not out[4].keep and out[4].n_kept == 1
+
+
+def test_clean_lines_no_terminal_rule(spark):
+    """terminal_chars='' skips the punctuation rule (verse/chat corpora)."""
+    from geofeaturegeneration_spark.operators import clean_lines
+
+    df = spark.createDataFrame(
+        [(1, "five words but no punctuation\nshort one")],
+        "doc_id INT, text STRING",
+    )
+    row = clean_lines(df, "doc_id", "text", terminal_chars="").collect()[0]
+    assert row.n_kept == 1
+    assert row.clean == "five words but no punctuation"
+
+
+def test_clean_lines_zero_shuffle(spark):
+    """The whole transform is two narrow projections — no Exchange in the
+    plan at any corpus size (contrast line_dedup's two shuffles)."""
+    from geofeaturegeneration_spark.operators import clean_lines
+
+    df = spark.createDataFrame([(1, "a b c d e.")], "doc_id INT, text STRING")
+    plan = clean_lines(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_quality_filter_each_rule_and_keep(spark):
     """Every rule fires on a doc crafted to trip exactly it (plus any
     logically-entangled ones); a clean doc keeps."""
