@@ -5,10 +5,12 @@
         --checkpoint /path/to/ckpt [--buckets 8] [--max-bucket-size 1000] \
         [--force]
 
-The flagship 100 TB story — (optional) prior-corpus Bloom ingest screen
-(re-ingested duplicates dropped map-side before anything else; the prior
-corpus is touched once to build its m_bits-bounded position table) ->
-(optional) quality filter -> (optional)
+The flagship 100 TB story — (optional) C4 line cleaning (the only
+text-REWRITING pre-filter: per-line rules + page verdict, so every later
+stage hashes the CLEANED bytes) -> (optional) prior-corpus Bloom ingest
+screen (re-ingested duplicates dropped map-side before anything else; the
+prior corpus is touched once to build its m_bits-bounded position table)
+-> (optional) quality filter -> (optional)
 perplexity filter (hashed-bigram LM trained once on a clean corpus) ->
 MinHash LSH pairs -> connected components -> (optional) test-set
 decontamination -> (optional) semantic embedding-space dedup -> keeper
@@ -16,9 +18,15 @@ filter (+ optional mixing recipe + PII scrub riding the output pass) —
 (+ optional exact-substring span dedup over the surviving corpus) —
 composed as ONE resumable pipeline behind the checkpoint store (reference
 analog: the stage-separated pipeline of AttachFeature.py:1046-1112), not
-just unit operators. Three to ten stages, each recorded per partition in
+just unit operators. Three to seventeen stages, each recorded per partition in
 the CheckpointStore so a crash resumes without recomputing finished work:
 
+-0.3. ``clean`` (optional, per doc-id hash bucket): C4 intra-document
+   line cleaning (curation.clean_lines) rewrites each doc's text with the
+   rule-failing lines cut and DROPS page-verdict failures; every later
+   stage reads this cleaned table instead of the raw corpus, so shingles,
+   signatures, and the output all see the cleaned bytes — the C4 order
+   (line rules run before anything hashes text).
 0. ``quality`` (optional, per doc-id hash bucket): C4/Gopher keep
    verdicts (curation.quality_filter) land as an ids-only table; every
    later stage semi-joins it, so rejected docs never reach the shingle
@@ -66,6 +74,16 @@ the CheckpointStore so a crash resumes without recomputing finished work:
 5. ``span_clean`` (per doc-id hash bucket): rewrite the final text with
    the duplicated ranges cut (dedup.span_reassemble) into
    ``span_deduped/``.
+6/7. ``pack_vocab`` / ``packed`` (optional, global): dense word->id vocab
+   over the final corpus (build_vocab — the tokenizer artifact training
+   decodes with), then fixed-length boundary-crossing training rows
+   (encode_with_vocab + pack_sequences) — the curated corpus leaves the
+   job as (grp, chunk_id, tokens:array<int>, n_real) rows ready to train
+   on.
+8. ``shards`` (optional, global): deterministic global shuffle + fixed-
+   size shard assignment (shuffle_shards) over the training rows (packed
+   chunks when --pack is on, else surviving docs) — the webdataset-style
+   export order, identical at any parallelism.
 
 Determinism: signatures, pairs, components, and keeper choice are all pure
 functions of the corpus (md5 hashing, min-label components, min-id
@@ -89,19 +107,24 @@ from geofeaturegeneration_spark.checkpoint import CheckpointStore, run_partition
 from geofeaturegeneration_spark.operators import (
     bloom_build,
     bloom_screen,
+    build_vocab,
     decontaminate,
     dedup_clusters,
+    encode_with_vocab,
     lm_bucket_logprobs,
     lm_score,
     lsh_pairs_from_band_sigs,
     minhash_band_signatures,
+    pack_sequences,
     semantic_dedup,
+    shuffle_shards,
     span_dup_intervals,
     span_reassemble,
     train_ivf_centroids,
 )
-from geofeaturegeneration_spark.functions.text import n_words
+from geofeaturegeneration_spark.functions.text import n_words, words
 from geofeaturegeneration_spark.operators.curation import (
+    clean_lines,
     pii_clean_col,
     quality_filter,
     source_sample,
@@ -127,6 +150,8 @@ def run_dedup_pipeline(
     bench_fingerprint: str | None = None,
     decon_min_hits: int = 1,
     scrub: bool = False,
+    clean: bool = False,
+    clean_kwargs: dict | None = None,
     quality: bool = False,
     quality_kwargs: dict | None = None,
     prior=None,
@@ -144,6 +169,10 @@ def run_dedup_pipeline(
     mix_target_frac: float = 0.5,
     mix_by_tokens: bool = False,
     span_k: int | None = None,
+    pack_len: int | None = None,
+    pack_groups: int = 32,
+    pack_pad: int | None = None,
+    shard_size: int | None = None,
     embeddings=None,
     emb_fingerprint: str | None = None,
     semantic_threshold: float = 0.95,
@@ -159,6 +188,17 @@ def run_dedup_pipeline(
     from the final output alongside dedup losers (resumable unit = corpus
     bucket, same as signatures — the bench shingle set is broadcast, so
     the stage is embarrassingly parallel too).
+
+    ``clean=True`` prepends the C4 LINE-CLEANING stage (stage -0.3, per
+    corpus bucket, before everything else — the C4 order: line rules run
+    before anything hashes text): ``curation.clean_lines`` rewrites each
+    doc's text with the rule-failing lines cut, DROPS page-verdict
+    failures, and persists the cleaned table; every later stage — the
+    prior screen, quality, perplexity, shingling, and the output — reads
+    the CLEANED bytes instead of the raw corpus. The only stage that
+    rewrites text besides the output pass, which is why it must come
+    first: a signature computed over raw bytes would not match the text
+    the job ships. ``clean_kwargs`` override the C4 rule thresholds.
 
     ``quality=True`` prepends a checkpointed QUALITY stage (stage 0, per
     corpus bucket): ``curation.quality_filter`` verdicts land as a
@@ -212,6 +252,17 @@ def run_dedup_pipeline(
     stage rewrites the final text (``span_reassemble``) into
     ``span_deduped/``.
 
+    ``pack_len`` appends the TRAINING-EXPORT packing stages over the final
+    corpus (span-cleaned when ``span_k`` is set, else the deduped output):
+    a global vocab stage persists the dense word->id table, then a global
+    pack stage encodes each doc's whitespace tokens through the broadcast
+    vocab and cuts ``pack_len``-token boundary-crossing rows
+    (pack_sequences; ``pack_groups`` sizes the parallelism, ``pack_pad``
+    right-pads each group's final partial chunk). ``shard_size`` appends
+    the shuffle_shards export: every training row gets its position in a
+    deterministic global permutation plus a fixed-size shard id. All
+    geometry knobs are in the lineage key.
+
     ``embeddings`` (optional, (doc_id, embedding)) adds the SEMANTIC dedup
     modality (similarity.semantic_dedup — SemDeDup): a global checkpointed
     stage trains the sampled-kmeans quantizer, screens each cluster with
@@ -223,7 +274,7 @@ def run_dedup_pipeline(
     decontaminate -> semantic -> mix -> scrub -> span-dedup — is
     therefore ONE resumable artifact; per-stage wall-clock is recorded in
     the CheckpointStore metrics table. Returns the per-stage
-    PartitionResult lists (3 to 13 of them, in pipeline order)."""
+    PartitionResult lists (3 to 17 of them, in pipeline order)."""
     if mix_alpha is not None and mix_rates_ppm is not None:
         raise ValueError(
             "mix_alpha (computed temperature recipe) and mix_rates_ppm "
@@ -254,6 +305,11 @@ def run_dedup_pipeline(
         # scrub changes output BYTES, so it must invalidate the output
         # stage's checkpoints when toggled — hence part of the lineage key
         lineage += ";scrub=1"
+    if clean:
+        # cleaning changes the BYTES every later stage hashes, so it is
+        # part of every stage's lineage key — toggling it (or any rule
+        # threshold) invalidates the whole chain
+        lineage += f";clean={sorted((clean_kwargs or {}).items())}"
     if quality:
         lineage += f";quality={sorted((quality_kwargs or {}).items())}"
     if prior is not None:
@@ -283,6 +339,12 @@ def run_dedup_pipeline(
         )
     if span_k is not None:
         lineage += f";span={span_k}"
+    if pack_len is not None:
+        # packing geometry changes the exported training rows AND the
+        # vocab artifact they are encoded with
+        lineage += f";pack={pack_len}:{pack_groups}:{pack_pad}"
+    if shard_size is not None:
+        lineage += f";shards={shard_size}"
     if embeddings is not None:
         # the semantic stage's bytes depend on the threshold/cluster knobs
         # AND the embedding table's identity — all in the lineage key
@@ -292,6 +354,62 @@ def run_dedup_pipeline(
         )
 
     from pyspark.sql import types as T
+
+    # stage -0.3 (optional): C4 intra-document line cleaning — the FIRST
+    # stage because it is the only pre-filter that REWRITES text: every
+    # later stage (prior screen, quality, perplexity, shingles, output)
+    # must hash/ship the cleaned bytes, so `docs` is rebound to the
+    # persisted cleaned table once the stage lands. Per-bucket and
+    # embarrassingly parallel (clean_lines is a zero-shuffle projection;
+    # the only join is the bucket-local column re-attach).
+    cln_path = os.path.join(out_root, "clean")
+    r_cln = None
+    if clean:
+        doc_cols = [f.name for f in docs.schema.fields]
+
+        def cln_one(key: str):
+            part = docs.filter(bucket_of == key)
+            rep = clean_lines(
+                part, "doc_id", "text", **(clean_kwargs or {})
+            )
+            cleaned = (
+                rep.filter(F.col("keep"))
+                .select("doc_id", F.col("clean").alias("text"))
+            )
+            # re-attach the non-text columns; original column order so the
+            # re-read table's schema equals the raw corpus's
+            return (
+                part.drop("text").join(cleaned, "doc_id").select(*doc_cols)
+            )
+
+        r_cln = run_partitioned(
+            spark, store, f"{job_id}/clean", bucket_keys, cln_one,
+            cln_path, "part_key", lineage, force=force,
+        )
+        # every later stage reads the CLEANED corpus; explicit schema —
+        # a bucket whose docs all failed the page verdict writes no files
+        cln_schema = T.StructType(
+            list(docs.schema.fields)
+            + [T.StructField("part_key", T.StringType())]
+        )
+        docs = (
+            spark.read.schema(cln_schema).parquet(cln_path)
+            .filter(F.col("part_key").cast("string").isin(bucket_keys))
+            .drop("part_key")
+        )
+
+        def docs_bucket(key: str):
+            # partition-pruned read of one cleaned bucket — the part_key
+            # predicate hits the directory layout, so a bucket stage scans
+            # 1/buckets of the cleaned corpus instead of re-hashing it all
+            return (
+                spark.read.schema(cln_schema).parquet(cln_path)
+                .filter(F.col("part_key").cast("string") == key)
+                .drop("part_key")
+            )
+    else:
+        def docs_bucket(key: str):
+            return docs.filter(bucket_of == key)
 
     # stage -0.1/-0.05 (optional): incremental-ingest screen against a
     # PREVIOUSLY INGESTED corpus. The prior corpus is touched exactly once
@@ -324,7 +442,7 @@ def run_dedup_pipeline(
         )
 
         def nvl_one(key: str):
-            part = docs.filter(bucket_of == key)
+            part = docs_bucket(key)
             bloom = spark.read.schema(blm_schema).parquet(blm_path).drop(
                 "part_key"
             )
@@ -365,7 +483,7 @@ def run_dedup_pipeline(
     r_qua = None
     if quality:
         def qua_one(key: str):
-            part = _novel_only(docs.filter(bucket_of == key), key)
+            part = _novel_only(docs_bucket(key), key)
             rep = quality_filter(part, "doc_id", "text", **(quality_kwargs or {}))
             return rep.filter(F.col("keep")).select("doc_id")
 
@@ -432,7 +550,7 @@ def run_dedup_pipeline(
         )
 
         def ppl_one(key: str):
-            part = _qua_only(docs.filter(bucket_of == key), key)
+            part = _qua_only(docs_bucket(key), key)
             model = spark.read.schema(lmm_schema).parquet(lmm_path).drop(
                 "part_key"
             )
@@ -490,9 +608,30 @@ def run_dedup_pipeline(
             df = df.join(kept, "doc_id", "left_semi")
         return df
 
+    # explicit read schemas for the signature/cluster tables too: a corpus
+    # fully rejected by the pre-filters (legitimate under strict rules)
+    # writes no parquet files, and schema inference over a file-less
+    # directory throws — the job must degrade to empty outputs instead
+    sig_schema = T.StructType(
+        [
+            _id_field,
+            T.StructField("band", T.IntegerType()),
+            T.StructField("sig_str", T.StringType()),
+            T.StructField("part_key", T.StringType()),
+        ]
+    )
+    clu_schema = T.StructType(
+        [
+            _id_field,
+            T.StructField("cluster_id", _id_field.dataType),
+            T.StructField("is_keeper", T.BooleanType()),
+            T.StructField("part_key", T.StringType()),
+        ]
+    )
+
     # stage 1: band signatures per corpus bucket (resumable unit = bucket)
     def sig_one(key: str):
-        part = kept_only(docs.filter(bucket_of == key), key)
+        part = kept_only(docs_bucket(key), key)
         return minhash_band_signatures(
             part, "doc_id", "text", k=k, n_hashes=n_hashes, bands=bands
         )
@@ -509,7 +648,7 @@ def run_dedup_pipeline(
         # larger --buckets run can leave stale out-of-range part_key
         # directories on disk — the isin prunes them at the scan
         sigs = (
-            spark.read.parquet(sig_path)
+            spark.read.schema(sig_schema).parquet(sig_path)
             .filter(F.col("part_key").cast("string").isin(bucket_keys))
             .drop("part_key")
         )
@@ -529,7 +668,7 @@ def run_dedup_pipeline(
     r_con = None
     if bench is not None:
         def con_one(key: str):
-            part = kept_only(docs.filter(bucket_of == key), key)
+            part = kept_only(docs_bucket(key), key)
             rep = decontaminate(
                 part, "doc_id", "text", bench, "doc_id", "text",
                 k=k, min_hits=decon_min_hits,
@@ -588,7 +727,7 @@ def run_dedup_pipeline(
 
         def mixr_one(_key: str):
             clusters = (
-                spark.read.parquet(clu_path)
+                spark.read.schema(clu_schema).parquet(clu_path)
                 .filter(F.col("is_keeper"))
                 .select("doc_id")
             )
@@ -632,8 +771,10 @@ def run_dedup_pipeline(
     # drops) per corpus bucket (only stage touching text bytes besides 1
     # and 2.5)
     def out_one(key: str):
-        clusters = spark.read.parquet(clu_path).drop("part_key")
-        part = kept_only(docs.filter(bucket_of == key), key)
+        clusters = spark.read.schema(clu_schema).parquet(clu_path).drop(
+            "part_key"
+        )
+        part = kept_only(docs_bucket(key), key)
         out = (
             part.join(clusters, "doc_id")
             .filter(F.col("is_keeper"))
@@ -725,7 +866,141 @@ def run_dedup_pipeline(
             fin_path, "part_key", lineage, force=force,
         )
 
+    # optional EXPORT stages — the step between curation and training,
+    # over the FINAL corpus (span-cleaned when the span stages ran, else
+    # the deduped output).
+    #
+    # ``pack_vocab``/``packed`` (--pack SEQ_LEN, two global units):
+    # build_vocab persists the dense word->id table (the tokenizer
+    # artifact training needs for decoding; corpus-scale distinct but
+    # vocab-sized output), then encode each doc's whitespace tokens via
+    # the broadcast vocab and cut fixed-length boundary-crossing training
+    # rows with pack_sequences. The encode costs one explode + one
+    # doc_id-keyed regroup — the honest price of tokenizing text in-engine;
+    # a corpus already carrying token arrays (the pre-tokenized sequences
+    # table) would feed pack_sequences directly and skip both.
+    #
+    # ``shards`` (--shard-size N, one global unit): shuffle_shards assigns
+    # every training row (packed chunks when --pack is on, else surviving
+    # docs) its position in a deterministic global permutation plus
+    # fixed-size shard ids — webdataset-style export, no global
+    # single-partition sort (distributed zipWithIndex).
+    r_voc = r_pck = r_shd = None
+    if pack_len is not None or shard_size is not None:
+        if span_k is not None:
+            exp_path = fin_path
+            exp_schema = T.StructType(
+                [f for f in docs.schema.fields if f.name != "text"]
+                + [
+                    T.StructField("cluster_id", _id_field.dataType),
+                    T.StructField("text", T.StringType()),
+                    T.StructField("span_dup_tokens", T.IntegerType()),
+                    T.StructField("part_key", T.StringType()),
+                ]
+            )
+        else:
+            exp_path = out_path
+            exp_schema = T.StructType(
+                list(docs.schema.fields)
+                + [
+                    T.StructField("cluster_id", _id_field.dataType),
+                    T.StructField("part_key", T.StringType()),
+                ]
+            )
+
+        def read_export():
+            return (
+                spark.read.schema(exp_schema).parquet(exp_path)
+                .filter(F.col("part_key").cast("string").isin(bucket_keys))
+                .drop("part_key")
+            )
+
+    voc_path = os.path.join(out_root, "pack_vocab")
+    pck_path = os.path.join(out_root, "packed")
+    if pack_len is not None:
+        def voc_one(_key: str):
+            toks = read_export().select(
+                F.explode(words(F.col("text"))).alias("token")
+            )
+            return build_vocab(toks, "token")
+
+        r_voc = run_partitioned(
+            spark, store, f"{job_id}/pack_vocab", ["all"], voc_one,
+            voc_path, "part_key", lineage, force=force,
+        )
+        voc_schema = T.StructType(
+            [
+                T.StructField("token", T.StringType()),
+                T.StructField("vocab_id", T.LongType()),
+                T.StructField("part_key", T.StringType()),
+            ]
+        )
+
+        def pck_one(_key: str):
+            vocab = (
+                spark.read.schema(voc_schema).parquet(voc_path)
+                .drop("part_key")
+            )
+            toks = read_export().select(
+                "doc_id",
+                F.posexplode(words(F.col("text"))).alias("pos", "token"),
+            )
+            enc = encode_with_vocab(toks, vocab, "token")
+            arr = enc.groupBy("doc_id").agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos"), F.col("vocab_id"))
+                        )
+                    ),
+                    lambda s: s["vocab_id"].cast("int"),
+                ).alias("tokens")
+            )
+            return pack_sequences(
+                arr, "doc_id", "tokens", seq_len=pack_len,
+                n_groups=pack_groups, pad_value=pack_pad,
+            )
+
+        r_pck = run_partitioned(
+            spark, store, f"{job_id}/packed", ["all"], pck_one,
+            pck_path, "part_key", lineage, force=force,
+        )
+
+    shd_path = os.path.join(out_root, "shards")
+    if shard_size is not None:
+        pck_schema = T.StructType(
+            [
+                T.StructField("grp", T.IntegerType()),
+                T.StructField("chunk_id", T.IntegerType()),
+                T.StructField("tokens", T.ArrayType(T.IntegerType())),
+                T.StructField("n_real", T.IntegerType()),
+                T.StructField("part_key", T.StringType()),
+            ]
+        )
+
+        def shd_one(_key: str):
+            if pack_len is not None:
+                # shard the packed training rows; (grp, chunk_id) is the
+                # unique row identity shuffle_shards permutes on
+                rows = (
+                    spark.read.schema(pck_schema).parquet(pck_path)
+                    .drop("part_key")
+                    .withColumn(
+                        "_sid",
+                        F.concat_ws(":", F.col("grp"), F.col("chunk_id")),
+                    )
+                )
+                return shuffle_shards(rows, "_sid", shard_size).drop("_sid")
+            return shuffle_shards(read_export(), "doc_id", shard_size)
+
+        r_shd = run_partitioned(
+            spark, store, f"{job_id}/shards", ["all"], shd_one,
+            shd_path, "part_key", lineage, force=force,
+        )
+
     stages = []
+    if r_cln is not None:
+        stages.append(r_cln)
     if r_blm is not None:
         stages.extend([r_blm, r_nvl])
     if r_qua is not None:
@@ -742,6 +1017,10 @@ def run_dedup_pipeline(
     stages.append(r_out)
     if r_spn is not None:
         stages.extend([r_spn, r_fin])
+    if r_voc is not None:
+        stages.extend([r_voc, r_pck])
+    if r_shd is not None:
+        stages.append(r_shd)
     return tuple(stages)
 
 
@@ -764,6 +1043,15 @@ def main(argv=None) -> int:
     p.add_argument("--scrub", action="store_true",
                    help="redact PII (curation.pii_clean_col) in the output "
                         "stage — same pass that already writes text bytes")
+    p.add_argument("--clean", action="store_true",
+                   help="prepend the C4 line-cleaning stage "
+                        "(curation.clean_lines): rule-failing lines are "
+                        "cut and page-verdict failures dropped BEFORE "
+                        "anything hashes text; all later stages read the "
+                        "cleaned bytes")
+    p.add_argument("--clean-args", default=None,
+                   help="JSON kwargs for curation.clean_lines, e.g. "
+                        "'{\"terminal_chars\": \"\", \"min_kept_lines\": 1}'")
     p.add_argument("--quality", action="store_true",
                    help="prepend the checkpointed quality_filter stage; "
                         "rejected docs never reach the shingle pass")
@@ -792,6 +1080,22 @@ def main(argv=None) -> int:
                         "granularity over the surviving corpus (global "
                         "interval stage + per-bucket rewrite into "
                         "span_deduped/)")
+    p.add_argument("--pack", type=int, default=None, metavar="SEQ_LEN",
+                   help="append the training-export packing stages: build "
+                        "the word vocab over the final corpus, encode, and "
+                        "cut SEQ_LEN-token boundary-crossing training rows "
+                        "(pack_sequences) into packed/")
+    p.add_argument("--pack-groups", type=int, default=32,
+                   help="independent pack groups (parallelism knob; "
+                        "packing quality is unaffected)")
+    p.add_argument("--pack-pad", type=int, default=None,
+                   help="right-pad each group's final partial chunk with "
+                        "this token id")
+    p.add_argument("--shard-size", type=int, default=None,
+                   help="append the shuffle_shards export stage: "
+                        "deterministic global permutation + fixed-size "
+                        "shard ids over the training rows (packed chunks "
+                        "when --pack is on, else surviving docs)")
     p.add_argument("--mix", default=None,
                    help="JSON object of per-source keep rates in ppm, e.g. "
                         "'{\"web\": 800000, \"books\": 1000000}' — applied "
@@ -835,6 +1139,10 @@ def main(argv=None) -> int:
         job_id=args.job_id, force=args.force,
         bench=bench, bench_fingerprint=args.bench,
         decon_min_hits=args.decon_min_hits, scrub=args.scrub,
+        clean=args.clean,
+        clean_kwargs=(
+            json.loads(args.clean_args) if args.clean_args else None
+        ),
         quality=args.quality,
         prior=prior, prior_fingerprint=args.prior,
         prior_m_bits=args.prior_m_bits, prior_k=args.prior_k,
@@ -845,12 +1153,16 @@ def main(argv=None) -> int:
         mix_alpha=args.mix_alpha, mix_target_frac=args.mix_target,
         mix_by_tokens=args.mix_tokens,
         span_k=args.span_dedup,
+        pack_len=args.pack, pack_groups=args.pack_groups,
+        pack_pad=args.pack_pad, shard_size=args.shard_size,
         embeddings=embeddings, emb_fingerprint=args.embeddings,
         semantic_threshold=args.semantic_threshold,
         semantic_clusters=args.semantic_clusters,
         semantic_max_cluster=args.semantic_max_cluster,
     )
     names = []
+    if args.clean:
+        names.append("clean")
     if args.prior:
         names.extend(["prior_bloom", "novel"])
     if args.quality:
@@ -867,6 +1179,10 @@ def main(argv=None) -> int:
     names.append("output")
     if args.span_dedup is not None:
         names.extend(["span_intervals", "span_clean"])
+    if args.pack is not None:
+        names.extend(["pack_vocab", "packed"])
+    if args.shard_size is not None:
+        names.append("shards")
     summary = {
         "job_id": args.job_id,
         "stages": {

@@ -220,6 +220,83 @@ def test_dedup_pipeline_with_decontamination_stage(spark, tmp_path):
     assert all(r.skipped for stage in r2 for r in stage)
 
 
+def test_dedup_pipeline_clean_stage(spark, tmp_path):
+    """--clean rewrites text BEFORE anything hashes it (the C4 order):
+    rule-failing lines never reach the surviving text, page-verdict
+    failures never reach the output, the result equals the hand-composed
+    clean_lines -> dedup chain over the CLEANED corpus, and the flag
+    participates in the lineage key (same flags resume: every stage
+    skips)."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+    from geofeaturegeneration_spark.operators.curation import clean_lines
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    # per-doc junk line (4 words < min_words -> cut by the line rules; the
+    # doc_id suffix would perturb every doc's shingles if it survived to
+    # the signature stage, so equality below proves clean ran FIRST) plus
+    # a page-verdict kill on every 5th doc
+    docs = base.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit("\nclick here now "),
+                 F.col("doc_id").cast("string")),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\nbuy lorem ipsum deals")),
+        ).otherwise(F.col("text")),
+    )
+    # the synthetic corpus is unpunctuated single-line prose: drop the
+    # terminal-punctuation rule and the 3-line page floor
+    ckw = dict(terminal_chars="", min_kept_lines=1)
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              clean=True, clean_kwargs=ckw)
+
+    out, ck = str(tmp_path / "out_cl"), str(tmp_path / "ck_cl")
+    stages = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert len(stages) == 4  # clean, signatures, clusters, output
+    assert all(not r.skipped for st in stages for r in st)
+
+    final = spark.read.parquet(os.path.join(out, "deduped"))
+    assert final.count() > 0
+    # page-verdict docs never surface; junk lines are cut everywhere
+    assert final.filter(F.col("doc_id") % 5 == 0).count() == 0
+    assert final.filter(F.col("text").contains("click here")).count() == 0
+
+    # equals clean_lines -> dedup hand-composed over the CLEANED text
+    rep = clean_lines(docs, "doc_id", "text", **ckw)
+    cleaned = docs.drop("text").join(
+        rep.filter("keep").select("doc_id", F.col("clean").alias("text")),
+        "doc_id",
+    )
+    pairs = minhash_lsh_pairs(
+        cleaned, "doc_id", "text", k=3, n_hashes=16, bands=4,
+        max_bucket_size=100,
+    )
+    keepers = cleaned.join(
+        dedup_clusters(cleaned.select("doc_id"), "doc_id", pairs)
+        .filter("is_keeper").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    want = sorted((r["doc_id"], r["text"]) for r in keepers.collect())
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in final.select("doc_id", "text").collect()
+    )
+    assert got == want
+    assert cleaned.count() < docs.count()  # the page verdict non-vacuous
+
+    # same flags resume: everything skips (clean is in the lineage key)
+    st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert all(r.skipped for stage in st2 for r in stage)
+
+
 def test_dedup_pipeline_scrub_stage(spark, tmp_path):
     """--scrub redacts PII inside the output stage: surviving text carries
     no raw emails, equals the hand-composed keeper+pii_clean_col result,
@@ -829,3 +906,83 @@ def test_dedup_pipeline_prior_bloom_stage(spark, tmp_path):
         spark, docs, out, ck, prior=prior, prior_fingerprint="p1", **kw2
     )
     assert all(not r.skipped for stage in r3 for r in stage)
+
+def test_dedup_pipeline_pack_and_shard_export(spark, tmp_path):
+    """--pack/--shard-size turn the curated corpus into training rows
+    inside the same resumable artifact: packed chunks equal the
+    hand-composed vocab -> encode -> pack_sequences chain over the deduped
+    output, token conservation holds, every shard except the last is
+    exactly shard_size rows, and the export stages resume (skip) with the
+    same flags."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.functions.text import words
+    from geofeaturegeneration_spark.operators import (
+        build_vocab,
+        encode_with_vocab,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              pack_len=64, pack_groups=4, pack_pad=0, shard_size=16)
+
+    out, ck = str(tmp_path / "out_px"), str(tmp_path / "ck_px")
+    stages = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    # signatures, clusters, output, pack_vocab, packed, shards
+    assert len(stages) == 6
+    assert all(not r.skipped for st in stages for r in st)
+
+    packed = spark.read.parquet(f"{out}/packed").drop("part_key")
+    final = spark.read.parquet(f"{out}/deduped").drop(
+        "part_key", "cluster_id"
+    )
+
+    # equals hand-composed vocab -> encode -> pack over the deduped corpus
+    toks = final.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "token")
+    )
+    vocab = build_vocab(toks.select("token"), "token")
+    enc = encode_with_vocab(toks, vocab, "token")
+    arr = enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("vocab_id")))
+            ),
+            lambda s: s["vocab_id"].cast("int"),
+        ).alias("tokens")
+    )
+    want_df = pack_sequences(
+        arr, "doc_id", "tokens", seq_len=64, n_groups=4, pad_value=0
+    )
+    want = sorted(
+        (r["grp"], r["chunk_id"], tuple(r["tokens"]), r["n_real"])
+        for r in want_df.collect()
+    )
+    got = sorted(
+        (r["grp"], r["chunk_id"], tuple(r["tokens"]), r["n_real"])
+        for r in packed.collect()
+    )
+    assert got == want
+
+    # conservation: every real token of the final corpus lands exactly once
+    n_tok = final.select(F.sum(F.size(words(F.col("text"))))).collect()[0][0]
+    assert packed.select(F.sum("n_real")).collect()[0][0] == n_tok
+    assert packed.filter(F.size("tokens") != 64).count() == 0  # padded
+
+    # shards: fixed-size cover of the packed rows, only the last short
+    shards = spark.read.parquet(f"{out}/shards").drop("part_key")
+    assert shards.count() == packed.count()
+    sizes = {
+        r["shard"]: r["n"]
+        for r in shards.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    last = max(sizes)
+    assert all(sizes[s] == 16 for s in sizes if s != last)
+    assert 0 < sizes[last] <= 16
+    assert shards.select(F.max("shard_pos")).collect()[0][0] <= 15
+
+    # same flags resume: everything skips
+    st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert all(r.skipped for st in st2 for r in st)
