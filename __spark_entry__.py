@@ -1311,6 +1311,29 @@ def q_clean_lines(spark, sf_dir):
     return clean_lines(lined, "doc_id", "text")
 
 
+def q_bpe_roundtrip(spark, sf_dir):
+    """BPE tokenizer inverse property, end-to-end through the trained
+    artifact: train_bpe on the documents corpus (driver merge loop over
+    the corpus-size-independent word-count table), bpe_encode every doc
+    to subword ids (the per-word merge loop runs once per DISTINCT word;
+    occurrences only pay a join probe), bpe_decode back. The corpus is
+    single-spaced words whose alphabet the training saw, so
+    decode(encode(text)) == text exactly — the oracle is the identity
+    SELECT (the token_roundtrip pattern). Token-LEVEL correctness is
+    pinned by tests/test_bpe.py against an independent Sennrich-style
+    reference implementation (regex trainer, rank-order apply)."""
+    from geofeaturegeneration_spark.operators import (
+        bpe_decode,
+        bpe_encode,
+        train_bpe,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    art = train_bpe(docs, "text", n_merges=60)
+    enc = bpe_encode(docs, "doc_id", "text", art)
+    return bpe_decode(enc, "doc_id", "tokens", art)
+
+
 def q_quality_filter(spark, sf_dir):
     """C4/Gopher keep decision over the documents corpus; thresholds tuned
     so the synthetic docs split into keeps AND drops on several rules
@@ -1564,6 +1587,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min-words / banned-word lines + the page-level lorem-ipsum and
         # curly-brace verdict) — the line-level sibling of line_dedup
         "clean_lines": q_clean_lines,
+        # BPE subword tokenizer (train -> encode -> decode): the iterative
+        # merge loop is not SQL-expressible, so the registered query is
+        # the inverse property decode(encode(text)) == text with an
+        # identity oracle; token-level parity vs an independent reference
+        # implementation lives in tests/test_bpe.py
+        "bpe_roundtrip": q_bpe_roundtrip,
     }
 
 
@@ -2291,6 +2320,11 @@ SELECT doc_id, i::INT AS chunk_idx,
 FROM allr, range(0, 64) t(i)
 WHERE i < nw AND pos > i*{SEQ_LEN // 2} AND pos <= i*{SEQ_LEN // 2} + {SEQ_LEN}
 GROUP BY 1, 2
+""",
+        # identity oracle: the Spark side runs decode(encode(text)) through
+        # the trained BPE artifact and must reproduce the corpus bytes
+        "bpe_roundtrip": """
+SELECT doc_id, text FROM documents
 """,
         "token_roundtrip": f"""
 WITH {_TOKENS_CTE.strip()}

@@ -95,6 +95,7 @@ HEADLINE = [
     "lm_logprob",
     "heavy_hitters",
     "bloom_screen",
+    "bpe_roundtrip",
 ]
 
 

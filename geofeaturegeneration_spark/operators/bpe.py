@@ -1,0 +1,265 @@
+"""Byte-pair-encoding tokenizer: distributed word-count training plus a
+distinct-word encode (Sennrich et al. 2016, arXiv:1508.07909).
+
+The reference repo ships no tokenizer (its vocabularies are dense grid-id
+dictionaries, DP_GenerateTrajectory.py:73); this module extends the
+training-export family: ``pack_sequences`` currently packs WORD-level
+vocab ids, and ``bpe_encode`` upgrades the corpus to subword ids of a
+bounded vocabulary — the form pretraining corpora actually ship in.
+
+Scale shape (the part that matters at 100 TB):
+
+* ``train_bpe`` touches the corpus ONCE — ``explode(words)`` into one
+  ``groupBy(word).count()``. Every merge decision afterwards needs only
+  that (word, count) table, capped at ``max_word_types`` rows by
+  (count desc, word asc) — corpus-size-INDEPENDENT, the same
+  decomposition SentencePiece/HF use. The merge loop itself runs
+  driver-side in pure Python over the bounded table (same documented
+  convention as ``train_ivf_centroids``' driver k-means: deterministic,
+  bounded input, no RNG here at all — ties break lexicographically so
+  retrains are byte-identical).
+* ``bpe_encode`` runs the per-word merge loop ONCE PER DISTINCT WORD
+  (Arrow-batched ``mapInPandas`` over the distinct-word table, with an
+  in-batch word cache), then documents JOIN the (word -> tokens) table
+  and re-assemble ordered arrays. Encoding cost per word OCCURRENCE is a
+  join probe, not a Python loop — the vocab_encode broadcast-join
+  pattern applied to subwords. AQE picks broadcast vs shuffle for the
+  word-table join by its actual size.
+* Python appears only inside Arrow batches (no ``F.udf``, no per-row
+  Python), per the repo-wide policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from geofeaturegeneration_spark.functions.text import words
+from geofeaturegeneration_spark.operators.util import ensure_min_partitions
+
+__all__ = ["train_bpe", "bpe_encode", "bpe_decode"]
+
+
+def _merge_all(syms: list[str], left: str, right: str) -> list[str]:
+    """Merge every (left, right) adjacency left-to-right in one pass."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    max_word_types: int = 100_000,
+    end_of_word: str = "▁",
+) -> DataFrame:
+    """Learn a BPE vocabulary from the corpus; returns ONE artifact table
+    ``(token_id, token, left, right, rank)`` — base symbols carry NULL
+    left/right/rank, merge tokens carry their parents and 0-based merge
+    rank. id 0 is reserved for unknown (the vocab.py convention): base
+    symbols get 1..A in sorted order, merge ``rank`` gets ``A + 1 + rank``.
+
+    Words are whitespace tokens (functions.text.words) with
+    ``end_of_word`` appended as a separate terminal symbol, so subwords
+    ending a word are distinct tokens from the same subwords mid-word and
+    decoding can restore word boundaries. Merge selection is max total
+    pair count, ties by lexicographically smallest (left, right) —
+    deterministic across runs, partitionings, and engines. Training stops
+    early when no adjacent pair occurs twice.
+
+    The driver loop recounts pairs each round (O(rounds x table)): simple
+    and exactly-right on the bounded table; an incremental pair-index
+    trainer is a drop-in if n_merges x max_word_types ever matters.
+    """
+    spark = df.sparkSession
+    counts = (
+        df.select(F.explode(words(F.col(text_col))).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("_w")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("_w"))
+        .limit(int(max_word_types))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["_w"]) + (end_of_word,): int(r["count"]) for r in counts
+    }
+    alphabet = sorted({s for word in vocab for s in word})
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        # max count, ties by smallest pair — deterministic
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        vocab = {
+            tuple(_merge_all(list(w), best[0], best[1])): c
+            for w, c in vocab.items()
+        }
+
+    rows = [
+        (i + 1, s, None, None, None) for i, s in enumerate(alphabet)
+    ] + [
+        (len(alphabet) + 1 + r, l + rgt, l, rgt, r)
+        for r, (l, rgt) in enumerate(merges)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("token_id", T.IntegerType(), False),
+            T.StructField("token", T.StringType(), False),
+            T.StructField("left", T.StringType(), True),
+            T.StructField("right", T.StringType(), True),
+            T.StructField("rank", T.IntegerType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _encoder(bpe_rows, end_of_word: str, unknown_id: int):
+    """Build the per-word encode closure from collected artifact rows."""
+    ranks = {
+        (r["left"], r["right"]): r["rank"]
+        for r in bpe_rows
+        if r["rank"] is not None
+    }
+    tok2id = {r["token"]: r["token_id"] for r in bpe_rows}
+
+    def encode_word(w: str) -> list[int]:
+        if w == "":
+            return []
+        syms = list(w) + [end_of_word]
+        while len(syms) >= 2:
+            best_rank, best_pair = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (syms[i], syms[i + 1])
+            if best_pair is None:
+                break
+            syms = _merge_all(syms, best_pair[0], best_pair[1])
+        return [tok2id.get(s, unknown_id) for s in syms]
+
+    return encode_word
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bpe: DataFrame,
+    end_of_word: str = "▁",
+    unknown_id: int = 0,
+) -> DataFrame:
+    """Encode every document to subword ids with a trained ``train_bpe``
+    artifact: returns ``(id_col, tokens array<int>, n_tok)`` — exactly the
+    pre-tokenized sequences shape the feature engine consumes. Characters
+    outside the trained alphabet become ``unknown_id`` (0, the reserved
+    id). Empty documents keep a row with ``tokens = []``.
+
+    The merge loop runs once per DISTINCT word (Arrow batches over the
+    deduplicated word table, parallelism floor applied — the table is
+    byte-small but CPU-heavy, the repartition rule from README
+    "Operational findings"); each word occurrence then costs one join
+    probe plus its slot in the per-doc ordered re-assembly (array_sort on
+    (pos, tokens) structs, the pack_sequences pattern). The artifact is
+    collected driver-side and shipped in the Arrow closure — bounded by
+    vocab size, like the broadcast vocab join in encode_with_vocab.
+    """
+    rows = bpe.collect()
+    encode_word = _encoder(rows, end_of_word, unknown_id)
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(words(F.col(text_col))).alias("_pos", "_w"),
+    )
+    distinct_words = ensure_min_partitions(ex.select("_w").distinct())
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_w", T.StringType()),
+            T.StructField("_toks", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def encode_batch(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_toks"] = [encode_word(w) for w in pdf["_w"]]
+            yield pdf
+
+    word_tokens = distinct_words.mapInPandas(encode_batch, out_schema)
+
+    return (
+        ex.join(word_tokens, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_toks")))
+                    ),
+                    lambda s: s["_toks"],
+                )
+            ).alias("tokens")
+        )
+        .select(
+            F.col(id_col),
+            "tokens",
+            F.size("tokens").cast("int").alias("n_tok"),
+        )
+    )
+
+
+def bpe_decode(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    bpe: DataFrame,
+    end_of_word: str = "▁",
+) -> DataFrame:
+    """Inverse of ``bpe_encode`` for audit/round-trip checks: concatenate
+    token strings and turn ``end_of_word`` markers back into single
+    spaces — ``(id_col, text)``. Exact inverse whenever every character
+    was in the trained alphabet (unknown ids decode to '')."""
+    id2tok = {r["token_id"]: r["token"] for r in bpe.collect()}
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+
+    def decode_one(toks) -> str:
+        s = "".join(id2tok.get(t, "") for t in toks).replace(
+            end_of_word, " "
+        )
+        # every decoded word ends in one marker -> strip exactly the
+        # final space (not rstrip: the corpus may legitimately end short
+        # when the last token was unknown)
+        return s[:-1] if s.endswith(" ") else s
+
+    def decode_batch(batches):
+        for pdf in batches:
+            out = pdf[[id_col]].copy()
+            out["text"] = [decode_one(toks) for toks in pdf[tokens_col]]
+            yield out
+
+    return df.select(id_col, tokens_col).mapInPandas(decode_batch, out_schema)
