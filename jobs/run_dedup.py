@@ -74,10 +74,10 @@ the CheckpointStore so a crash resumes without recomputing finished work:
 5. ``span_clean`` (per doc-id hash bucket): rewrite the final text with
    the duplicated ranges cut (dedup.span_reassemble) into
    ``span_deduped/``.
-6/7. ``pack_vocab`` / ``packed`` (optional, global): dense word->id vocab
-   over the final corpus (build_vocab — the tokenizer artifact training
-   decodes with), then fixed-length boundary-crossing training rows
-   (encode_with_vocab + pack_sequences) — the curated corpus leaves the
+6/7. ``pack_vocab`` / ``packed`` (optional, global): tokenizer artifact
+   over the final corpus — dense word->id vocab (build_vocab) or a BPE
+   merge table (--pack-bpe, bpe.train_bpe) — then fixed-length
+   boundary-crossing training rows (encode + pack_sequences) — the curated corpus leaves the
    job as (grp, chunk_id, tokens:array<int>, n_real) rows ready to train
    on.
 8. ``shards`` (optional, global): deterministic global shuffle + fixed-
@@ -107,6 +107,7 @@ from geofeaturegeneration_spark.checkpoint import CheckpointStore, run_partition
 from geofeaturegeneration_spark.operators import (
     bloom_build,
     bloom_screen,
+    bpe_encode,
     build_vocab,
     decontaminate,
     dedup_clusters,
@@ -120,6 +121,7 @@ from geofeaturegeneration_spark.operators import (
     shuffle_shards,
     span_dup_intervals,
     span_reassemble,
+    train_bpe,
     train_ivf_centroids,
 )
 from geofeaturegeneration_spark.functions.text import n_words, words
@@ -170,6 +172,7 @@ def run_dedup_pipeline(
     mix_by_tokens: bool = False,
     span_k: int | None = None,
     pack_len: int | None = None,
+    pack_bpe_merges: int | None = None,
     pack_groups: int = 32,
     pack_pad: int | None = None,
     shard_size: int | None = None,
@@ -254,9 +257,11 @@ def run_dedup_pipeline(
 
     ``pack_len`` appends the TRAINING-EXPORT packing stages over the final
     corpus (span-cleaned when ``span_k`` is set, else the deduped output):
-    a global vocab stage persists the dense word->id table, then a global
-    pack stage encodes each doc's whitespace tokens through the broadcast
-    vocab and cuts ``pack_len``-token boundary-crossing rows
+    a global vocab stage persists the tokenizer artifact (the dense
+    word->id table, or with ``pack_bpe_merges`` a trained BPE merge table
+    — subword ids of a bounded vocabulary), then a global pack stage
+    encodes each doc through the broadcast artifact and cuts
+    ``pack_len``-token boundary-crossing rows
     (pack_sequences; ``pack_groups`` sizes the parallelism, ``pack_pad``
     right-pads each group's final partial chunk). ``shard_size`` appends
     the shuffle_shards export: every training row gets its position in a
@@ -342,7 +347,10 @@ def run_dedup_pipeline(
     if pack_len is not None:
         # packing geometry changes the exported training rows AND the
         # vocab artifact they are encoded with
-        lineage += f";pack={pack_len}:{pack_groups}:{pack_pad}"
+        lineage += (
+            f";pack={pack_len}:{pack_groups}:{pack_pad}"
+            f":bpe{pack_bpe_merges}"
+        )
     if shard_size is not None:
         lineage += f";shards={shard_size}"
     if embeddings is not None:
@@ -918,22 +926,44 @@ def run_dedup_pipeline(
     voc_path = os.path.join(out_root, "pack_vocab")
     pck_path = os.path.join(out_root, "packed")
     if pack_len is not None:
-        def voc_one(_key: str):
-            toks = read_export().select(
-                F.explode(words(F.col("text"))).alias("token")
+        # two tokenizer forms behind the same two stages: word-level dense
+        # vocab (default) or BPE subwords (--pack-bpe N_MERGES — the vocab
+        # stage persists the trained merge artifact instead, and the pack
+        # stage encodes through it)
+        if pack_bpe_merges is not None:
+            def voc_one(_key: str):
+                return train_bpe(
+                    read_export(), "text", n_merges=pack_bpe_merges
+                )
+
+            voc_schema = T.StructType(
+                [
+                    T.StructField("token_id", T.IntegerType()),
+                    T.StructField("token", T.StringType()),
+                    T.StructField("left", T.StringType()),
+                    T.StructField("right", T.StringType()),
+                    T.StructField("rank", T.IntegerType()),
+                    T.StructField("part_key", T.StringType()),
+                ]
             )
-            return build_vocab(toks, "token")
+        else:
+            def voc_one(_key: str):
+                toks = read_export().select(
+                    F.explode(words(F.col("text"))).alias("token")
+                )
+                return build_vocab(toks, "token")
+
+            voc_schema = T.StructType(
+                [
+                    T.StructField("token", T.StringType()),
+                    T.StructField("vocab_id", T.LongType()),
+                    T.StructField("part_key", T.StringType()),
+                ]
+            )
 
         r_voc = run_partitioned(
             spark, store, f"{job_id}/pack_vocab", ["all"], voc_one,
             voc_path, "part_key", lineage, force=force,
-        )
-        voc_schema = T.StructType(
-            [
-                T.StructField("token", T.StringType()),
-                T.StructField("vocab_id", T.LongType()),
-                T.StructField("part_key", T.StringType()),
-            ]
         )
 
         def pck_one(_key: str):
@@ -941,21 +971,26 @@ def run_dedup_pipeline(
                 spark.read.schema(voc_schema).parquet(voc_path)
                 .drop("part_key")
             )
-            toks = read_export().select(
-                "doc_id",
-                F.posexplode(words(F.col("text"))).alias("pos", "token"),
-            )
-            enc = encode_with_vocab(toks, vocab, "token")
-            arr = enc.groupBy("doc_id").agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(F.col("pos"), F.col("vocab_id"))
-                        )
-                    ),
-                    lambda s: s["vocab_id"].cast("int"),
-                ).alias("tokens")
-            )
+            if pack_bpe_merges is not None:
+                arr = bpe_encode(
+                    read_export(), "doc_id", "text", vocab
+                ).select("doc_id", "tokens")
+            else:
+                toks = read_export().select(
+                    "doc_id",
+                    F.posexplode(words(F.col("text"))).alias("pos", "token"),
+                )
+                enc = encode_with_vocab(toks, vocab, "token")
+                arr = enc.groupBy("doc_id").agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("pos"), F.col("vocab_id"))
+                            )
+                        ),
+                        lambda s: s["vocab_id"].cast("int"),
+                    ).alias("tokens")
+                )
             return pack_sequences(
                 arr, "doc_id", "tokens", seq_len=pack_len,
                 n_groups=pack_groups, pad_value=pack_pad,
@@ -1085,6 +1120,10 @@ def main(argv=None) -> int:
                         "the word vocab over the final corpus, encode, and "
                         "cut SEQ_LEN-token boundary-crossing training rows "
                         "(pack_sequences) into packed/")
+    p.add_argument("--pack-bpe", type=int, default=None, metavar="N_MERGES",
+                   help="tokenize the packed rows with a BPE artifact "
+                        "trained on the final corpus (N_MERGES merges) "
+                        "instead of the word-level dense vocab")
     p.add_argument("--pack-groups", type=int, default=32,
                    help="independent pack groups (parallelism knob; "
                         "packing quality is unaffected)")
@@ -1153,7 +1192,8 @@ def main(argv=None) -> int:
         mix_alpha=args.mix_alpha, mix_target_frac=args.mix_target,
         mix_by_tokens=args.mix_tokens,
         span_k=args.span_dedup,
-        pack_len=args.pack, pack_groups=args.pack_groups,
+        pack_len=args.pack, pack_bpe_merges=args.pack_bpe,
+        pack_groups=args.pack_groups,
         pack_pad=args.pack_pad, shard_size=args.shard_size,
         embeddings=embeddings, emb_fingerprint=args.embeddings,
         semantic_threshold=args.semantic_threshold,

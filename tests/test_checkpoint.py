@@ -986,3 +986,51 @@ def test_dedup_pipeline_pack_and_shard_export(spark, tmp_path):
     # same flags resume: everything skips
     st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
     assert all(r.skipped for st in st2 for r in st)
+
+def test_dedup_pipeline_pack_bpe(spark, tmp_path):
+    """--pack-bpe swaps the packing tokenizer for a BPE artifact trained
+    on the final corpus: packed chunks equal the hand-composed train_bpe
+    -> bpe_encode -> pack_sequences chain, and the merge count is in the
+    lineage key (same flags resume: every stage skips)."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators import (
+        bpe_encode,
+        pack_sequences,
+        train_bpe,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              pack_len=64, pack_bpe_merges=40, pack_groups=4, pack_pad=0)
+
+    out, ck = str(tmp_path / "out_pb"), str(tmp_path / "ck_pb")
+    stages = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert len(stages) == 5  # signatures, clusters, output, vocab, packed
+    assert all(not r.skipped for st in stages for r in st)
+
+    packed = spark.read.parquet(f"{out}/packed").drop("part_key")
+    final = spark.read.parquet(f"{out}/deduped").drop(
+        "part_key", "cluster_id"
+    )
+    art = train_bpe(final, "text", n_merges=40)
+    arr = bpe_encode(final, "doc_id", "text", art).select("doc_id", "tokens")
+    want_df = pack_sequences(
+        arr, "doc_id", "tokens", seq_len=64, n_groups=4, pad_value=0
+    )
+    want = sorted(
+        (r["grp"], r["chunk_id"], tuple(r["tokens"]), r["n_real"])
+        for r in want_df.collect()
+    )
+    got = sorted(
+        (r["grp"], r["chunk_id"], tuple(r["tokens"]), r["n_real"])
+        for r in packed.collect()
+    )
+    assert got == want
+    # subword conservation: packed real tokens == encoded corpus tokens
+    n_tok = arr.select(F.sum(F.size("tokens"))).collect()[0][0]
+    assert packed.select(F.sum("n_real")).collect()[0][0] == n_tok
+
+    st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert all(r.skipped for st in st2 for r in st)
