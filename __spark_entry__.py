@@ -2314,10 +2314,11 @@ realr AS (SELECT doc_id, nw, unnest(tokens) AS tid,
                  unnest(generate_series(1, n)) AS pos FROM sized2),
 padr AS (SELECT doc_id, nw, 0 AS tid, unnest(generate_series(n+1, tot)) AS pos
          FROM sized2 WHERE tot > n),
-allr AS (SELECT * FROM realr UNION ALL SELECT * FROM padr)
+allr AS (SELECT * FROM realr UNION ALL SELECT * FROM padr),
+wins AS (SELECT unnest(generate_series(0, (SELECT max(nw)-1 FROM sized))) AS i)
 SELECT doc_id, i::INT AS chunk_idx,
        array_to_string(list(tid ORDER BY pos), ',') AS chunk
-FROM allr, range(0, 64) t(i)
+FROM allr, wins t
 WHERE i < nw AND pos > i*{SEQ_LEN // 2} AND pos <= i*{SEQ_LEN // 2} + {SEQ_LEN}
 GROUP BY 1, 2
 """,
@@ -3029,7 +3030,7 @@ ls AS (SELECT doc_id, text, string_split(text, chr(10)) AS arr FROM lined),
 lines AS (SELECT doc_id, unnest(arr) AS line,
                  unnest(generate_series(0, len(arr)-1)) AS line_no FROM ls),
 ok AS (SELECT doc_id, line_no, line FROM lines
-       WHERE len(string_split(line, ' ')) >= 5
+       WHERE len(list_filter(string_split(line, ' '), w -> w <> '')) >= 5
          AND right(rtrim(line), 1) IN ('.','!','?','"','''')
          AND NOT contains(lower(line), 'javascript')),
 agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean,

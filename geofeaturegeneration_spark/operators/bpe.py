@@ -185,9 +185,14 @@ def bpe_encode(
     rows = bpe.collect()
     encode_word = _encoder(rows, end_of_word, unknown_id)
 
+    # NULL text behaves like empty text (a row with tokens = []): words()
+    # of NULL is NULL and posexplode would silently DROP the document —
+    # a curated corpus must never lose rows in the export encode
     ex = df.select(
         F.col(id_col),
-        F.posexplode(words(F.col(text_col))).alias("_pos", "_w"),
+        F.posexplode(
+            words(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("_pos", "_w"),
     )
     distinct_words = ensure_min_partitions(ex.select("_w").distinct())
 
@@ -248,6 +253,8 @@ def bpe_decode(
     )
 
     def decode_one(toks) -> str:
+        if toks is None:
+            return ""
         s = "".join(id2tok.get(t, "") for t in toks).replace(
             end_of_word, " "
         )

@@ -272,9 +272,12 @@ def line_dedup(
     both on uniform keys (hash, doc id)."""
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
-            "_line_no", "_line"
-        ),
+        # \Q...\E quotes the separator: F.split's pattern is a Java
+        # regex, but the oracle's string_split (and the operator contract)
+        # is LITERAL — a sep of '|' or '.' must not explode per character
+        F.posexplode(
+            F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1)
+        ).alias("_line_no", "_line"),
     )
     h = md5_long(F.col("_line"))
     keyed = lines.withColumn("_h", h)
@@ -353,11 +356,12 @@ def clean_lines(
     kept array is staged as a column alias because it feeds three outputs
     (clean, n_kept, keep) and SPARK-36718 keeps CollapseProject from
     re-inlining a non-cheap expression referenced more than once."""
-    terminals = [F.lit(c) for c in terminal_chars]
-
     def _line_ok(l: Column) -> Column:
-        ok = F.size(words(l)) >= min_words
-        if terminals:
+        # count NON-EMPTY whitespace segments: split(' ') keeps empty
+        # strings for doubled/leading/trailing spaces, which would let a
+        # space-padded 2-word junk line satisfy min_words
+        ok = F.size(F.filter(words(l), lambda w: w != F.lit(""))) >= min_words
+        if terminal_chars:
             last = F.substring(F.rtrim(l), -1, 1)
             ok = ok & last.isin(*[c for c in terminal_chars])
         low = F.lower(l)
@@ -368,7 +372,10 @@ def clean_lines(
     staged = df.select(
         F.col(id_col),
         F.col(text_col).alias("_t"),
-        F.split(F.col(text_col), F.lit(sep), -1).alias("_arr"),
+        # literal separator (\Q...\E regex quote), same rule as line_dedup
+        F.split(
+            F.col(text_col), F.lit("\\Q" + sep + "\\E"), -1
+        ).alias("_arr"),
     ).select(
         F.col(id_col),
         F.col("_t"),

@@ -173,11 +173,7 @@ def chunk_sequences(
                 F.array_repeat(F.lit(pad_value).cast("int"), target - n),
             ),
         )
-        n_chunks = F.greatest(
-            F.ceil((F.size(F.col(tokens_col)) - seq_len) / F.lit(stride)).cast("int") + 1,
-            F.lit(1),
-        )
-        starts = F.sequence(F.lit(0), n_chunks - 1)
+        starts = F.sequence(F.lit(0), n_win - 1)
     chunks = F.transform(
         starts,
         lambda i: F.slice(F.col("_padded"), i * stride + 1, seq_len),

@@ -285,6 +285,11 @@ def run_dedup_pipeline(
             "mix_alpha (computed temperature recipe) and mix_rates_ppm "
             "(explicit rates) are mutually exclusive"
         )
+    if pack_bpe_merges is not None and pack_len is None:
+        raise ValueError(
+            "pack_bpe_merges requires pack_len (--pack SEQ_LEN): without "
+            "the packing stages no BPE artifact is trained"
+        )
     store = CheckpointStore(spark, ckpt_path)
     qua_path = os.path.join(out_root, "quality")
     spn_path = os.path.join(out_root, "span_intervals")

@@ -207,3 +207,20 @@ def test_max_word_types_cap(spark):
         sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
     )
     assert got == _ref_train(top2, 8)
+
+
+def test_null_text_keeps_row_and_null_tokens_decode_empty(spark):
+    """Review finding: NULL text must behave like empty text (the doc
+    stays, tokens = []), and decode of a NULL array must not crash."""
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, None)], "doc_id INT, text STRING"
+    )
+    art = train_bpe(df, "text", n_merges=4)
+    enc = bpe_encode(df, "doc_id", "text", art)
+    got = {r["doc_id"]: (r["tokens"], r["n_tok"]) for r in enc.collect()}
+    assert got[2] == ([], 0)
+    null_toks = spark.createDataFrame(
+        [(1, None)], "doc_id INT, tokens ARRAY<INT>"
+    )
+    dec = bpe_decode(null_toks, "doc_id", "tokens", art).collect()[0]
+    assert dec["text"] == ""

@@ -1034,3 +1034,16 @@ def test_dedup_pipeline_pack_bpe(spark, tmp_path):
 
     st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
     assert all(r.skipped for st in st2 for r in st)
+
+def test_pack_bpe_without_pack_raises(spark, tmp_path):
+    """Review finding: --pack-bpe without --pack was silently ignored."""
+    import jobs.run_dedup as RD
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    with pytest.raises(ValueError, match="pack_bpe_merges requires"):
+        RD.run_dedup_pipeline(
+            spark, docs, str(tmp_path / "o"), str(tmp_path / "c"),
+            pack_bpe_merges=40,
+        )

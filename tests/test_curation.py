@@ -507,3 +507,52 @@ def test_temperature_mix_is_monotone_in_target(spark):
            temperature_mix(df, "doc_id", alpha=0.5, target_frac=0.5).collect()}
     assert small <= big               # raising the target only ADDS rows
     assert 0 < len(small) < len(big) < 400
+
+def test_clean_lines_space_padded_junk_rejected(spark):
+    """Review finding: split(' ') keeps empty segments, so a space-padded
+    2-word line must NOT satisfy min_words — only non-empty segments
+    count."""
+    from geofeaturegeneration_spark.operators import clean_lines
+
+    good = "one two three four five.\nsix seven eight nine ten.\na b c d e."
+    df = spark.createDataFrame(
+        [(1, good + "\nbuy now.   "), (2, good + "\n  buy  now  deal. ")],
+        "doc_id INT, text STRING",
+    )
+    out = {r.doc_id: r for r in clean_lines(df, "doc_id", "text").collect()}
+    assert out[1].n_kept == 3  # 'buy now.   ' = 2 real words -> cut
+    assert out[2].n_kept == 3  # '  buy  now  deal. ' = 3 real words -> cut
+    assert "buy" not in out[1].clean and "buy" not in out[2].clean
+
+
+def test_clean_lines_metachar_separator_is_literal(spark):
+    """Review finding: sep must split LITERALLY (the oracle's string_split
+    semantics), not as a Java regex — '|' previously exploded every
+    character."""
+    from geofeaturegeneration_spark.operators import clean_lines
+
+    text = "one two three four five.|too short.|six seven eight nine ten."
+    df = spark.createDataFrame([(1, text)], "doc_id INT, text STRING")
+    row = clean_lines(
+        df, "doc_id", "text", sep="|", min_kept_lines=2
+    ).collect()[0]
+    assert row.n_lines == 3
+    assert row.n_kept == 2
+    assert row.clean == "one two three four five.|six seven eight nine ten."
+    assert row.keep
+
+
+def test_line_dedup_metachar_separator_is_literal(spark):
+    """line_dedup shares the literal-separator rule."""
+    from geofeaturegeneration_spark.operators import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "shared line here|unique one"), (2, "shared line here|unique two")],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r.doc_id: r.clean
+        for r in line_dedup(df, "doc_id", "text", sep="|").collect()
+    }
+    assert out[1] == "shared line here|unique one"
+    assert out[2] == "unique two"
