@@ -1334,6 +1334,23 @@ def q_bpe_roundtrip(spark, sf_dir):
     return bpe_decode(enc, "doc_id", "tokens", art)
 
 
+def q_bpe_roundtrip_join(spark, sf_dir):
+    """Exactness twin: the same inverse property through the word-table
+    JOIN encode plan (bpe_encode_join) instead of the zero-shuffle
+    mapInPandas default — pins that both physical strategies produce the
+    same tokens (and therefore the same decode)."""
+    from geofeaturegeneration_spark.operators import (
+        bpe_decode,
+        bpe_encode_join,
+        train_bpe,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    art = train_bpe(docs, "text", n_merges=60)
+    enc = bpe_encode_join(docs, "doc_id", "text", art)
+    return bpe_decode(enc, "doc_id", "tokens", art)
+
+
 def q_quality_filter(spark, sf_dir):
     """C4/Gopher keep decision over the documents corpus; thresholds tuned
     so the synthetic docs split into keeps AND drops on several rules
@@ -1593,6 +1610,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identity oracle; token-level parity vs an independent reference
         # implementation lives in tests/test_bpe.py
         "bpe_roundtrip": q_bpe_roundtrip,
+        "bpe_roundtrip_join": q_bpe_roundtrip_join,
     }
 
 
@@ -2325,6 +2343,9 @@ GROUP BY 1, 2
         # identity oracle: the Spark side runs decode(encode(text)) through
         # the trained BPE artifact and must reproduce the corpus bytes
         "bpe_roundtrip": """
+SELECT doc_id, text FROM documents
+""",
+        "bpe_roundtrip_join": """
 SELECT doc_id, text FROM documents
 """,
         "token_roundtrip": f"""

@@ -224,3 +224,33 @@ def test_null_text_keeps_row_and_null_tokens_decode_empty(spark):
     )
     dec = bpe_decode(null_toks, "doc_id", "tokens", art).collect()[0]
     assert dec["text"] == ""
+
+
+def test_join_twin_equals_default(spark):
+    """bpe_encode (zero-shuffle mapInPandas) and bpe_encode_join (word
+    table + join re-assembly) are exactness twins."""
+    from geofeaturegeneration_spark.operators import bpe_encode_join
+
+    df = spark.createDataFrame(CORPUS, "doc_id INT, text STRING")
+    art = train_bpe(df, "text", n_merges=10)
+    a = sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"])
+        for r in bpe_encode(df, "doc_id", "text", art).collect()
+    )
+    b = sorted(
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"])
+        for r in bpe_encode_join(df, "doc_id", "text", art).collect()
+    )
+    assert a == b
+
+
+def test_encode_plan_has_no_key_shuffle(spark):
+    """The default encode is a pure map: no Exchange hashpartitioning
+    anywhere in the plan (the only allowed Exchange is the round-robin
+    parallelism floor)."""
+    df = spark.createDataFrame(CORPUS, "doc_id INT, text STRING")
+    art = train_bpe(df, "text", n_merges=4)
+    plan = bpe_encode(df, "doc_id", "text", art)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan

@@ -3,7 +3,10 @@ at a fixed local[] parallelism and print one JSON line.
 
     python tools/scale_worker.py <cpus> <seq_path> [n_runs] [job]
 
-job = "pipeline" (default: the token feature pipeline), "pack"
+job = "pipeline" (default: the token feature pipeline), "bpe"
+(bpe_encode over the dedup-scaling text corpus with a 200-merge artifact
+trained once outside the timed region: distinct-word Arrow encode +
+broadcast join + per-doc re-assembly), "pack"
 (corpus-level training-sequence packing over the same table: offset
 window over doc rows + linear explode; n_groups is FIXED at 64 across
 parallelism levels so the output is provably identical while the work
@@ -118,6 +121,28 @@ def main() -> None:
             )
             w.write.format("noop").mode("overwrite").save()
             return n_grams, time.perf_counter() - t0
+    elif job == "bpe":
+        import time
+
+        from geofeaturegeneration_spark.operators import bpe_encode, train_bpe
+
+        def run_job(spark, path):
+            docs = spark.read.parquet(path).select("doc_id", "text")
+            # train once, encode many — the production shape: the merge
+            # loop runs over the corpus-size-independent word-count table
+            # and its artifact is a fixed cost shared by every level, so
+            # training stays outside the timed region (like the semdedup
+            # quantizer). Work metric = subword tokens emitted: a property
+            # of (corpus, artifact), identical at every level — computed
+            # by one untimed encode pass.
+            art = train_bpe(docs, "text", n_merges=200)
+            enc = bpe_encode(docs, "doc_id", "text", art)
+            n_sub = enc.agg({"n_tok": "sum"}).collect()[0][0]
+            t0 = time.perf_counter()
+            bpe_encode(docs, "doc_id", "text", art).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return n_sub, time.perf_counter() - t0
     elif job == "sketch":
         import time
 

@@ -100,7 +100,8 @@ def main() -> None:
                         "threads — so 8->32 measures the host, not the engine)")
     p.add_argument("--md-out", default=None, help="append a results section to this md file")
     p.add_argument("--job", default="pipeline",
-                   choices=["pipeline", "pack", "semdedup", "dsir", "sketch"],
+                   choices=["pipeline", "pack", "semdedup", "dsir",
+                            "sketch", "bpe"],
                    help="pipeline = token feature pipeline; pack = "
                         "pack_sequences over the same table; semdedup = "
                         "semantic_dedup over a synthetic embedding corpus "
@@ -118,7 +119,7 @@ def main() -> None:
 
     if args.job == "semdedup":
         seq_path = ensure_emb_input(args.n_vecs)
-    elif args.job in ("dsir", "sketch"):
+    elif args.job in ("dsir", "sketch", "bpe"):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from dedup_scaling import ensure_corpus
 
@@ -145,9 +146,10 @@ def main() -> None:
         "semdedup": "semantic_dedup (16 trained clusters, threshold 0.95)",
         "dsir": "DSIR importance_weights (hashed 1..2-grams, 8192 buckets)",
         "sketch": "count-min heavy_hitters (3-word shingles, depth 4, width 8192, min_count 20)",
+        "bpe": "bpe_encode (200-merge artifact trained once, untimed)",
     }[args.job]
-    unit = {"semdedup": "vectors", "dsir": "grams", "sketch": "shingles"}.get(
-        args.job, "tokens")
+    unit = {"semdedup": "vectors", "dsir": "grams", "sketch": "shingles",
+            "bpe": "subword tokens"}.get(args.job, "tokens")
     if args.md_out:
         with open(args.md_out, "a") as f:
             f.write(
