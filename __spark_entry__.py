@@ -1315,8 +1315,8 @@ def q_bpe_roundtrip(spark, sf_dir):
     """BPE tokenizer inverse property, end-to-end through the trained
     artifact: train_bpe on the documents corpus (driver merge loop over
     the corpus-size-independent word-count table), bpe_encode every doc
-    to subword ids (the per-word merge loop runs once per DISTINCT word;
-    occurrences only pay a join probe), bpe_decode back. The corpus is
+    to subword ids (the zero-shuffle mapInArrow plan: per-task word
+    cache, flat int32 token buffers), bpe_decode back. The corpus is
     single-spaced words whose alphabet the training saw, so
     decode(encode(text)) == text exactly — the oracle is the identity
     SELECT (the token_roundtrip pattern). Token-LEVEL correctness is
@@ -1337,7 +1337,7 @@ def q_bpe_roundtrip(spark, sf_dir):
 def q_bpe_roundtrip_join(spark, sf_dir):
     """Exactness twin: the same inverse property through the word-table
     JOIN encode plan (bpe_encode_join) instead of the zero-shuffle
-    mapInPandas default — pins that both physical strategies produce the
+    mapInArrow default — pins that both physical strategies produce the
     same tokens (and therefore the same decode)."""
     from geofeaturegeneration_spark.operators import (
         bpe_decode,

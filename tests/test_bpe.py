@@ -227,7 +227,7 @@ def test_null_text_keeps_row_and_null_tokens_decode_empty(spark):
 
 
 def test_join_twin_equals_default(spark):
-    """bpe_encode (zero-shuffle mapInPandas) and bpe_encode_join (word
+    """bpe_encode (zero-shuffle mapInArrow) and bpe_encode_join (word
     table + join re-assembly) are exactness twins."""
     from geofeaturegeneration_spark.operators import bpe_encode_join
 
@@ -242,6 +242,55 @@ def test_join_twin_equals_default(spark):
         for r in bpe_encode_join(df, "doc_id", "text", art).collect()
     )
     assert a == b
+
+
+def test_null_huge_and_duplicate_ids_survive_both_encodes(spark):
+    """Review findings: (a) NULL ids and ids beyond float64's 2^53
+    integer range must pass through the encode exactly (the id column
+    rides the Arrow batch, never pandas/numpy); (b) duplicate ids must
+    stay one output row per INPUT row in both the default and the join
+    twin (the twin re-assembles on a hidden per-row uid, not id_col)."""
+    from geofeaturegeneration_spark.operators import bpe_encode_join
+
+    huge = (1 << 53) + 1  # not representable in float64
+    rows = [
+        (None, "low low"),
+        (huge, "newest"),
+        (7, "low lower"),
+        (7, "widest widest"),  # duplicate id, distinct doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    art = train_bpe(df, "text", n_merges=8)
+
+    def key(r):
+        return (-1 if r["doc_id"] is None else r["doc_id"],
+                tuple(r["tokens"]), r["n_tok"])
+
+    a = sorted(map(key, bpe_encode(df, "doc_id", "text", art).collect()))
+    b = sorted(
+        map(key, bpe_encode_join(df, "doc_id", "text", art).collect())
+    )
+    assert a == b
+    ids = [r[0] for r in a]
+    assert ids.count(-1) == 1 and huge in ids and ids.count(7) == 2
+    # the two doc_id=7 rows must encode their OWN documents, not an
+    # interleaved merge of both
+    merges = [
+        (r["left"], r["right"])
+        for r in art.filter(F.col("rank").isNotNull()).orderBy("rank").collect()
+    ]
+    tok2id = {r["token"]: r["token_id"] for r in art.collect()}
+    want7 = sorted(
+        tuple(
+            tok2id[s]
+            for w in text.split(" ")
+            for s in _ref_encode_word(w, merges)
+        )
+        for i, text in rows
+        if i == 7
+    )
+    got7 = sorted(r[1] for r in a if r[0] == 7)
+    assert got7 == want7
 
 
 def test_encode_plan_has_no_key_shuffle(spark):

@@ -5,8 +5,8 @@ at a fixed local[] parallelism and print one JSON line.
 
 job = "pipeline" (default: the token feature pipeline), "bpe"
 (bpe_encode over the dedup-scaling text corpus with a 200-merge artifact
-trained once outside the timed region: distinct-word Arrow encode +
-broadcast join + per-doc re-assembly), "pack"
+trained once outside the timed region: the zero-shuffle mapInArrow
+encode — per-task word cache, flat int32 token buffers), "pack"
 (corpus-level training-sequence packing over the same table: offset
 window over doc rows + linear explode; n_groups is FIXED at 64 across
 parallelism levels so the output is provably identical while the work
@@ -126,6 +126,16 @@ def main() -> None:
 
         from geofeaturegeneration_spark.operators import bpe_encode, train_bpe
 
+        # size scan splits to the DATA, not the default 128 MB: encode is
+        # CPU-heavy per byte, and the ~250 MB bench corpus would otherwise
+        # scan as 2-8 splits — a narrow first stage that Amdahl-caps the
+        # high-parallelism level (at 100 TB the same rule says 8-64 MB
+        # text splits; split count tracks bytes, so the setting is
+        # scale-invariant). With wide splits the operator's parallelism
+        # floor no-ops and the plan is scan -> Arrow encode, no exchange.
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 << 20))
+        _bpe_cache: dict = {}
+
         def run_job(spark, path):
             docs = spark.read.parquet(path).select("doc_id", "text")
             # train once, encode many — the production shape: the merge
@@ -134,10 +144,14 @@ def main() -> None:
             # training stays outside the timed region (like the semdedup
             # quantizer). Work metric = subword tokens emitted: a property
             # of (corpus, artifact), identical at every level — computed
-            # by one untimed encode pass.
-            art = train_bpe(docs, "text", n_merges=200)
-            enc = bpe_encode(docs, "doc_id", "text", art)
-            n_sub = enc.agg({"n_tok": "sum"}).collect()[0][0]
+            # by one untimed encode pass. Both are cached across the
+            # n_runs repeats of THIS process (same corpus, same artifact);
+            # only the timed encode below repeats.
+            if path not in _bpe_cache:
+                art = train_bpe(docs, "text", n_merges=200)
+                enc = bpe_encode(docs, "doc_id", "text", art)
+                _bpe_cache[path] = (art, enc.agg({"n_tok": "sum"}).collect()[0][0])
+            art, n_sub = _bpe_cache[path]
             t0 = time.perf_counter()
             bpe_encode(docs, "doc_id", "text", art).write.format(
                 "noop"
