@@ -340,8 +340,24 @@ def bpe_decode(
     """Inverse of ``bpe_encode`` for audit/round-trip checks: concatenate
     token strings and turn ``end_of_word`` markers back into single
     spaces — ``(id_col, text)``. Exact inverse whenever every character
-    was in the trained alphabet (unknown ids decode to '')."""
-    id2tok = {r["token_id"]: r["token"] for r in bpe.collect()}
+    was in the trained alphabet (unknown ids decode to '').
+
+    Same flat-buffer rule as the encode, mirrored to the INPUT side: the
+    token column arrives as Arrow ``list<int32>`` and is read as numpy
+    arrays per row (never pandas lists — that would box every token as a
+    Python int). Ids map to token strings through one object-dtype
+    lookup-table ``take`` (references into the bounded vocab, no string
+    copies); out-of-vocabulary and negative ids hit slot 0 (''). The id
+    column rides the Arrow batch untouched."""
+    import numpy as np
+    import pyarrow as pa
+
+    rows = bpe.collect()
+    max_id = max((r["token_id"] for r in rows), default=0)
+    lut = np.empty(max_id + 1, dtype=object)
+    lut[:] = ""
+    for r in rows:
+        lut[r["token_id"]] = r["token"]
 
     out_schema = T.StructType(
         [
@@ -350,21 +366,31 @@ def bpe_decode(
         ]
     )
 
-    def decode_one(toks) -> str:
-        if toks is None:
-            return ""
-        s = "".join(id2tok.get(t, "") for t in toks).replace(
-            end_of_word, " "
+    def decode_ids(ids) -> str:
+        # NULL elements inside a tokens array arrive as NaN in a float64
+        # row; the comparisons send them to slot 0 ('') and the int cast
+        # is then safe (and a no-op for the normal int32 row)
+        safe = np.where((ids >= 0) & (ids <= max_id), ids, 0).astype(
+            np.int64, copy=False
         )
+        s = "".join(lut.take(safe)).replace(end_of_word, " ")
         # every decoded word ends in one marker -> strip exactly the
         # final space (not rstrip: the corpus may legitimately end short
         # when the last token was unknown)
         return s[:-1] if s.endswith(" ") else s
 
-    def decode_batch(batches):
-        for pdf in batches:
-            out = pdf[[id_col]].copy()
-            out["text"] = [decode_one(toks) for toks in pdf[tokens_col]]
-            yield out
+    def dec_batches(batches):
+        for batch in batches:
+            toks_rows = batch.column(1).to_numpy(zero_copy_only=False)
+            texts = pa.array(
+                [
+                    "" if ids is None else decode_ids(ids)
+                    for ids in toks_rows
+                ],
+                pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), texts], [id_col, "text"]
+            )
 
-    return df.select(id_col, tokens_col).mapInPandas(decode_batch, out_schema)
+    return df.select(id_col, tokens_col).mapInArrow(dec_batches, out_schema)

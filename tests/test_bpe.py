@@ -293,6 +293,26 @@ def test_null_huge_and_duplicate_ids_survive_both_encodes(spark):
     assert got7 == want7
 
 
+def test_decode_tolerates_null_and_foreign_token_elements(spark):
+    """NULL elements inside a tokens array (legal under the default
+    ARRAY<INT> schema) and out-of-vocabulary / negative ids must all
+    decode to '' — not crash the Arrow batch."""
+    df = spark.createDataFrame(CORPUS, "doc_id INT, text STRING")
+    art = train_bpe(df, "text", n_merges=6)
+    low_ids = bpe_encode(
+        spark.createDataFrame([(1, "low")], "doc_id INT, text STRING"),
+        "doc_id", "text", art,
+    ).collect()[0]["tokens"]
+    probe = spark.createDataFrame(
+        [(1, low_ids + [None, 99999, -3] + low_ids)],
+        "doc_id INT, tokens ARRAY<INT>",
+    )
+    got = bpe_decode(probe, "doc_id", "tokens", art).collect()[0]["text"]
+    # the junk ids decode to '' and carry no end-of-word marker, so they
+    # vanish entirely (unlike an unknown WORD, which keeps its eow space)
+    assert got == "low low"
+
+
 def test_encode_plan_has_no_key_shuffle(spark):
     """The default encode is a pure map: no Exchange hashpartitioning
     anywhere in the plan (the only allowed Exchange is the round-robin
