@@ -35,7 +35,12 @@ import os
 import sys
 import time
 
-os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+# pin EVERY BLAS/threading backend to 1 thread before numpy loads — a
+# multithreaded GEMM at 2 procs would already use all cores and make the
+# 2-vs-8 comparison meaningless on MKL/BLIS/OpenMP-linked builds
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS",
+           "BLIS_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
 
 
 def _gemm_work(seed: int) -> float:

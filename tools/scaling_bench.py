@@ -108,7 +108,10 @@ def main() -> None:
                         "(--n-vecs); dsir = importance_weights over the "
                         "dedup-scaling text corpus (--n-copies/"
                         "--text-repeat); sketch = count-min heavy_hitters "
-                        "over the same corpus's 3-word shingles")
+                        "over the same corpus's 3-word shingles; bpe = "
+                        "bpe_encode over the same corpus (artifact "
+                        "trained once, untimed; sized by --n-copies/"
+                        "--text-repeat)")
     p.add_argument("--n-vecs", type=int, default=400000,
                    help="corpus size for --job semdedup")
     p.add_argument("--n-copies", type=int, default=20,
