@@ -1095,6 +1095,11 @@ def main(argv=None) -> int:
     p.add_argument("--quality", action="store_true",
                    help="prepend the checkpointed quality_filter stage; "
                         "rejected docs never reach the shingle pass")
+    p.add_argument("--quality-args", default=None,
+                   help="JSON kwargs for curation.quality_filter, e.g. "
+                        "'{\"max_dup_word_fraction\": 0.9}' — thresholds "
+                        "are corpus-dependent (part of the stage lineage, "
+                        "so changing them re-runs the affected stages)")
     p.add_argument("--prior", default=None,
                    help="optional previously-ingested corpus parquet "
                         "(doc_id, text): builds its Bloom position table "
@@ -1188,6 +1193,9 @@ def main(argv=None) -> int:
             json.loads(args.clean_args) if args.clean_args else None
         ),
         quality=args.quality,
+        quality_kwargs=(
+            json.loads(args.quality_args) if args.quality_args else None
+        ),
         prior=prior, prior_fingerprint=args.prior,
         prior_m_bits=args.prior_m_bits, prior_k=args.prior_k,
         ppl_target=ppl_target, ppl_fingerprint=args.ppl_target,
