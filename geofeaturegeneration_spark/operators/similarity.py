@@ -865,11 +865,23 @@ def _gemm_assign(
     )
 
 
-def _tile_drop_fn(id_col: str, threshold: float):
-    """Arrow tile flagger for :func:`semantic_dedup`: one float64 GEMM per
+def _tile_drop_fn(id_col: str, threshold: float, strip: int = 512):
+    """Arrow tile flagger for :func:`semantic_dedup`: float64 GEMM per
     (cluster, query_block, corpus_block) tile, emitting the query ids that
     have ANY lower-id neighbor at cosine >= threshold in the tile. Output
-    is ids only — a tile never materializes its pair list."""
+    is ids only — a tile never materializes its pair list.
+
+    The GEMM runs in ``strip``-row query slices, each reduced to hit
+    flags while the slice's cosine block is still cache-resident: the
+    full q x o tile (312 MB float64 at the default 6250-row blocks) never
+    exists, so per-task memory is bounded by ``strip`` x |corpus block|
+    (~25 MB) INDEPENDENT of ``n_blocks`` — unlike raising ``n_blocks``,
+    which bounds tile memory only by replicating corpus rows B-fold
+    through the cogroup shuffle. Measured ~1.2x faster on the kernel too
+    (DRAM write+readback of the full tile eliminated; probe variant in
+    tools/host_probes.py). Per-element float math is unchanged (same
+    (q.x)/(|q||x|) expression per pair); BLAS may re-block the smaller
+    GEMM, which is inside the documented ~1e-13 association bet."""
     import numpy as np
     import pandas as pd
 
@@ -880,11 +892,15 @@ def _tile_drop_fn(id_col: str, threshold: float):
         rid = rpdf["_rid"].to_numpy()
         Q = np.stack(lpdf["_va"].to_numpy()).astype(np.float64, copy=False)
         X = np.stack(rpdf["_rv"].to_numpy()).astype(np.float64, copy=False)
-        cos = (Q @ X.T) / np.outer(
-            np.sqrt(np.einsum("ij,ij->i", Q, Q)),
-            np.sqrt(np.einsum("ij,ij->i", X, X)),
-        )
-        hit = ((cos >= threshold) & (rid[None, :] < qid[:, None])).any(axis=1)
+        xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        Xt = X.T
+        hit = np.empty(len(qid), dtype=bool)
+        for i in range(0, len(qid), strip):
+            cos = (Q[i : i + strip] @ Xt) / np.outer(qn[i : i + strip], xn)
+            hit[i : i + strip] = (
+                (cos >= threshold) & (rid[None, :] < qid[i : i + strip, None])
+            ).any(axis=1)
         return pd.DataFrame({id_col: qid[hit]})
 
     return flag_tile

@@ -5,8 +5,9 @@ is whether the host can even deliver 4x at that working set — these
 probes run the job's hot kernel in plain multiprocessing (no Spark, no
 JVM, no Arrow) at 2 and 8 processes:
 
-    python tools/host_probes.py gemm   # semantic_dedup's tile GEMM shape
-    python tools/host_probes.py bpe    # bpe_encode's per-word merge loop
+    python tools/host_probes.py gemm        # semantic_dedup's tile GEMM shape
+    python tools/host_probes.py gemm_strip  # the shipped strip-wise variant
+    python tools/host_probes.py bpe         # bpe_encode's per-word merge loop
 
 Interpretation (both measured on this sandbox host, 2026-08-19):
 
@@ -55,6 +56,23 @@ def _gemm_work(seed: int) -> float:
     return s
 
 
+def _gemm_strip_work(seed: int) -> float:
+    # the shipped semantic_dedup tile shape: 512-row query strips, each
+    # reduced to threshold flags while cache-resident — the full 312 MB
+    # tile never exists (similarity._tile_drop_fn); measured ~1.2x
+    # faster than _gemm_work WITH the compare included, same scaling
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((6250, 64))
+    b = rng.standard_normal((64, 6250))
+    tot = 0
+    for _ in range(4):
+        for i in range(0, 6250, 512):
+            tot += int(((a[i : i + 512] @ b) >= 50.0).sum())
+    return float(tot)
+
+
 def _bpe_work(seed: int) -> int:
     # same cache-then-memcpy loop shape as operators/bpe.py enc_batches,
     # over a synthetic zipf-ish word stream (no repo imports: the probe
@@ -90,7 +108,8 @@ def _run(fn, procs: int, chunks: int = 8, reps: int = 3) -> float:
 
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "gemm"
-    fn = {"gemm": _gemm_work, "bpe": _bpe_work}[which]
+    fn = {"gemm": _gemm_work, "gemm_strip": _gemm_strip_work,
+          "bpe": _bpe_work}[which]
     w2 = _run(fn, 2)
     w8 = _run(fn, 8)
     print(
