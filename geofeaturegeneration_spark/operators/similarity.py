@@ -72,15 +72,43 @@ def cosine_topk(
     )
 
 
-def _tile_topk_score_fn(id_col: str, k: int, q_vec: str, list_col: str | None):
+def _pin_cogroup_partitioning(side: DataFrame, keys: list[str]) -> DataFrame:
+    """Explicit hash repartition on the cogroup keys for the GEMM tile
+    stages: the tile work is Python-CPU-heavy per byte, and AQE's
+    size-based coalescing — which cannot see Python cost — folds the
+    exchange down to a handful of tasks whenever the map side reports few
+    bytes (measured: a 1-partition 100k-vector input collapsed the whole
+    64-tile cogroup to ONE task, 481 s instead of ~60 s). A user-specified
+    ``repartition(n, keys)`` satisfies the cogroup's required hash
+    distribution (no extra exchange in the plan) and is exempt from AQE
+    coalescing — the ``repartition(n, keys)`` case of the README
+    "Operational findings" explicit-partitioning rule."""
+    n = int(side.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return side.repartition(n, *[F.col(c) for c in keys])
+
+
+def _tile_topk_score_fn(id_col: str, k: int, q_vec: str, list_col: str | None,
+                        strip: int = 512):
     """Shared Arrow tile scorer for the blocked-GEMM top-k family
-    (:func:`cosine_topk_blocked`, :func:`ann_ivf_topk_blocked`): one
-    float64 GEMM per (query, corpus) tile, self-exclusion by id equality,
+    (:func:`cosine_topk_blocked`, :func:`ann_ivf_topk_blocked`): float64
+    GEMM per (query, corpus) tile, self-exclusion by id equality,
     per-query local top-k ordered (cos desc, nn_id asc) via lexsort —
     matching the final window's ordering exactly. ``list_col`` (IVF)
     forwards the tile's constant inverted-list id into the output. The
     load-bearing subtleties (self-exclusion mask, lexsort tie-break,
-    isfinite filter) live HERE once so the two callers cannot drift."""
+    isfinite filter) live HERE once so the two callers cannot drift.
+
+    The tile is evaluated in ``strip``-row query slices (the
+    semantic_dedup ``_tile_drop_fn`` pattern): each slice's cosine block
+    is reduced to its per-row top-k while cache-resident, so per-task
+    memory is bounded by ``strip`` x |corpus block| regardless of
+    ``n_blocks``. This is load-bearing, not a micro-optimization: at
+    100 k vectors with the default n_blocks=8 the full 12.5k x 12.5k
+    float64 tile (1.25 GB, x8 concurrent tasks, plus boolean/mask
+    intermediates) thrashed the workers and the job did not finish in
+    10 minutes; strip-wise it completes in seconds. Top-k per query row
+    is row-independent, so slicing the query axis changes nothing in
+    the output."""
     import numpy as np
     import pandas as pd
 
@@ -93,18 +121,55 @@ def _tile_topk_score_fn(id_col: str, k: int, q_vec: str, list_col: str | None):
         rid = rpdf["_rid"].to_numpy()
         Q = np.stack(lpdf[q_vec].to_numpy()).astype(np.float64, copy=False)
         X = np.stack(rpdf["_rv"].to_numpy()).astype(np.float64, copy=False)
-        cos = (Q @ X.T) / np.outer(
-            np.sqrt(np.einsum("ij,ij->i", Q, Q)),
-            np.sqrt(np.einsum("ij,ij->i", X, X)),
-        )
-        cos[qid[:, None] == rid[None, :]] = -np.inf  # exclude self
-        kk = min(k, cos.shape[1])
-        # per-query local top-k, ties on nn_id ascending (matches the window)
+        xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        Xt = X.T
+        m = len(rid)
+        kk = min(k, m)
+        # per-query local top-k, ties on nn_id ascending (matches the
+        # window). Selection is VECTORIZED per strip — a per-row python
+        # lexsort over the full corpus block measured 34 s of a 38 s
+        # 12.5k-tile (the GEMM itself is ~3 s): take the kth-largest cos
+        # per row (np.partition), keep the >= threshold candidates, and
+        # order them with two stable argsorts (by nn_id, then by -cos —
+        # exactly lexsort((rid, -cos)) on the candidate set). Rows whose
+        # candidate count != kk (a tie STRADDLING the k boundary, NaN
+        # from zero-norm vectors, or -inf thresholds on tiny blocks)
+        # fall back to the exact per-row lexsort — rare by construction.
         rows = []
-        for i in range(cos.shape[0]):
-            order = np.lexsort((rid, -cos[i]))[:kk]
-            keep = order[np.isfinite(cos[i][order])]
-            rows.append((np.full(len(keep), qid[i]), rid[keep], cos[i][keep]))
+        for s in range(0, len(qid), strip):
+            qs = qid[s : s + strip]
+            cos = (Q[s : s + strip] @ Xt) / np.outer(qn[s : s + strip], xn)
+            cos[qs[:, None] == rid[None, :]] = -np.inf  # exclude self
+            thresh = np.partition(cos, m - kk, axis=1)[:, m - kk]
+            mask = cos >= thresh[:, None]
+            counts = mask.sum(axis=1)
+            easy = counts == kk
+            if easy.any():
+                # avoid copying the whole strip when every row is easy
+                # (the common case): boolean row-indexing would duplicate
+                # the 512 x m cos block per strip
+                ec, em = (cos, mask) if easy.all() else (
+                    cos[easy], mask[easy]
+                )
+                ecos = ec[em].reshape(-1, kk)
+                erid = np.broadcast_to(rid, ec.shape)[em].reshape(-1, kk)
+                o1 = np.argsort(erid, axis=1, kind="stable")
+                c1 = np.take_along_axis(ecos, o1, axis=1)
+                r1 = np.take_along_axis(erid, o1, axis=1)
+                o2 = np.argsort(-c1, axis=1, kind="stable")
+                c2 = np.take_along_axis(c1, o2, axis=1)
+                r2 = np.take_along_axis(r1, o2, axis=1)
+                fin = np.isfinite(c2)
+                rows.append(
+                    (np.repeat(qs[easy], fin.sum(axis=1)), r2[fin], c2[fin])
+                )
+            for i in np.flatnonzero(~easy):
+                order = np.lexsort((rid, -cos[i]))[:kk]
+                keep = order[np.isfinite(cos[i][order])]
+                rows.append(
+                    (np.full(len(keep), qs[i]), rid[keep], cos[i][keep])
+                )
         if not rows:
             return pd.DataFrame({c: [] for c in out_cols})
         out = {
@@ -185,8 +250,13 @@ def cosine_topk_blocked(
     )
 
     partial = (
-        q_side.groupBy("_qb", "_ob")
-        .cogroup(c_side.groupBy("_qb", "_ob"))
+        _pin_cogroup_partitioning(q_side, ["_qb", "_ob"])
+        .groupBy("_qb", "_ob")
+        .cogroup(
+            _pin_cogroup_partitioning(c_side, ["_qb", "_ob"]).groupBy(
+                "_qb", "_ob"
+            )
+        )
         .applyInPandas(
             _tile_topk_score_fn(id_col, k, q_vec="_v", list_col=None),
             schema=out_partial,
@@ -750,8 +820,13 @@ def ann_ivf_topk_blocked(
     )
 
     partial = (
-        q_side.groupBy("list_id", "_qb", "_ob")
-        .cogroup(c_side.groupBy("_rlist", "_qb", "_ob"))
+        _pin_cogroup_partitioning(q_side, ["list_id", "_qb", "_ob"])
+        .groupBy("list_id", "_qb", "_ob")
+        .cogroup(
+            _pin_cogroup_partitioning(
+                c_side, ["_rlist", "_qb", "_ob"]
+            ).groupBy("_rlist", "_qb", "_ob")
+        )
         .applyInPandas(
             _tile_topk_score_fn(id_col, k, q_vec="_va", list_col="list_id"),
             schema=out_partial,
@@ -1015,8 +1090,13 @@ def semantic_dedup(
     )
     drop_schema = T.StructType([T.StructField(id_col, id_type)])
     drops = (
-        q_side.groupBy("list_id", "_qb", "_ob")
-        .cogroup(c_side.groupBy("_rlist", "_qb", "_ob"))
+        _pin_cogroup_partitioning(q_side, ["list_id", "_qb", "_ob"])
+        .groupBy("list_id", "_qb", "_ob")
+        .cogroup(
+            _pin_cogroup_partitioning(
+                c_side, ["_rlist", "_qb", "_ob"]
+            ).groupBy("_rlist", "_qb", "_ob")
+        )
         .applyInPandas(_tile_drop_fn(id_col, threshold), schema=drop_schema)
         .distinct()
         .withColumn("_dropped", F.lit(True))
