@@ -265,6 +265,34 @@ def test_top_customers_global_window_is_post_limit(spark):
     assert limit_at != -1, f"no limit below the global window:\n{phys}"
 
 
+def test_tile_cogroups_pinned_against_aqe_coalesce(spark):
+    """GEMM-tile scale guard (round 4): the blocked-GEMM cogroups
+    (cosine_topk, ann_ivf family, semantic_dedup) are Python-CPU-heavy per
+    BYTE, and AQE's size-based coalescing — which cannot see Python cost —
+    folds the cogroup exchange down to a handful of tasks whenever the map
+    side reports few bytes (measured: a 1-partition 100k-vector input
+    collapsed the 64-tile cogroup to ONE task, 481 s instead of ~109 s).
+    Both cogroup sides therefore carry an explicit ``repartition(n, keys)``
+    whose exchange is REPARTITION_BY_NUM — exempt from AQE coalescing and
+    satisfying the cogroup's required hash distribution with no extra
+    exchange. Pinned: every tile plan has exactly 2 REPARTITION_BY_NUM
+    exchanges (one per cogroup side), and no ENSURE_REQUIREMENTS exchange
+    partitions on the tile keys (that shape would mean the pin was lost
+    and the exchange is AQE-coalescible again)."""
+    qs = all_queries()
+    for name in ("cosine_topk", "ann_ivf", "ann_ivf_trained", "semantic_dedup"):
+        df = qs[name](spark, SF_DIR)
+        phys = plan_str(df, "simple")
+        n_pinned = phys.count("REPARTITION_BY_NUM")
+        assert n_pinned == 2, f"{name}: {n_pinned} pinned exchanges (want 2)\n{phys}"
+        for line in phys.splitlines():
+            if "ENSURE_REQUIREMENTS" in line and "hashpartitioning" in line:
+                assert "_qb#" not in line and "_ob#" not in line, (
+                    f"{name}: tile-key exchange fell back to "
+                    f"ENSURE_REQUIREMENTS (AQE-coalescible):\n{line}"
+                )
+
+
 def test_sketch_lookups_scan_corpus_once(spark):
     """heavy_hitters / bloom_screen scale guard (round 4): the chained
     broadcast lookup slices must read the CHECKPOINTED sketch / position
