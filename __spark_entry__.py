@@ -1311,6 +1311,31 @@ def q_clean_lines(spark, sf_dir):
     return clean_lines(lined, "doc_id", "text")
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode + whitespace normalization. The synthetic docs are clean
+    ASCII, so the query spikes every doc with each byte form the operator
+    exists to canonicalize: an NFD-decomposed accent (e + U+0301), the
+    U+212B ANGSTROM singleton (NFC maps it to U+00C5), a CRLF, a C0
+    control, tab/space runs, and padded document edges — every one of the
+    six rules fires non-vacuously, and `changed` is true everywhere the
+    spike applied (the oracle builds the identical spike from chr()
+    codepoints and runs DuckDB's nfc_normalize — utf8proc's UAX #15,
+    matching the unicodedata path in the Spark side's Arrow stage)."""
+    from geofeaturegeneration_spark.operators import normalize_text
+
+    docs = _docs_wide(spark, sf_dir)
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            # NFD e + COMBINING ACUTE, then the U+212B ANGSTROM singleton
+            F.lit("  Cafe\u0301 \u212b  \r\n"),
+            F.col("text"),
+            F.lit("\ttail\x01 here  \n\n"),
+        ).alias("text"),
+    )
+    return normalize_text(spiked, "doc_id", "text")
+
+
 def q_bpe_roundtrip(spark, sf_dir):
     """BPE tokenizer inverse property, end-to-end through the trained
     artifact: train_bpe on the documents corpus (driver merge loop over
@@ -1604,6 +1629,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # min-words / banned-word lines + the page-level lorem-ipsum and
         # curly-brace verdict) — the line-level sibling of line_dedup
         "clean_lines": q_clean_lines,
+        # unicode + whitespace normalization (CRLF/control/NFC/space
+        # collapse/edge trim) over a corpus spiked with every byte form
+        # the operator canonicalizes — the fix-encoding stage that
+        # precedes all byte-hashing operators
+        "normalize_text": q_normalize_text,
         # BPE subword tokenizer (train -> encode -> decode): the iterative
         # merge loop is not SQL-expressible, so the registered query is
         # the inverse property decode(encode(text)) == text with an
@@ -3066,6 +3096,29 @@ SELECT t.doc_id, coalesce(a.clean,'') AS clean, t.n_lines,
 FROM tot t
 LEFT JOIN agg a USING (doc_id)
 JOIN lined l ON l.doc_id = t.doc_id
+""",
+        # mirrors operators/curation.normalize_text rule-for-rule; the
+        # spike is rebuilt from chr() codepoints (769 = COMBINING ACUTE,
+        # 8491 = ANGSTROM SIGN singleton, 13/10 = CRLF, 9 = tab, 1 = C0
+        # control) and DuckDB's nfc_normalize binds the same utf8proc
+        # library as the Spark side's pyarrow utf8_normalize kernel
+        "normalize_text": """
+WITH spiked AS (SELECT doc_id,
+        '  Cafe' || chr(769) || ' ' || chr(8491) || '  ' || chr(13) || chr(10)
+        || text
+        || chr(9) || 'tail' || chr(1) || ' here  ' || chr(10) || chr(10) AS text
+      FROM documents),
+s1 AS (SELECT doc_id, text AS orig,
+              regexp_replace(text, '\\r\\n?', chr(10), 'g') AS t FROM spiked),
+s2 AS (SELECT doc_id, orig,
+              regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS t
+       FROM s1),
+s3 AS (SELECT doc_id, orig, nfc_normalize(t) AS t FROM s2),
+s4 AS (SELECT doc_id, orig, regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM s3),
+s5 AS (SELECT doc_id, orig, regexp_replace(t, ' *\\n *', chr(10), 'g') AS t FROM s4),
+s6 AS (SELECT doc_id, orig,
+              regexp_replace(t, '^[\\n ]+|[\\n ]+$', '', 'g') AS t FROM s5)
+SELECT doc_id, t AS norm, coalesce(t <> orig, false) AS changed FROM s6
 """,
         # mirrors operators/dedup.span_dedup (k=8, md5 60-bit window hash,
         # min-(doc,pos) winner, gaps-and-islands span merge); the oracle's

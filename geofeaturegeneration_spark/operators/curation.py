@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from geofeaturegeneration_spark.functions.text import md5_long, words
 from geofeaturegeneration_spark.operators.dedup import shingle_hashes
+from geofeaturegeneration_spark.operators.util import ensure_min_partitions
 
 
 def decontaminate(
@@ -394,6 +395,123 @@ def clean_lines(
         F.col("n_lines"),
         F.size(F.col("_kept")).cast("int").alias("n_kept"),
         doc_ok.alias("keep"),
+    )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode + whitespace normalization — the fix-encoding stage a
+    CCNet/C4-style pipeline runs BEFORE any hashing: different scrapers
+    emit the same visible text in different byte forms (NFD vs NFC
+    accents, singleton codepoints like U+212B ANGSTROM SIGN, CRLF vs LF,
+    stray C0 controls, tab/space runs), and every downstream operator in
+    this tree — md5 shingles, minhash/simhash, line_dedup, span_dedup,
+    BPE — hashes BYTES, so an un-normalized corpus silently under-dedups.
+    (No reference analog: the reference's inputs are numeric GPS rows;
+    this is part of the LLM-pipeline curation family.)
+
+    Rules, in order (each mirrored 1:1 in the DuckDB oracle):
+
+    1. newline normalization: CRLF and lone CR -> LF;
+    2. control strip: C0 controls except tab/LF, plus DEL, removed;
+    3. canonical unicode normalization to ``form`` (default NFC; pass
+       ``NFKC`` for compatibility folding — fullwidth forms, NBSP ->
+       space — at the price of losing the SQL oracle). Inside the Arrow
+       batch: one vectorized ``string_is_ascii`` scan per batch (NFC is
+       the identity on ASCII, i.e. the overwhelming majority of a web
+       corpus after control-stripping), then CPython's C-level
+       ``unicodedata.normalize`` only for the non-ASCII minority.
+       pyarrow 16.1's ``utf8_normalize`` kernel is NOT usable here — its
+       NFC/NFKC modes never compose (upstream bug fixed in Arrow 17;
+       verified in-sandbox: 'e'+U+0301 stays decomposed) — while
+       ``unicodedata`` and DuckDB's utf8proc-backed ``nfc_normalize``
+       both implement UAX #15 exactly, so cross-engine parity holds;
+    4. horizontal whitespace collapse: every space/tab run -> one space
+       (tabs do not survive);
+    5. line-edge trim: spaces adjacent to a LF removed;
+    6. document-edge trim: leading/trailing LFs/spaces removed.
+
+    Returns ``(id_col, norm, changed)``; NULL text stays NULL with
+    ``changed = false``. Scale shape: scan -> narrow JVM regex projection
+    -> ZERO-SHUFFLE ``mapInArrow`` (one C-speed kernel call per batch, no
+    per-row Python) -> narrow JVM regex projection; parallelism floor on
+    the input because the stage is CPU-heavy over byte-small test inputs
+    (the README "Operational findings" rule — a no-op at cluster scale,
+    where the scan is already wide)."""
+    from pyspark.sql import types as T
+
+    pre = ensure_min_partitions(
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("_orig"),
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), r"\r\n?", "\n"),
+                r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]",
+                "",
+            ).alias("_pre"),
+        )
+    )
+    mid_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("_orig", T.StringType()),
+            T.StructField("_nfc", T.StringType()),
+        ]
+    )
+
+    def nfc_batches(batches):
+        import unicodedata
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            col = batch.column(2)
+            ascii_mask = pc.string_is_ascii(col)
+            if pc.min(ascii_mask, skip_nulls=True).as_py() is not False:
+                # whole batch ASCII (or null) -> NFC/NFKC is the identity
+                out = col
+            else:
+                out = pa.array(
+                    [
+                        v
+                        if v is None or is_ascii
+                        else unicodedata.normalize(form, v)
+                        for v, is_ascii in zip(
+                            col.to_pylist(), ascii_mask.to_pylist()
+                        )
+                    ],
+                    type=col.type,
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), out],
+                [id_col, "_orig", "_nfc"],
+            )
+
+    mid = pre.mapInArrow(nfc_batches, mid_schema)
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_nfc"), r"[ \t]+", " "),
+            r" *\n *",
+            "\n",
+        ),
+        r"^[\n ]+|[\n ]+$",
+        "",
+    )
+    # stage `norm` as a column before `changed` references it — the
+    # multi-referenced-expression rule (SPARK-36718 keeps CollapseProject
+    # from re-inlining it, so the regex chain runs once per row)
+    staged = mid.select(F.col(id_col), F.col("_orig"), norm.alias("norm"))
+    return staged.select(
+        F.col(id_col),
+        F.col("norm"),
+        F.coalesce(F.col("norm") != F.col("_orig"), F.lit(False)).alias(
+            "changed"
+        ),
     )
 
 

@@ -556,3 +556,69 @@ def test_line_dedup_metachar_separator_is_literal(spark):
     }
     assert out[1] == "shared line here|unique one"
     assert out[2] == "unique two"
+
+
+def test_normalize_text_each_rule(spark):
+    """One input per rule: CRLF/CR -> LF, C0-control strip, NFC
+    composition (combining accent + the U+212B singleton), tab/space-run
+    collapse, line-edge space trim, document-edge trim."""
+    from geofeaturegeneration_spark.operators import normalize_text
+
+    rows = [
+        (1, "a\r\nb\rc"),                    # CRLF and lone CR
+        (2, "a\x01b\x7fc"),                  # C0 control + DEL stripped
+        (3, "Café Å"),            # NFD accent + ANGSTROM singleton
+        (4, "a  \t b\t\tc"),                 # runs -> single space
+        (5, "a  \nb \n  c"),                 # spaces touching LF removed
+        (6, "  \n a b \n\n "),               # edges trimmed
+        (7, "already clean"),                # unchanged
+        (8, None),                           # NULL stays NULL
+    ]
+    out = {
+        r.doc_id: r
+        for r in normalize_text(
+            spark.createDataFrame(rows, "doc_id INT, text STRING"), "doc_id", "text"
+        ).collect()
+    }
+    assert (out[1].norm, out[1].changed) == ("a\nb\nc", True)
+    assert (out[2].norm, out[2].changed) == ("abc", True)
+    assert (out[3].norm, out[3].changed) == ("Caf\u00e9 \u00c5", True)
+    assert (out[4].norm, out[4].changed) == ("a b c", True)
+    assert (out[5].norm, out[5].changed) == ("a\nb\nc", True)
+    assert (out[6].norm, out[6].changed) == ("a b", True)
+    assert (out[7].norm, out[7].changed) == ("already clean", False)
+    assert out[8].norm is None and out[8].changed is False
+
+
+def test_normalize_text_nfkc_compatibility(spark):
+    """form='NFKC' additionally folds compatibility forms: fullwidth
+    letters -> ASCII and NBSP -> space (which then joins the collapse)."""
+    from geofeaturegeneration_spark.operators import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "ＡＢ a  b")], "doc_id INT, text STRING"
+    )
+    row = normalize_text(df, "doc_id", "text", form="NFKC").collect()[0]
+    assert row.norm == "AB a b"
+    assert row.changed
+
+
+def test_normalize_text_idempotent(spark):
+    """normalize(normalize(x)) == normalize(x): the output byte form is a
+    fixed point, so re-running the stage in a resumed pipeline is safe."""
+    from geofeaturegeneration_spark.operators import normalize_text
+
+    rows = [
+        (1, "  Café Å \r\n mixed\t\tws \x01 here  \n\n"),
+        (2, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    once = normalize_text(df, "doc_id", "text")
+    twice = normalize_text(
+        once.select("doc_id", F.col("norm").alias("text")), "doc_id", "text"
+    )
+    for r in twice.join(
+        once.select("doc_id", F.col("norm").alias("expect")), "doc_id"
+    ).collect():
+        assert r.norm == r.expect
+        assert r.changed is False
