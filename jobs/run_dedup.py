@@ -5,9 +5,10 @@
         --checkpoint /path/to/ckpt [--buckets 8] [--max-bucket-size 1000] \
         [--force]
 
-The flagship 100 TB story — (optional) C4 line cleaning (the only
-text-REWRITING pre-filter: per-line rules + page verdict, so every later
-stage hashes the CLEANED bytes) -> (optional) prior-corpus Bloom ingest
+The flagship 100 TB story — (optional) text canonicalization (the only
+text-REWRITING pre-filter: unicode/whitespace normalization, then C4
+per-line rules + page verdict, so every later
+stage hashes the CANONICAL bytes) -> (optional) prior-corpus Bloom ingest
 screen (re-ingested duplicates dropped map-side before anything else; the
 prior corpus is touched once to build its m_bits-bounded position table)
 -> (optional) quality filter -> (optional)
@@ -21,12 +22,14 @@ analog: the stage-separated pipeline of AttachFeature.py:1046-1112), not
 just unit operators. Three to seventeen stages, each recorded per partition in
 the CheckpointStore so a crash resumes without recomputing finished work:
 
--0.3. ``clean`` (optional, per doc-id hash bucket): C4 intra-document
-   line cleaning (curation.clean_lines) rewrites each doc's text with the
-   rule-failing lines cut and DROPS page-verdict failures; every later
-   stage reads this cleaned table instead of the raw corpus, so shingles,
-   signatures, and the output all see the cleaned bytes — the C4 order
-   (line rules run before anything hashes text).
+-0.3. ``clean`` (optional, per doc-id hash bucket): text canonicalization
+   — unicode/whitespace normalization (curation.normalize_text, --normalize)
+   and/or C4 intra-document line cleaning (curation.clean_lines, --clean).
+   Normalization runs first (fix the byte form, then judge lines), the
+   line rules cut rule-failing lines and DROP page-verdict failures; every
+   later stage reads this rewritten table instead of the raw corpus, so
+   shingles, signatures, and the output all see the canonical bytes — the
+   CCNet/C4 order (rewrites run before anything hashes text).
 0. ``quality`` (optional, per doc-id hash bucket): C4/Gopher keep
    verdicts (curation.quality_filter) land as an ids-only table; every
    later stage semi-joins it, so rejected docs never reach the shingle
@@ -127,6 +130,7 @@ from geofeaturegeneration_spark.operators import (
 from geofeaturegeneration_spark.functions.text import n_words, words
 from geofeaturegeneration_spark.operators.curation import (
     clean_lines,
+    normalize_text,
     pii_clean_col,
     quality_filter,
     source_sample,
@@ -154,6 +158,7 @@ def run_dedup_pipeline(
     scrub: bool = False,
     clean: bool = False,
     clean_kwargs: dict | None = None,
+    normalize: str | None = None,
     quality: bool = False,
     quality_kwargs: dict | None = None,
     prior=None,
@@ -202,6 +207,13 @@ def run_dedup_pipeline(
     rewrites text besides the output pass, which is why it must come
     first: a signature computed over raw bytes would not match the text
     the job ships. ``clean_kwargs`` override the C4 rule thresholds.
+
+    ``normalize`` ("NFC" or "NFKC") prepends unicode + whitespace
+    normalization (``curation.normalize_text``) to the same rewrite
+    stage, BEFORE the line rules: two scrapes of the same page that
+    differ only in byte form (NFD vs NFC accents, CRLF vs LF, stray
+    controls, tab runs) hash identically afterwards, so the dedup
+    actually catches them. The form is part of the lineage key.
 
     ``quality=True`` prepends a checkpointed QUALITY stage (stage 0, per
     corpus bucket): ``curation.quality_filter`` verdicts land as a
@@ -320,6 +332,10 @@ def run_dedup_pipeline(
         # part of every stage's lineage key — toggling it (or any rule
         # threshold) invalidates the whole chain
         lineage += f";clean={sorted((clean_kwargs or {}).items())}"
+    if normalize is not None:
+        # normalization rewrites the bytes every later stage hashes, same
+        # lineage rule as clean (and the form matters: NFC vs NFKC)
+        lineage += f";norm={normalize}"
     if quality:
         lineage += f";quality={sorted((quality_kwargs or {}).items())}"
     if prior is not None:
@@ -368,20 +384,34 @@ def run_dedup_pipeline(
 
     from pyspark.sql import types as T
 
-    # stage -0.3 (optional): C4 intra-document line cleaning — the FIRST
-    # stage because it is the only pre-filter that REWRITES text: every
-    # later stage (prior screen, quality, perplexity, shingles, output)
-    # must hash/ship the cleaned bytes, so `docs` is rebound to the
-    # persisted cleaned table once the stage lands. Per-bucket and
-    # embarrassingly parallel (clean_lines is a zero-shuffle projection;
-    # the only join is the bucket-local column re-attach).
+    # stage -0.3 (optional): text canonicalization — unicode/whitespace
+    # normalization (--normalize) and/or C4 intra-document line cleaning
+    # (--clean), ONE stage because both REWRITE text and must run FIRST:
+    # every later stage (prior screen, quality, perplexity, shingles,
+    # output) must hash/ship the canonical bytes, so `docs` is rebound to
+    # the persisted rewritten table once the stage lands. Normalization
+    # runs before the line rules (CCNet/C4 order: fix the byte form, then
+    # judge lines — an NFD accent or a CRLF must not defeat a line-level
+    # rule or a shingle hash). Per-bucket and embarrassingly parallel
+    # (both operators are zero-shuffle projections; the only joins are the
+    # bucket-local column re-attaches).
     cln_path = os.path.join(out_root, "clean")
     r_cln = None
-    if clean:
+    if clean or normalize is not None:
         doc_cols = [f.name for f in docs.schema.fields]
 
         def cln_one(key: str):
             part = docs.filter(bucket_of == key)
+            if normalize is not None:
+                normed = normalize_text(
+                    part, "doc_id", "text", form=normalize
+                ).select("doc_id", F.col("norm").alias("text"))
+                part = (
+                    part.drop("text").join(normed, "doc_id")
+                    .select(*doc_cols)
+                )
+            if not clean:
+                return part
             rep = clean_lines(
                 part, "doc_id", "text", **(clean_kwargs or {})
             )
@@ -1092,6 +1122,15 @@ def main(argv=None) -> int:
     p.add_argument("--clean-args", default=None,
                    help="JSON kwargs for curation.clean_lines, e.g. "
                         "'{\"terminal_chars\": \"\", \"min_kept_lines\": 1}'")
+    p.add_argument("--normalize", nargs="?", const="NFC", default=None,
+                   choices=["NFC", "NFKC"],
+                   help="prepend unicode + whitespace normalization "
+                        "(curation.normalize_text) to the rewrite stage, "
+                        "BEFORE the line rules and anything that hashes "
+                        "bytes — different scrapers emit the same visible "
+                        "text in different byte forms, and un-normalized "
+                        "corpora silently under-dedup (optional form "
+                        "argument, default NFC)")
     p.add_argument("--quality", action="store_true",
                    help="prepend the checkpointed quality_filter stage; "
                         "rejected docs never reach the shingle pass")
@@ -1192,6 +1231,7 @@ def main(argv=None) -> int:
         clean_kwargs=(
             json.loads(args.clean_args) if args.clean_args else None
         ),
+        normalize=args.normalize,
         quality=args.quality,
         quality_kwargs=(
             json.loads(args.quality_args) if args.quality_args else None
@@ -1214,7 +1254,7 @@ def main(argv=None) -> int:
         semantic_max_cluster=args.semantic_max_cluster,
     )
     names = []
-    if args.clean:
+    if args.clean or args.normalize:
         names.append("clean")
     if args.prior:
         names.extend(["prior_bloom", "novel"])

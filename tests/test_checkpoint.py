@@ -1047,3 +1047,57 @@ def test_pack_bpe_without_pack_raises(spark, tmp_path):
             spark, docs, str(tmp_path / "o"), str(tmp_path / "c"),
             pack_bpe_merges=40,
         )
+
+
+def test_dedup_pipeline_normalize_stage(spark, tmp_path):
+    """--normalize canonicalizes byte forms BEFORE anything hashes (the
+    CCNet order): a doc and its scrape twin that differ only in NFD-vs-NFC
+    accents + CRLF line breaks + tab runs become byte-identical, so the
+    minhash dedup actually collapses them (the un-normalized pipeline
+    CANNOT — their shingle bytes differ); the surviving text is the
+    canonical form, and the form participates in the lineage key (same
+    flags resume: every stage skips)."""
+    import unicodedata
+
+    import jobs.run_dedup as RD
+
+    nfc = "résumé café déjà vu naïve façade élite"
+    mangled = (
+        unicodedata.normalize("NFD", nfc).replace(" ", " \t") + "  \r\n"
+    )
+    filler = [
+        (100 + i, " ".join(f"w{i}x{j}" for j in range(10)))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        [(1, nfc), (2, mangled)] + filler, "doc_id INT, text STRING"
+    )
+    kw = dict(buckets=2, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              normalize="NFC")
+
+    out, ck = str(tmp_path / "out_nm"), str(tmp_path / "ck_nm")
+    stages = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert len(stages) == 4  # clean(=normalize), signatures, clusters, output
+    assert all(not r.skipped for st in stages for r in st)
+
+    final = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(os.path.join(out, "deduped")).collect()}
+    # the byte-form twins collapsed to the min-id keeper, text canonical
+    assert 1 in final and 2 not in final
+    assert final[1] == nfc
+    assert len(final) == 1 + len(filler)
+
+    # control: WITHOUT normalize the twins' shingle bytes differ — both
+    # survive, proving the collapse above came from the normalize stage
+    out2, ck2 = str(tmp_path / "out_nm0"), str(tmp_path / "ck_nm0")
+    RD.run_dedup_pipeline(
+        spark, docs, out2, ck2, buckets=2, k=3, n_hashes=16, bands=4,
+        max_bucket_size=100,
+    )
+    raw = {r["doc_id"] for r in
+           spark.read.parquet(os.path.join(out2, "deduped")).collect()}
+    assert {1, 2} <= raw
+
+    # same flags resume: everything skips (the form is in the lineage key)
+    st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert all(r.skipped for stage in st2 for r in stage)

@@ -622,3 +622,20 @@ def test_normalize_text_idempotent(spark):
     ).collect():
         assert r.norm == r.expect
         assert r.changed is False
+
+
+def test_normalize_text_zero_shuffle(spark):
+    """Scan-speed canonicalization: two narrow regex projections around
+    one mapInArrow stage — no Exchange beyond the explicit parallelism
+    floor (a no-op here: the input is pre-widened past the session's
+    shuffle parallelism, as any real scan would be)."""
+    from geofeaturegeneration_spark.operators import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(16)], "doc_id INT, text STRING"
+    ).repartition(8)
+    out = normalize_text(df, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the .repartition(8) input exchange is part of the fixture, not the
+    # operator: assert the operator added none (exactly one Exchange total)
+    assert plan.count("Exchange") == 1 and "ArrowEvalPython" not in plan
