@@ -1101,3 +1101,37 @@ def test_dedup_pipeline_normalize_stage(spark, tmp_path):
     # same flags resume: everything skips (the form is in the lineage key)
     st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
     assert all(r.skipped for stage in st2 for r in stage)
+
+
+def test_dedup_pipeline_normalize_then_clean(spark, tmp_path):
+    """--normalize composes with --clean in ONE rewrite stage, in CCNet
+    order (byte form first, THEN line rules): doc 1's junk line has only
+    2 real words once the tab run collapses, so the min_words line rule
+    cuts it from the NORMALIZED text; doc 2's NFD accent ("e"+U+0301) is
+    composed away and its trailing CRLF trimmed before the line rules
+    judge it. Same-flag resume skips everything."""
+    import unicodedata
+
+    import jobs.run_dedup as RD
+
+    good = "one two three four five.\nsix seven eight nine ten.\na b c d e."
+    other = "red green blue cyan magenta.\nups downs lefts rights middles."
+    nfd = other.replace("green", "gre\u0301en")
+    docs = spark.createDataFrame(
+        [(1, good + "\nbuy\t\tnow."), (2, nfd + "\r\n")],
+        "doc_id INT, text STRING",
+    )
+    kw = dict(buckets=2, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              normalize="NFC", clean=True,
+              clean_kwargs=dict(min_kept_lines=1))
+    out, ck = str(tmp_path / "out_nc"), str(tmp_path / "ck_nc")
+    stages = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert len(stages) == 4
+    final = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(os.path.join(out, "deduped")).collect()}
+    assert final[1] == good                  # junk line cut post-normalize
+    assert "\u0301" not in final[2]          # NFD composed away
+    assert final[2] == unicodedata.normalize("NFC", other.replace("green", "gre\u0301en"))
+    # same flags resume: everything skips
+    st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert all(r.skipped for stage in st2 for r in stage)
