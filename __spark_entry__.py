@@ -1314,10 +1314,11 @@ def q_clean_lines(spark, sf_dir):
 def q_normalize_text(spark, sf_dir):
     """Unicode + whitespace normalization. The synthetic docs are clean
     ASCII, so the query spikes every doc with each byte form the operator
-    exists to canonicalize: an NFD-decomposed accent (e + U+0301), the
-    U+212B ANGSTROM singleton (NFC maps it to U+00C5), a CRLF, a C0
-    control, tab/space runs, and padded document edges — every one of the
-    six rules fires non-vacuously, and `changed` is true everywhere the
+    exists to canonicalize: a BOM, an NFD-decomposed accent (e + U+0301),
+    the U+212B ANGSTROM singleton (NFC maps it to U+00C5), a C1 control
+    (U+0085), a ZERO WIDTH SPACE, a CRLF, a C0 control, tab/space runs,
+    and padded document edges — every rule fires non-vacuously, and
+    `changed` is true everywhere the
     spike applied (the oracle builds the identical spike from chr()
     codepoints and runs DuckDB's nfc_normalize — utf8proc's UAX #15,
     matching the unicodedata path in the Spark side's Arrow stage)."""
@@ -1327,8 +1328,9 @@ def q_normalize_text(spark, sf_dir):
     spiked = docs.select(
         "doc_id",
         F.concat(
-            # NFD e + COMBINING ACUTE, then the U+212B ANGSTROM singleton
-            F.lit("  Cafe\u0301 \u212b  \r\n"),
+            # BOM, then NFD e + COMBINING ACUTE, the U+212B ANGSTROM
+            # singleton, a C1 control (U+0085 NEL) and a ZERO WIDTH SPACE
+            F.lit("\ufeff  Cafe\u0301 \u212b \u0085x\u200by  \r\n"),
             F.col("text"),
             F.lit("\ttail\x01 here  \n\n"),
         ).alias("text"),
@@ -3104,14 +3106,17 @@ JOIN lined l ON l.doc_id = t.doc_id
         # library as the Spark side's pyarrow utf8_normalize kernel
         "normalize_text": """
 WITH spiked AS (SELECT doc_id,
-        '  Cafe' || chr(769) || ' ' || chr(8491) || '  ' || chr(13) || chr(10)
+        chr(65279) || '  Cafe' || chr(769) || ' ' || chr(8491) || ' '
+        || chr(133) || 'x' || chr(8203) || 'y  ' || chr(13) || chr(10)
         || text
         || chr(9) || 'tail' || chr(1) || ' here  ' || chr(10) || chr(10) AS text
       FROM documents),
 s1 AS (SELECT doc_id, text AS orig,
               regexp_replace(text, '\\r\\n?', chr(10), 'g') AS t FROM spiked),
 s2 AS (SELECT doc_id, orig,
-              regexp_replace(t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS t
+              regexp_replace(t,
+                '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F\\x{200B}\\x{FEFF}]',
+                '', 'g') AS t
        FROM s1),
 s3 AS (SELECT doc_id, orig, nfc_normalize(t) AS t FROM s2),
 s4 AS (SELECT doc_id, orig, regexp_replace(t, '[ \\t]+', ' ', 'g') AS t FROM s3),

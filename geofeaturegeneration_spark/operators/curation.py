@@ -417,7 +417,12 @@ def normalize_text(
     Rules, in order (each mirrored 1:1 in the DuckDB oracle):
 
     1. newline normalization: CRLF and lone CR -> LF;
-    2. control strip: C0 controls except tab/LF, plus DEL, removed;
+    2. control strip: category-Cc controls except tab/LF — C0, DEL, AND
+       the C1 block U+0080-U+009F (cp1252-mojibake residue in real
+       scrapes) — plus the invisible non-controls safe to drop anywhere,
+       ZERO WIDTH SPACE U+200B and BOM/ZWNBSP U+FEFF, removed. ZWJ/ZWNJ
+       are deliberately KEPT (meaningful in Indic/Arabic scripts and
+       emoji sequences);
     3. canonical unicode normalization to ``form`` (default NFC; pass
        ``NFKC`` for compatibility folding — fullwidth forms, NBSP ->
        space — at the price of losing the SQL oracle). Inside the Arrow
@@ -450,7 +455,7 @@ def normalize_text(
             F.col(text_col).alias("_orig"),
             F.regexp_replace(
                 F.regexp_replace(F.col(text_col), r"\r\n?", "\n"),
-                r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]",
+                "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f\u200b\ufeff]",
                 "",
             ).alias("_pre"),
         )

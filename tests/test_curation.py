@@ -573,6 +573,8 @@ def test_normalize_text_each_rule(spark):
         (6, "  \n a b \n\n "),               # edges trimmed
         (7, "already clean"),                # unchanged
         (8, None),                           # NULL stays NULL
+        (9, "\ufeffa\u0085b\u200bc"),   # BOM, C1 NEL, ZWSP stripped
+        (10, "a\u200d\u200cb"),            # ZWJ/ZWNJ deliberately KEPT
     ]
     out = {
         r.doc_id: r
@@ -588,6 +590,8 @@ def test_normalize_text_each_rule(spark):
     assert (out[6].norm, out[6].changed) == ("a b", True)
     assert (out[7].norm, out[7].changed) == ("already clean", False)
     assert out[8].norm is None and out[8].changed is False
+    assert (out[9].norm, out[9].changed) == ("abc", True)
+    assert (out[10].norm, out[10].changed) == ("a\u200d\u200cb", False)
 
 
 def test_normalize_text_nfkc_compatibility(spark):
