@@ -429,7 +429,13 @@ def normalize_text(
        batch: one vectorized ``string_is_ascii`` scan per batch (NFC is
        the identity on ASCII, i.e. the overwhelming majority of a web
        corpus after control-stripping), then CPython's C-level
-       ``unicodedata.normalize`` only for the non-ASCII minority.
+       ``unicodedata.normalize`` for ONLY the non-ASCII rows — ``take``
+       the flagged minority out, normalize those strings, and
+       ``replace_with_mask`` them back, so Python object conversion is
+       proportional to the rows needing work, never to batch size (a
+       batch with one accented row out of 10 000 converts 1 string, not
+       10 000 — the bpe_encode flat-buffer rule applied as a masked
+       rewrite).
        pyarrow 16.1's ``utf8_normalize`` kernel is NOT usable here — its
        NFC/NFKC modes never compose (upstream bug fixed in Arrow 17;
        verified in-sandbox: 'e'+U+0301 stays decomposed) — while
@@ -476,22 +482,18 @@ def normalize_text(
 
         for batch in batches:
             col = batch.column(2)
-            ascii_mask = pc.string_is_ascii(col)
-            if pc.min(ascii_mask, skip_nulls=True).as_py() is not False:
-                # whole batch ASCII (or null) -> NFC/NFKC is the identity
+            # rows needing work = non-null AND non-ASCII; everything else
+            # passes through untouched (NFC/NFKC is the identity on ASCII)
+            work = pc.fill_null(pc.invert(pc.string_is_ascii(col)), False)
+            if not pc.any(work).as_py():
                 out = col
             else:
-                out = pa.array(
-                    [
-                        v
-                        if v is None or is_ascii
-                        else unicodedata.normalize(form, v)
-                        for v, is_ascii in zip(
-                            col.to_pylist(), ascii_mask.to_pylist()
-                        )
-                    ],
+                sub = col.take(pc.indices_nonzero(work))
+                fixed = pa.array(
+                    [unicodedata.normalize(form, v) for v in sub.to_pylist()],
                     type=col.type,
                 )
+                out = pc.replace_with_mask(col, work, fixed)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), batch.column(1), out],
                 [id_col, "_orig", "_nfc"],

@@ -8,6 +8,7 @@ JVM, no Arrow) at 2 and 8 processes:
     python tools/host_probes.py gemm        # semantic_dedup's tile GEMM shape
     python tools/host_probes.py gemm_strip  # the shipped strip-wise variant
     python tools/host_probes.py bpe         # bpe_encode's per-word merge loop
+    python tools/host_probes.py normalize   # normalize_text's regex+NFC scan
 
 Interpretation (both measured on this sandbox host, 2026-08-19):
 
@@ -22,6 +23,13 @@ Interpretation (both measured on this sandbox host, 2026-08-19):
   working set, which is how the original mapInPandas encode's 0.56 was
   indicted as an ENGINE problem (the pandas token-object conversion)
   and fixed with flat Arrow buffers (0.98 after).
+* ``normalize`` — normalize_text's regex+NFC pipeline as pure per-doc
+  Python (re.sub string reallocs): caps at **0.63 efficiency**
+  (0.631-0.643 across 3 runs, 2026-08-19) — string-substitution realloc
+  traffic saturates the shared allocator/DRAM path at 2 procs, the
+  same ceiling class as the dedup job's narrow md5 stage. The shipped
+  Spark stage measures 0.94 because JVM regexes + the vectorized Arrow
+  ASCII scan keep the 90% majority out of per-row Python entirely.
 
 The BASELINE.md scaling-evidence sections cite these numbers; re-run the
 probes in the same session as any scaling bench you intend to compare
@@ -96,6 +104,34 @@ def _bpe_work(seed: int) -> int:
     return n + len(out)
 
 
+def _normalize_work(seed: int) -> int:
+    # normalize_text's per-byte shape with no engine: regex scans over
+    # ~10 MB of ASCII-heavy text (10% of docs spiked non-ASCII, like the
+    # scaling corpus), NFC only on the spiked minority, string realloc
+    # per substitution — measures the host's string/alloc bandwidth
+    # scaling, which is what the Spark stage contends on
+    import re
+    import unicodedata
+
+    base = ("the quick brown fox jumps over the lazy dog " * 20 + "\r\n") * 8
+    docs = [
+        ("\ufeffCafe\u0301 \r\n" + base) if i % 10 == 0 else base
+        for i in range(1500)
+    ]
+    crlf = re.compile(r"\r\n?")
+    ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f\u200b\ufeff]")
+    ws = re.compile(r"[ \t]+")
+    edge = re.compile(r" *\n *")
+    n = 0
+    for d in docs:
+        s = ctrl.sub("", crlf.sub("\n", d))
+        if not s.isascii():
+            s = unicodedata.normalize("NFC", s)
+        s = edge.sub("\n", ws.sub(" ", s)).strip("\n ")
+        n += len(s)
+    return n
+
+
 def _run(fn, procs: int, chunks: int = 8, reps: int = 3) -> float:
     walls = []
     for _ in range(reps):
@@ -109,7 +145,7 @@ def _run(fn, procs: int, chunks: int = 8, reps: int = 3) -> float:
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "gemm"
     fn = {"gemm": _gemm_work, "gemm_strip": _gemm_strip_work,
-          "bpe": _bpe_work}[which]
+          "bpe": _bpe_work, "normalize": _normalize_work}[which]
     w2 = _run(fn, 2)
     w8 = _run(fn, 8)
     print(

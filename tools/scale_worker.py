@@ -15,7 +15,8 @@ corpus; quantizer trained once outside the timed region), or "dsir"
 (importance_weights over the dedup-scaling text corpus: hashed 1..2-gram
 counting + broadcast ratio join — the gram-counting stage is the
 embarrassingly-parallel CPU bulk, the same shape that dominates at
-corpus scale).
+corpus scale), or "normalize" (normalize_text over the same corpus with
+10% of docs spiked non-ASCII — the realistic mixed-byte-form shape).
 """
 
 from __future__ import annotations
@@ -157,6 +158,43 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             return n_sub, time.perf_counter() - t0
+    elif job == "normalize":
+        import time
+
+        from pyspark.sql import functions as F
+
+        from geofeaturegeneration_spark.operators import normalize_text
+
+        # CPU-heavy per byte like bpe: size scan splits to the data so the
+        # first stage is wide at both levels (scale-invariant rule). 4 MB
+        # splits, not 8: the first cut at 8 MB gave ~12 tasks for a 90 MB
+        # corpus — 1.5 waves at 8 slots, and the wave-quantization tail
+        # alone caps efficiency at ~0.67 regardless of the kernel
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+
+        def run_job(spark, path):
+            docs = spark.read.parquet(path).select("doc_id", "text")
+            # 10% of docs carry non-ASCII byte forms (BOM + NFD accent +
+            # CRLF) — the realistic mixed-corpus shape: the kernel's
+            # string_is_ascii short-circuit must carry most batches but
+            # must NOT be allowed to no-op the whole measurement
+            spiked = docs.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat(
+                        F.lit("\ufeffCafe\u0301 \r\n"), F.col("text")
+                    ),
+                ).otherwise(F.col("text")),
+            )
+            # work metric = characters scanned (a corpus property,
+            # identical at every level, NOT timed)
+            n_chars = spiked.agg(F.sum(F.length("text"))).collect()[0][0]
+            t0 = time.perf_counter()
+            normalize_text(spiked, "doc_id", "text").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return n_chars, time.perf_counter() - t0
     elif job == "sketch":
         import time
 
