@@ -86,14 +86,20 @@ HEADLINE = [
     "rare_tokens",
     "pii_scrub",
     "line_dedup",
+    "normalize_text",
+    "clean_lines",
     "pack_sequences",
     "span_dedup",
+    "leakage_split",
     "traj_graph",
     "semantic_dedup",
     "importance_resample",
+    "temperature_mix",
     "shuffle_shards",
     "lm_logprob",
     "heavy_hitters",
+    "cms_query",
+    "corpus_divergence",
     "bloom_screen",
     "bpe_roundtrip",
 ]
