@@ -51,15 +51,18 @@ def n_words(text: Column) -> Column:
     return F.size(words(text))
 
 
-def normalize_text(text: Column) -> Column:
-    """lower + trim + collapse internal whitespace — canonical form for
-    exact-dup fingerprints."""
+def fingerprint_normalize(text: Column) -> Column:
+    """lower + trim + collapse internal whitespace — the canonical form
+    fed to exact-dup fingerprints. Distinct from (and much weaker than)
+    ``operators.curation.normalize_text``, the corpus-rewrite operator
+    that canonicalizes unicode byte forms (NFC) without case-folding;
+    this one deliberately destroys case for fingerprint recall."""
     return F.regexp_replace(F.trim(F.lower(text)), "\\s+", " ")
 
 
 def fingerprint(text: Column) -> Column:
     """64-bit-ish document fingerprint of the normalized text."""
-    return md5_long(normalize_text(text))
+    return md5_long(fingerprint_normalize(text))
 
 
 def token_count(text: Column) -> Column:

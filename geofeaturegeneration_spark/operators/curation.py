@@ -403,6 +403,7 @@ def normalize_text(
     id_col: str,
     text_col: str,
     form: str = "NFC",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Unicode + whitespace normalization — the fix-encoding stage a
     CCNet/C4-style pipeline runs BEFORE any hashing: different scrapers
@@ -446,14 +447,24 @@ def normalize_text(
     5. line-edge trim: spaces adjacent to a LF removed;
     6. document-edge trim: leading/trailing LFs/spaces removed.
 
-    Returns ``(id_col, norm, changed)``; NULL text stays NULL with
-    ``changed = false``. Scale shape: scan -> narrow JVM regex projection
+    Returns ``(id_col, norm, changed, *passthrough)``; NULL text stays
+    NULL with ``changed = false``. ``passthrough`` columns ride the Arrow
+    batches untouched — the operator is row-preserving, so a composed
+    pipeline rewriting a corpus in place (jobs/run_dedup.py --normalize)
+    carries its non-text columns through instead of paying a doc_id
+    re-attach join plus a second scan of the same bucket.
+    Scale shape: scan -> narrow JVM regex projection
     -> ZERO-SHUFFLE ``mapInArrow`` (one C-speed kernel call per batch, no
     per-row Python) -> narrow JVM regex projection; parallelism floor on
     the input because the stage is CPU-heavy over byte-small test inputs
     (the README "Operational findings" rule — a no-op at cluster scale,
     where the scan is already wide)."""
     from pyspark.sql import types as T
+
+    reserved = {id_col, "_orig", "_pre", "_nfc", "norm", "changed"}
+    bad = [c for c in passthrough if c in reserved]
+    if bad:
+        raise ValueError(f"passthrough columns collide with outputs: {bad}")
 
     pre = ensure_min_partitions(
         df.select(
@@ -464,6 +475,7 @@ def normalize_text(
                 "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f\u200b\ufeff]",
                 "",
             ).alias("_pre"),
+            *[F.col(c) for c in passthrough],
         )
     )
     mid_schema = T.StructType(
@@ -472,6 +484,7 @@ def normalize_text(
             T.StructField("_orig", T.StringType()),
             T.StructField("_nfc", T.StringType()),
         ]
+        + [df.schema[c] for c in passthrough]
     )
 
     def nfc_batches(batches):
@@ -495,8 +508,9 @@ def normalize_text(
                 )
                 out = pc.replace_with_mask(col, work, fixed)
             yield pa.RecordBatch.from_arrays(
-                [batch.column(0), batch.column(1), out],
-                [id_col, "_orig", "_nfc"],
+                [batch.column(0), batch.column(1), out]
+                + [batch.column(i) for i in range(3, batch.num_columns)],
+                [id_col, "_orig", "_nfc", *passthrough],
             )
 
     mid = pre.mapInArrow(nfc_batches, mid_schema)
@@ -512,13 +526,19 @@ def normalize_text(
     # stage `norm` as a column before `changed` references it — the
     # multi-referenced-expression rule (SPARK-36718 keeps CollapseProject
     # from re-inlining it, so the regex chain runs once per row)
-    staged = mid.select(F.col(id_col), F.col("_orig"), norm.alias("norm"))
+    staged = mid.select(
+        F.col(id_col),
+        F.col("_orig"),
+        norm.alias("norm"),
+        *[F.col(c) for c in passthrough],
+    )
     return staged.select(
         F.col(id_col),
         F.col("norm"),
         F.coalesce(F.col("norm") != F.col("_orig"), F.lit(False)).alias(
             "changed"
         ),
+        *[F.col(c) for c in passthrough],
     )
 
 

@@ -393,8 +393,10 @@ def run_dedup_pipeline(
     # runs before the line rules (CCNet/C4 order: fix the byte form, then
     # judge lines — an NFD accent or a CRLF must not defeat a line-level
     # rule or a shingle hash). Per-bucket and embarrassingly parallel
-    # (both operators are zero-shuffle projections; the only joins are the
-    # bucket-local column re-attaches).
+    # (both operators are zero-shuffle projections; the only join is
+    # clean_lines' bucket-local column re-attach — it drops rows, so the
+    # re-attach is semantic; normalize_text is row-preserving and carries
+    # the non-text columns through its Arrow batches instead).
     cln_path = os.path.join(out_root, "clean")
     r_cln = None
     if clean or normalize is not None:
@@ -403,12 +405,23 @@ def run_dedup_pipeline(
         def cln_one(key: str):
             part = docs.filter(bucket_of == key)
             if normalize is not None:
-                normed = normalize_text(
-                    part, "doc_id", "text", form=normalize
-                ).select("doc_id", F.col("norm").alias("text"))
-                part = (
-                    part.drop("text").join(normed, "doc_id")
-                    .select(*doc_cols)
+                # row-preserving rewrite: non-text columns ride the Arrow
+                # batches (passthrough) — no doc_id re-attach join, no
+                # second scan of the bucket (clean_lines below genuinely
+                # needs the join because it DROPS rows)
+                part = normalize_text(
+                    part,
+                    "doc_id",
+                    "text",
+                    form=normalize,
+                    passthrough=tuple(
+                        c for c in doc_cols if c not in ("doc_id", "text")
+                    ),
+                ).select(
+                    *[
+                        F.col("norm").alias("text") if c == "text" else c
+                        for c in doc_cols
+                    ]
                 )
             if not clean:
                 return part

@@ -628,6 +628,36 @@ def test_normalize_text_idempotent(spark):
         assert r.changed is False
 
 
+def test_normalize_text_passthrough_columns(spark):
+    """passthrough columns ride the Arrow batches untouched and come back
+    in order — the row-preserving contract jobs/run_dedup.py --normalize
+    relies on to skip the doc_id re-attach join; reserved names raise."""
+    import pytest
+
+    from geofeaturegeneration_spark.operators import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "a\r\nb", "web", 7), (2, None, "book", None)],
+        "doc_id INT, text STRING, source STRING, n INT",
+    )
+    out = normalize_text(
+        df, "doc_id", "text", passthrough=("source", "n")
+    )
+    assert out.columns == ["doc_id", "norm", "changed", "source", "n"]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].norm == "a\nb" and rows[1].source == "web" and rows[1].n == 7
+    assert rows[2].norm is None and rows[2].source == "book" and rows[2].n is None
+    # zero-shuffle still holds with passthrough (same assertion shape as
+    # test_normalize_text_zero_shuffle)
+    wide = normalize_text(
+        df.repartition(8), "doc_id", "text", passthrough=("source",)
+    )
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    with pytest.raises(ValueError, match="collide"):
+        normalize_text(df, "doc_id", "text", passthrough=("norm",))
+
+
 def test_normalize_text_zero_shuffle(spark):
     """Scan-speed canonicalization: two narrow regex projections around
     one mapInArrow stage — no Exchange beyond the explicit parallelism

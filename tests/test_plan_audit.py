@@ -271,7 +271,7 @@ def test_tile_cogroups_pinned_against_aqe_coalesce(spark):
     BYTE, and AQE's size-based coalescing — which cannot see Python cost —
     folds the cogroup exchange down to a handful of tasks whenever the map
     side reports few bytes (measured: a 1-partition 100k-vector input
-    collapsed the 64-tile cogroup to ONE task, 481 s instead of ~109 s).
+    collapsed the 64-tile cogroup to ONE task, 481 s instead of ~60 s).
     Both cogroup sides therefore carry an explicit ``repartition(n, keys)``
     whose exchange is REPARTITION_BY_NUM — exempt from AQE coalescing and
     satisfying the cogroup's required hash distribution with no extra
