@@ -936,6 +936,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_tokens": q_rare_tokens,
         "pii_scrub": q_pii_scrub,
         "line_dedup": q_line_dedup,
+        # round-4 text-rewrite operators, promoted for first driver rows:
+        # slots freed by folding minhash_cross (the cross-corpus form of
+        # the in-window minhash_pairs — same signature+banding machinery,
+        # green rows r01-r03) and ann_ivf (the fixed-quantizer sibling of
+        # the in-window ann_ivf_trained, which runs the same blocked-GEMM
+        # search path — green rows r01-r03) into extra_queries()
+        "clean_lines": q_clean_lines,
+        "normalize_text": q_normalize_text,
         # round-3 late additions: driver slots freed by folding the
         # simhash and minhash_sigs STAGE queries into extra_queries() —
         # their code paths stay driver-verified through the end-product
@@ -988,13 +996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sequences": q_chunks,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
-        "minhash_cross": q_minhash_cross,
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_multi": q_ann_lsh_multi,
-        "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
         "embedding_neardup_multi": q_embedding_neardup_multi,
         "text_stats": q_text_stats,
@@ -1627,15 +1633,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-row output, per-bucket contributions rounded to scaled int64
         # so the cross-bucket sum is exact integer addition
         "corpus_divergence": q_corpus_divergence,
-        # C4-style intra-document line cleaning (terminal punctuation /
-        # min-words / banned-word lines + the page-level lorem-ipsum and
-        # curly-brace verdict) — the line-level sibling of line_dedup
-        "clean_lines": q_clean_lines,
-        # unicode + whitespace normalization (CRLF/control/NFC/space
-        # collapse/edge trim) over a corpus spiked with every byte form
-        # the operator canonicalizes — the fix-encoding stage that
-        # precedes all byte-hashing operators
-        "normalize_text": q_normalize_text,
+        # folded round 4 to free driver slots for clean_lines and
+        # normalize_text (first-ever rows): both had green rows r01-r03
+        # and stay transitively driver-verified — minhash_cross through
+        # minhash_pairs (same signature+banding machinery), ann_ivf
+        # through ann_ivf_trained (same blocked-GEMM search path)
+        "minhash_cross": q_minhash_cross,
+        "ann_ivf": q_ann_ivf,
         # BPE subword tokenizer (train -> encode -> decode): the iterative
         # merge loop is not SQL-expressible, so the registered query is
         # the inverse property decode(encode(text)) == text with an
