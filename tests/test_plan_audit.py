@@ -111,7 +111,7 @@ def test_ann_ivf_blocked_has_no_join(spark):
     assignment window exchange) and inverted lists meet in a cogroup, so
     the plan must carry NO join operator of any kind."""
     for name in ("ann_ivf", "ann_ivf_trained"):
-        plan = plan_str(E.queries()[name](spark, SF_DIR), "simple")
+        plan = plan_str(all_queries()[name](spark, SF_DIR), "simple")
         assert "Join" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
 
