@@ -16,7 +16,10 @@ corpus; quantizer trained once outside the timed region), or "dsir"
 counting + broadcast ratio join — the gram-counting stage is the
 embarrassingly-parallel CPU bulk, the same shape that dominates at
 corpus scale), or "normalize" (normalize_text over the same corpus with
-10% of docs spiked non-ASCII — the realistic mixed-byte-form shape).
+10% of docs spiked non-ASCII — the realistic mixed-byte-form shape), or
+"span" (span_dedup over the same corpus — window hashes, map-side
+min-struct winner, loser join, gaps-and-islands merge, reassembly: the
+only shuffle-bearing text job in the set).
 """
 
 from __future__ import annotations
@@ -195,6 +198,33 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             return n_chars, time.perf_counter() - t0
+    elif job == "span":
+        import time
+
+        from pyspark.sql import functions as F
+
+        from geofeaturegeneration_spark.operators import span_dedup
+
+        # same split sizing as normalize/bpe: the first stage (split +
+        # window-hash explode) is CPU-heavy per byte, so splits must track
+        # the data for the stage to be wide at both levels
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+
+        def run_job(spark, path):
+            docs = spark.read.parquet(path).select("doc_id", "text")
+            # work metric = corpus token count (a corpus property,
+            # identical at every level, NOT timed). The dedup-scaling
+            # corpus is the right stressor: copy-0 docs win, every exact/
+            # near dup contributes its full text as duplicated windows, so
+            # the loser join + span merge + reassembly all carry real mass
+            n_tok = docs.agg(
+                F.sum(F.size(F.split("text", " ")))
+            ).collect()[0][0]
+            t0 = time.perf_counter()
+            span_dedup(docs, "doc_id", "text", k=50).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return n_tok, time.perf_counter() - t0
     elif job == "sketch":
         import time
 

@@ -101,7 +101,7 @@ def main() -> None:
     p.add_argument("--md-out", default=None, help="append a results section to this md file")
     p.add_argument("--job", default="pipeline",
                    choices=["pipeline", "pack", "semdedup", "dsir",
-                            "sketch", "bpe", "normalize"],
+                            "sketch", "bpe", "normalize", "span"],
                    help="pipeline = token feature pipeline; pack = "
                         "pack_sequences over the same table; semdedup = "
                         "semantic_dedup over a synthetic embedding corpus "
@@ -122,7 +122,7 @@ def main() -> None:
 
     if args.job == "semdedup":
         seq_path = ensure_emb_input(args.n_vecs)
-    elif args.job in ("dsir", "sketch", "bpe", "normalize"):
+    elif args.job in ("dsir", "sketch", "bpe", "normalize", "span"):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from dedup_scaling import ensure_corpus
 
@@ -151,6 +151,7 @@ def main() -> None:
         "sketch": "count-min heavy_hitters (3-word shingles, depth 4, width 8192, min_count 20)",
         "bpe": "bpe_encode (200-merge artifact trained once, untimed)",
         "normalize": "normalize_text (NFC, 10% of docs carrying non-ASCII byte forms)",
+        "span": "span_dedup (k=50 token windows, min-(doc,pos) winner)",
     }[args.job]
     unit = {"semdedup": "vectors", "dsir": "grams", "sketch": "shingles",
             "bpe": "subword tokens", "normalize": "chars"}.get(args.job, "tokens")
