@@ -198,12 +198,15 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             return n_chars, time.perf_counter() - t0
-    elif job == "span":
+    elif job in ("span", "span_intervals"):
         import time
 
         from pyspark.sql import functions as F
 
         from geofeaturegeneration_spark.operators import span_dedup
+        from geofeaturegeneration_spark.operators.dedup import (
+            span_dup_intervals,
+        )
 
         # same split sizing as normalize/bpe: the first stage (split +
         # window-hash explode) is CPU-heavy per byte, so splits must track
@@ -221,9 +224,17 @@ def main() -> None:
                 F.sum(F.size(F.split("text", " ")))
             ).collect()[0][0]
             t0 = time.perf_counter()
-            span_dedup(docs, "doc_id", "text", k=50).write.format(
-                "noop"
-            ).mode("overwrite").save()
+            # span_intervals isolates stages 1-2 (window-hash md5 stream +
+            # min-struct winner + loser join + island merge) from the
+            # reassembly join — the decomposition evidence for the
+            # composite number, same method as the dedup job's md5-stage
+            # attribution in BASELINE.md
+            out = (
+                span_dup_intervals(docs, "doc_id", "text", k=50)
+                if job == "span_intervals"
+                else span_dedup(docs, "doc_id", "text", k=50)
+            )
+            out.write.format("noop").mode("overwrite").save()
             return n_tok, time.perf_counter() - t0
     elif job == "sketch":
         import time

@@ -101,7 +101,8 @@ def main() -> None:
     p.add_argument("--md-out", default=None, help="append a results section to this md file")
     p.add_argument("--job", default="pipeline",
                    choices=["pipeline", "pack", "semdedup", "dsir",
-                            "sketch", "bpe", "normalize", "span"],
+                            "sketch", "bpe", "normalize", "span",
+                            "span_intervals"],
                    help="pipeline = token feature pipeline; pack = "
                         "pack_sequences over the same table; semdedup = "
                         "semantic_dedup over a synthetic embedding corpus "
@@ -122,7 +123,8 @@ def main() -> None:
 
     if args.job == "semdedup":
         seq_path = ensure_emb_input(args.n_vecs)
-    elif args.job in ("dsir", "sketch", "bpe", "normalize", "span"):
+    elif args.job in ("dsir", "sketch", "bpe", "normalize", "span",
+                      "span_intervals"):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from dedup_scaling import ensure_corpus
 
@@ -152,6 +154,7 @@ def main() -> None:
         "bpe": "bpe_encode (200-merge artifact trained once, untimed)",
         "normalize": "normalize_text (NFC, 10% of docs carrying non-ASCII byte forms)",
         "span": "span_dedup (k=50 token windows, min-(doc,pos) winner)",
+        "span_intervals": "span_dup_intervals (stages 1-2 of span_dedup, no reassembly)",
     }[args.job]
     unit = {"semdedup": "vectors", "dsir": "grams", "sketch": "shingles",
             "bpe": "subword tokens", "normalize": "chars"}.get(args.job, "tokens")
