@@ -627,6 +627,9 @@ def _ivf_seed_rows(spark, sf_dir):
         v = _to_double(F.col("embedding"))
         rows = (
             emb.select(F.col("vec_id"), v.alias("_v"), _norm(v).alias("_n"))
+            # zero-norm exclusion (similarity-family rule): a zero vector
+            # must never seed a centroid — its cosine is undefined
+            .filter(F.col("_n") > 0)
             .orderBy("vec_id").limit(8).select("_v", "_n").collect()
         )
         _IVF_CENTROIDS[sf_dir] = [
@@ -1834,7 +1837,8 @@ def _ivf_search_sql(cent_ctes: str, k: int = 3, nprobe: int = 1) -> str:
     dot chains — measured 99.3 s plain vs 0.94 s materialized at sf0.01,
     byte-identical results."""
     sql = f"""
-WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
+WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings
+           WHERE ({_sqnorm_sql()}) > 0),
 {cent_ctes},
 asg AS (SELECT n.vec_id, n.embedding, n.nn, cent.cid,
                row_number() OVER (
@@ -1849,7 +1853,7 @@ p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, b.cid AS list_id,
       FROM probe a JOIN home b ON a.cid = b.cid AND a.vec_id != b.vec_id),
 r AS (SELECT vec_id, nn_id, list_id, cos,
              (row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, nn_id))::INT AS rnk
+                                 ORDER BY round(cos,6) DESC, nn_id))::INT AS rnk
       FROM p)
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", list_id::BIGINT AS list_id
 FROM r WHERE rnk <= {k}
@@ -1865,7 +1869,8 @@ def _semantic_dedup_sql(threshold: float, cent_ctes: str) -> str:
     MATERIALIZED discipline as _ivf_search_sql (the fps chain re-references
     its CTEs)."""
     sql = f"""
-WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
+WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings
+           WHERE ({_sqnorm_sql()}) > 0),
 {cent_ctes},
 asg AS (SELECT n.vec_id, n.embedding, n.nn, cent.cid,
                row_number() OVER (
@@ -1880,6 +1885,9 @@ drops AS (SELECT DISTINCT a.vec_id
           WHERE ({_dot_sql('a', 'b')}) / (a.nn * b.nn) >= {threshold})
 SELECT h.vec_id, h.cid::INT AS cluster_id, (d.vec_id IS NULL) AS keep
 FROM home h LEFT JOIN drops d ON h.vec_id = d.vec_id
+UNION ALL
+SELECT vec_id, NULL::INT AS cluster_id, true AS keep
+FROM embeddings WHERE (({_sqnorm_sql()}) > 0) IS NOT TRUE
 """
     return sql.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
 
@@ -1947,7 +1955,8 @@ def _neardup_multi_sql(
     threshold: float = 0.35, n_tables: int = 3, n_bits: int = 8
 ) -> str:
     return f"""
-WITH nrm AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
+WITH nrm AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings
+           WHERE ({_sqnorm_sql()}) > 0),
 bk AS ({_hp_bk_ctes(n_tables, n_bits)}),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
@@ -1960,7 +1969,8 @@ FROM p WHERE cos >= {threshold} GROUP BY 1, 2
 
 def _ann_lsh_multi_sql(n_tables: int = 3, n_bits: int = 8, k: int = 3) -> str:
     return f"""
-WITH nrm AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
+WITH nrm AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings
+           WHERE ({_sqnorm_sql()}) > 0),
 bk AS ({_hp_bk_ctes(n_tables, n_bits)}),
 p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
              ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
@@ -1970,7 +1980,7 @@ d AS (SELECT vec_id, nn_id, max(cos) AS cos, count(*)::INT AS n_hit
       FROM p GROUP BY 1,2),
 r AS (SELECT vec_id, nn_id, cos, n_hit,
              (row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, nn_id))::INT AS rnk
+                                 ORDER BY round(cos,6) DESC, nn_id))::INT AS rnk
       FROM d)
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", n_hit
 FROM r WHERE rnk <= {k}
@@ -2465,13 +2475,14 @@ SELECT doc_id,
 FROM contrib GROUP BY 1
 """,
         "cosine_topk": f"""
-WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings),
+WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings
+           WHERE ({_sqnorm_sql()}) > 0),
 p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
              ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
       FROM n a JOIN n b ON a.vec_id != b.vec_id),
 r AS (SELECT vec_id, nn_id, cos,
              (row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, nn_id))::INT AS rnk
+                                 ORDER BY round(cos,6) DESC, nn_id))::INT AS rnk
       FROM p)
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank"
 FROM r WHERE rnk <= 5
@@ -2486,7 +2497,8 @@ FROM r WHERE rnk <= 5
         "embedding_neardup": f"""
 WITH base AS (SELECT vec_id, embedding,
                      ({lsh_bucket_sql})::BIGINT AS bucket FROM embeddings),
-n AS (SELECT vec_id, embedding, bucket, sqrt({_sqnorm_sql()}) AS nn FROM base),
+n AS (SELECT vec_id, embedding, bucket, sqrt({_sqnorm_sql()}) AS nn FROM base
+           WHERE ({_sqnorm_sql()}) > 0),
 p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
       FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
@@ -2495,13 +2507,14 @@ SELECT id_a, id_b, round(cos,6) AS cos_sim FROM p WHERE cos >= 0.35
         "ann_lsh": f"""
 WITH base AS (SELECT vec_id, embedding,
                      ({lsh_bucket_sql})::BIGINT AS bucket FROM embeddings),
-n AS (SELECT vec_id, embedding, bucket, sqrt({_sqnorm_sql()}) AS nn FROM base),
+n AS (SELECT vec_id, embedding, bucket, sqrt({_sqnorm_sql()}) AS nn FROM base
+           WHERE ({_sqnorm_sql()}) > 0),
 p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id, a.bucket AS bucket,
              ({_dot_sql('a', 'b')}) / (a.nn * b.nn) AS cos
       FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
 r AS (SELECT vec_id, nn_id, bucket, cos,
              (row_number() OVER (PARTITION BY vec_id
-                                 ORDER BY cos DESC, nn_id))::INT AS rnk
+                                 ORDER BY round(cos,6) DESC, nn_id))::INT AS rnk
       FROM p)
 SELECT vec_id, nn_id, round(cos,6) AS cos_sim, rnk AS "rank", bucket
 FROM r WHERE rnk <= 3

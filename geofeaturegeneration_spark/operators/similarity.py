@@ -48,8 +48,14 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per vector (self-join, excludes self).
 
+    Null / zero-norm vectors have no cosine direction: excluded on BOTH
+    sides (never a query row, never a neighbor) — the family-wide rule,
+    and exactly what the blocked twin's NaN masking produces; without the
+    filter the join form's division throws under ANSI mode on real
+    corpora, where zero vectors (failed encodes, padding) do occur.
+
     Output: (id_col, nn_id, cos_sim rounded to 6, rank 1..k)."""
-    base = with_norm(df, id_col, vec_col)
+    base = with_norm(df, id_col, vec_col).filter(F.col("_n") > 0)
     a = base.select(
         F.col(id_col), F.col("_v").alias("_va"), F.col("_n").alias("_na")
     )
@@ -57,7 +63,14 @@ def cosine_topk(
         F.col(id_col).alias("nn_id"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
     )
     cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
+    # rank by the ROUNDED cosine (the 6-dp value both engines must already
+    # agree on for the output hash), then nn_id: raw-cosine ordering made
+    # the winner at a tie depend on sub-1e-13 float association — exact
+    # ties are realizable (scaled copies of one embedding direction), and
+    # the GEMM twins associate differently from the fold-dot oracle
+    w = W.partitionBy(id_col).orderBy(
+        F.round(F.col("_cos"), 6).desc(), F.col("nn_id").asc()
+    )
     return (
         a.join(b, F.col(id_col) != F.col("nn_id"))
         .withColumn("_cos", cos)
@@ -141,6 +154,11 @@ def _tile_topk_score_fn(id_col: str, k: int, q_vec: str, list_col: str | None,
             qs = qid[s : s + strip]
             cos = (Q[s : s + strip] @ Xt) / np.outer(qn[s : s + strip], xn)
             cos[qs[:, None] == rid[None, :]] = -np.inf  # exclude self
+            # select and order on the ROUNDED cosine (see the window
+            # comment at the join forms): boundary ties become exact and
+            # fall through to the per-row lexsort, whose (rid, -cos)
+            # order is then deterministic across engines
+            cos = np.round(cos, 6)
             thresh = np.partition(cos, m - kk, axis=1)[:, m - kk]
             mask = cos >= thresh[:, None]
             counts = mask.sum(axis=1)
@@ -211,12 +229,15 @@ def cosine_topk_blocked(
     path for the 10^5-10^7 range where brute force is right but the join
     plan is not.
 
-    Determinism: ranking orders by raw float64 cosine (desc, nn_id asc),
-    exactly like cosine_topk. GEMM sums in a different association than the
-    sequential fold, but a rank flip needs two DISTINCT candidate cosines
-    within ~1e-13 of each other — below any plausible data resolution — so
-    the DuckDB fold oracle stays value-exact (verified at sf0.01 and
-    sf0.1)."""
+    Determinism: ranking orders by the ROUNDED cosine (round 6 desc,
+    nn_id asc) in every physical form and in the oracle — the 6-dp value
+    is what the output hash already asserts equal across engines, so
+    rank can never depend on which engine's float association computed
+    the larger 16th decimal (exact-direction ties — scaled copies of one
+    embedding — are realizable and fuzz-tested). Distinct-at-6dp cosines
+    order identically in GEMM and fold arithmetic; verified value-exact
+    at sf0.01 and sf0.1 and against the adversarial corpus
+    (tools/fuzz_oracle.py)."""
     from pyspark.sql import types as T
 
     id_type = df.schema[id_col].dataType
@@ -233,17 +254,25 @@ def cosine_topk_blocked(
     # (qb, ob) tile in different groups (measured: whole blocks vanish).
     blocks = F.array(*[F.lit(j).cast("long") for j in range(n_blocks)])
     own = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+    # null / zero-norm exclusion (family rule) BEFORE the Arrow tiles: a
+    # null vector reaching np.stack crashes the scorer outright, and a
+    # zero-norm row would only be dropped later by the NaN masks — filter
+    # both here so every tile sees scoreable rows only
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), _to_double(F.col(vec_col)).alias("_v")
+    )
+    base = base.filter(_norm(F.col("_v")) > 0)
     q_side = (
-        df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
+        base
         .withColumn("_qb", own)
         .withColumn("_ob", F.explode(blocks))
     )
     # fresh names on the corpus side: cogroup's attribute dedup drops
     # right-side columns whose exprIds match the left (same-scan self-pair)
     c_side = (
-        df.select(
+        base.select(
             F.col(id_col).alias("_rid"),
-            _to_double(F.col(vec_col)).alias("_rv"),
+            F.col("_v").alias("_rv"),
         )
         .withColumn("_ob", F.pmod(F.xxhash64(F.col("_rid")), F.lit(n_blocks)))
         .withColumn("_qb", F.explode(blocks))
@@ -262,7 +291,14 @@ def cosine_topk_blocked(
             schema=out_partial,
         )
     )
-    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
+    # rank by the ROUNDED cosine (the 6-dp value both engines must already
+    # agree on for the output hash), then nn_id: raw-cosine ordering made
+    # the winner at a tie depend on sub-1e-13 float association — exact
+    # ties are realizable (scaled copies of one embedding direction), and
+    # the GEMM twins associate differently from the fold-dot oracle
+    w = W.partitionBy(id_col).orderBy(
+        F.round(F.col("_cos"), 6).desc(), F.col("nn_id").asc()
+    )
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -365,9 +401,13 @@ def _hp_exploded(
             lambda acc, t: acc + t,
         ),
     )
+    # zero-norm vectors have no cosine direction (family rule): excluded
+    # here so every multi-table consumer (ann_lsh_multi_topk,
+    # embedding_neardup_multi_pairs) inherits the exclusion on both the
+    # query and candidate sides before any cosine division
     df = df.select(
         F.col(id_col), v, _norm(v).alias("_n"), dots.alias("_dots")
-    )
+    ).filter(F.col("_n") > 0)
 
     def bucket(t: int) -> Column:
         b = F.lit(0).cast("long")
@@ -469,6 +509,8 @@ def _hp_exploded_gemm(
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col), _to_double(F.col(vec_col)).alias("_v"))
         .mapInPandas(hash_batches, schema=schema)
+        # zero-norm exclusion (family rule), mirroring _hp_exploded
+        .filter(F.col("_n") > 0)
     )
 
 
@@ -529,7 +571,14 @@ def ann_lsh_multi_topk(
         F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
     )
     cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
+    # rank by the ROUNDED cosine (the 6-dp value both engines must already
+    # agree on for the output hash), then nn_id: raw-cosine ordering made
+    # the winner at a tie depend on sub-1e-13 float association — exact
+    # ties are realizable (scaled copies of one embedding direction), and
+    # the GEMM twins associate differently from the fold-dot oracle
+    w = W.partitionBy(id_col).orderBy(
+        F.round(F.col("_cos"), 6).desc(), F.col("nn_id").asc()
+    )
     return (
         a.join(b, ["_t", "_bucket"])
         .filter(F.col(id_col) != F.col("nn_id"))
@@ -605,14 +654,16 @@ def embedding_neardup_pairs(
     vectors share every leading sign, so true near-dups co-bucket; at scale
     use multiple hyperplane tables to push recall). Exact cosine is then
     verified on candidates only — the standard candidate/verify split of a
-    production dedup pass. Output: (id_a, id_b, cos_sim)."""
+    production dedup pass. Zero-norm vectors are excluded (family rule —
+    no cosine direction, and they co-bucket everywhere, making the
+    self-join quadratic). Output: (id_a, id_b, cos_sim)."""
     v = _to_double(F.col(vec_col))
     normed = df.select(
         F.col(id_col),
         v.alias("_v"),
         _norm(v).alias("_n"),
         lsh_bucket(vec_col, n_bits).alias("_bucket"),
-    )
+    ).filter(F.col("_n") > 0)
     a = normed.select(
         F.col(id_col).alias("id_a"), F.col("_bucket"),
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
@@ -713,7 +764,14 @@ def ann_ivf_topk(
         F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
     )
     cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
+    # rank by the ROUNDED cosine (the 6-dp value both engines must already
+    # agree on for the output hash), then nn_id: raw-cosine ordering made
+    # the winner at a tie depend on sub-1e-13 float association — exact
+    # ties are realizable (scaled copies of one embedding direction), and
+    # the GEMM twins associate differently from the fold-dot oracle
+    w = W.partitionBy(id_col).orderBy(
+        F.round(F.col("_cos"), 6).desc(), F.col("nn_id").asc()
+    )
     return (
         a.join(b, "list_id")
         .filter(F.col(id_col) != F.col("nn_id"))
@@ -832,7 +890,14 @@ def ann_ivf_topk_blocked(
             schema=out_partial,
         )
     )
-    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
+    # rank by the ROUNDED cosine (the 6-dp value both engines must already
+    # agree on for the output hash), then nn_id: raw-cosine ordering made
+    # the winner at a tie depend on sub-1e-13 float association — exact
+    # ties are realizable (scaled copies of one embedding direction), and
+    # the GEMM twins associate differently from the fold-dot oracle
+    w = W.partitionBy(id_col).orderBy(
+        F.round(F.col("_cos"), 6).desc(), F.col("nn_id").asc()
+    )
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -1141,10 +1206,15 @@ def farthest_point_centroids(
     ``ann_ivf_topk`` accepts (``_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE``).
     Spread-out seeds give far better inverted-list balance than first-N
     (see test_ivf_quantizer_balance). For production-size corpora train on
-    a sample via ``train_ivf_centroids`` instead (one pass, driver k-means)."""
+    a sample via ``train_ivf_centroids`` instead (one pass, driver k-means).
+
+    Zero-norm vectors are excluded from selection (family rule: no cosine
+    direction — as a seed every later max-cos term would divide by zero,
+    and under ANSI mode the first pass throws outright); the DuckDB
+    replay (_fps_cent_ctes) carries the identical exclusion."""
     from geofeaturegeneration_spark.functions.text import md5_long
 
-    normed = with_norm(df, id_col, vec_col)
+    normed = with_norm(df, id_col, vec_col).filter(F.col("_n") > 0)
     h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
     first_rows = (
         normed.withColumn("_h", h)
@@ -1198,12 +1268,14 @@ def train_ivf_centroids(
     10k x 64 ~ 5 MB). Centroids are unit-normalized, so ``_cn`` is 1.0 and
     ``ann_ivf_topk``'s cosine assignment works unchanged. The reference's
     spiritual analog is the PoI join's build-once-reuse-everywhere side
-    (AttachFeature.py:497-501) — train once, search many."""
+    (AttachFeature.py:497-501) — train once, search many. Zero-norm
+    vectors are excluded from the sample (family rule: they have no
+    direction on the unit sphere and would seed a degenerate center)."""
     import numpy as np
 
     from geofeaturegeneration_spark.functions.text import md5_long
 
-    normed = with_norm(df, id_col, vec_col)
+    normed = with_norm(df, id_col, vec_col).filter(F.col("_n") > 0)
     h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
     rows = (
         normed.withColumn("_h", h)
@@ -1251,14 +1323,15 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: brute-force cosine but only within each sign-LSH
     bucket. One equi-join on bucket replaces the cross join — the scale
-    path. Output: (id_col, nn_id, cos_sim, rank, bucket)."""
+    path. Zero-norm vectors are excluded (family rule).
+    Output: (id_col, nn_id, cos_sim, rank, bucket)."""
     v = _to_double(F.col(vec_col))
     normed = df.select(
         F.col(id_col),
         v.alias("_v"),
         _norm(v).alias("_n"),
         lsh_bucket(vec_col, n_bits).alias("bucket"),
-    )
+    ).filter(F.col("_n") > 0)
     a = normed.select(
         F.col(id_col), F.col("bucket"),
         F.col("_v").alias("_va"), F.col("_n").alias("_na"),
@@ -1268,7 +1341,14 @@ def ann_lsh_topk(
         F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
     )
     cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    w = W.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("nn_id").asc())
+    # rank by the ROUNDED cosine (the 6-dp value both engines must already
+    # agree on for the output hash), then nn_id: raw-cosine ordering made
+    # the winner at a tie depend on sub-1e-13 float association — exact
+    # ties are realizable (scaled copies of one embedding direction), and
+    # the GEMM twins associate differently from the fold-dot oracle
+    w = W.partitionBy(id_col).orderBy(
+        F.round(F.col("_cos"), 6).desc(), F.col("nn_id").asc()
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col(id_col) != F.col("nn_id"))

@@ -875,6 +875,54 @@ def test_semantic_dedup_degenerate_vectors_kept(spark):
     assert got == {1: (1, True), 2: (None, True), 3: (None, True)}
 
 
+def test_similarity_zero_norm_excluded_and_ties_deterministic(spark):
+    """The two fuzz-found rules (tools/fuzz_oracle.py, round 4), pinned:
+
+    1. zero-norm / null vectors are excluded from every cosine operator on
+       BOTH sides — under ANSI mode the join forms previously threw
+       DIVIDE_BY_ZERO the moment a corpus contained one zero vector;
+    2. top-k rank ties break on the ROUNDED cosine then nn_id: two scaled
+       copies of one direction (cos exactly equal in real arithmetic) must
+       rank by id in every physical form, not by which engine's float
+       association computed the larger 16th decimal."""
+    from geofeaturegeneration_spark.operators import (
+        cosine_topk_blocked,
+        embedding_neardup_pairs,
+        farthest_point_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),        # zero norm
+        (4, None),                        # null
+        (5, [1e-30, 1e-30, 0.0, 0.0]),    # same direction, tiny scale
+        (6, [1e18, 1e18, 0.0, 0.0]),      # same direction, huge scale
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+
+    for fn in (cosine_topk, lambda d, i, v, k: cosine_topk_blocked(d, i, v, k=k)):
+        out = fn(df, "vec_id", "embedding", 6).collect()
+        ids = {r.vec_id for r in out} | {r.nn_id for r in out}
+        assert 3 not in ids and 4 not in ids, "zero/null vector not excluded"
+        # 5 and 6 are exact ties from vec 1's viewpoint: id order decides
+        nn1 = [r.nn_id for r in sorted(out, key=lambda r: r.rank) if r.vec_id == 1]
+        assert nn1.index(5) < nn1.index(6), f"tie not id-ordered: {nn1}"
+
+    pairs = embedding_neardup_pairs(
+        df, "vec_id", "embedding", threshold=0.9, n_bits=4
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (5, 6) in got and all(3 not in p and 4 not in p for p in got)
+
+    cents = farthest_point_centroids(df, "vec_id", "embedding", k=3).collect()
+    assert all(c["_cn"] > 0 for c in cents), "zero-norm vector became a seed"
+
+    out = ann_lsh_topk(df, "vec_id", "embedding", k=6, n_bits=4).collect()
+    ids = {r.vec_id for r in out} | {r.nn_id for r in out}
+    assert 3 not in ids and 4 not in ids
+
+
 def test_semantic_dedup_max_cluster_size_exempts(spark):
     """A cluster above the cap skips the screen entirely (all kept) — the
     explicit bound against a degenerate quantizer piling the corpus into
