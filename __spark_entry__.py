@@ -1352,15 +1352,31 @@ def q_normalize_text(spark, sf_dir):
     return normalize_text(spiked, "doc_id", "text")
 
 
+def _space_canonical(docs):
+    """Collapse space runs and trim edge spaces — the round-trip DOMAIN of
+    the word-level BPE (split-on-space pre-tokenization is lossy on space
+    structure BY DESIGN; decode joins words with one space). The composed
+    pipeline guarantees this shape by running normalize_text before any
+    tokenization; the query states the precondition explicitly so the
+    identity oracle is honest on arbitrary input (found by
+    tools/fuzz_oracle.py: multi-space / edge-space docs broke the raw
+    identity). Only the ASCII space is canonicalized — newlines/tabs ride
+    inside words and round-trip untouched."""
+    return docs.select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("text"), " +", " ")).alias("text"),
+    )
+
+
 def q_bpe_roundtrip(spark, sf_dir):
     """BPE tokenizer inverse property, end-to-end through the trained
     artifact: train_bpe on the documents corpus (driver merge loop over
     the corpus-size-independent word-count table), bpe_encode every doc
     to subword ids (the zero-shuffle mapInArrow plan: per-task word
-    cache, flat int32 token buffers), bpe_decode back. The corpus is
-    single-spaced words whose alphabet the training saw, so
-    decode(encode(text)) == text exactly — the oracle is the identity
-    SELECT (the token_roundtrip pattern). Token-LEVEL correctness is
+    cache, flat int32 token buffers), bpe_decode back. The identity
+    holds on SPACE-CANONICAL text (the tokenizer's round-trip domain —
+    see _space_canonical), so both sides canonicalize first and the
+    oracle is that same canonicalization. Token-LEVEL correctness is
     pinned by tests/test_bpe.py against an independent Sennrich-style
     reference implementation (regex trainer, rank-order apply)."""
     from geofeaturegeneration_spark.operators import (
@@ -1369,7 +1385,7 @@ def q_bpe_roundtrip(spark, sf_dir):
         train_bpe,
     )
 
-    docs = _docs_wide(spark, sf_dir)
+    docs = _space_canonical(_docs_wide(spark, sf_dir))
     art = train_bpe(docs, "text", n_merges=60)
     enc = bpe_encode(docs, "doc_id", "text", art)
     return bpe_decode(enc, "doc_id", "tokens", art)
@@ -1386,7 +1402,7 @@ def q_bpe_roundtrip_join(spark, sf_dir):
         train_bpe,
     )
 
-    docs = _docs_wide(spark, sf_dir)
+    docs = _space_canonical(_docs_wide(spark, sf_dir))
     art = train_bpe(docs, "text", n_merges=60)
     enc = bpe_encode_join(docs, "doc_id", "text", art)
     return bpe_decode(enc, "doc_id", "tokens", art)
@@ -2393,10 +2409,12 @@ GROUP BY 1, 2
         # identity oracle: the Spark side runs decode(encode(text)) through
         # the trained BPE artifact and must reproduce the corpus bytes
         "bpe_roundtrip": """
-SELECT doc_id, text FROM documents
+SELECT doc_id, trim(regexp_replace(text, ' +', ' ', 'g'), ' ') AS text
+FROM documents
 """,
         "bpe_roundtrip_join": """
-SELECT doc_id, text FROM documents
+SELECT doc_id, trim(regexp_replace(text, ' +', ' ', 'g'), ' ') AS text
+FROM documents
 """,
         "token_roundtrip": f"""
 WITH {_TOKENS_CTE.strip()}

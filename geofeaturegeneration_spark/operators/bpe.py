@@ -340,7 +340,13 @@ def bpe_decode(
     """Inverse of ``bpe_encode`` for audit/round-trip checks: concatenate
     token strings and turn ``end_of_word`` markers back into single
     spaces — ``(id_col, text)``. Exact inverse whenever every character
-    was in the trained alphabet (unknown ids decode to '').
+    was in the trained alphabet (unknown ids decode to '') AND the input
+    text was SPACE-CANONICAL (no leading/trailing/consecutive ASCII
+    spaces): split-on-space pre-tokenization is lossy on space structure
+    by design, like every word-level tokenizer — "a  b" and "a b" encode
+    identically. The composed pipeline guarantees the domain by running
+    curation.normalize_text (space collapse + edge trim) before any
+    tokenization; found-and-pinned by tools/fuzz_oracle.py.
 
     Same flat-buffer rule as the encode, mirrored to the INPUT side: the
     token column arrives as Arrow ``list<int32>`` and is read as numpy
