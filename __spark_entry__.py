@@ -136,7 +136,8 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     ev = _t(spark, sf_dir, "events")
     stays = sessionize_state_change(
-        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0, keep_cols=["value"]
+        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0,
+        keep_cols=["value"], order_cols=["event_id"],
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -235,7 +236,8 @@ def q_sessionize_gap(spark, sf_dir):
 def q_sessionize_state(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = sessionize_state_change(
-        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0, keep_cols=["value"]
+        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0,
+        keep_cols=["value"], order_cols=["event_id"],
     )
     return out.select(
         "user_id",
@@ -257,6 +259,7 @@ def q_sessionize_salted(spark, sf_dir):
     out = sessionize_state_change_salted(
         ev, ["user_id"], "ts", "event_type", min_duration_s=600.0,
         keep_cols=["value"], n_salts=4, hot_threshold=10,
+        order_cols=["event_id"],
     )
     return out.select(
         "user_id",
@@ -273,7 +276,8 @@ def q_sessionize_salted(spark, sf_dir):
 def q_stay_move(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     _, moves = stay_move(
-        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0
+        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0,
+        order_cols=["event_id"],
     )
     return moves.select(
         "user_id",
@@ -290,7 +294,7 @@ def q_stay_move_spliced(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     _, moves = stay_move(
         ev, ["user_id"], "ts", "event_type", min_duration_s=600.0,
-        splice_endpoints=True,
+        splice_endpoints=True, order_cols=["event_id"],
     )
     return moves.select(
         "user_id",
@@ -314,7 +318,8 @@ def q_traj_graph(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     stays = sessionize_state_change(
-        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0
+        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0,
+        order_cols=["event_id"],
     )
     return trajectory_graph(stays, ["user_id"], "stime", "event_type")
 
@@ -330,7 +335,8 @@ def q_graph_nodes(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     stays = sessionize_state_change(
-        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0
+        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0,
+        order_cols=["event_id"],
     )
     return node_features(trajectory_graph(stays, ["user_id"], "stime", "event_type"))
 
@@ -874,7 +880,7 @@ def q_stay_enrich(spark, sf_dir):
     poi = pivot_counts(withg, "grid", "event_type", values=EVENT_TYPES)
     stays = sessionize_state_change(
         withg, ["user_id"], "ts", "event_type", min_duration_s=600.0,
-        keep_cols=["grid"],
+        keep_cols=["grid"], order_cols=["event_id"],
     )
     return (
         stays.join(F.broadcast(poi), "grid", "left")
@@ -2149,19 +2155,23 @@ SELECT user_id, session_id, min(ts) AS stime, max(ts) AS etime,
 FROM s GROUP BY user_id, session_id
 """,
         "sessionize_state": f"""
-WITH f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+WITH r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+            FROM events),
+f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
                             OR lag(event_type) OVER w != event_type
                           THEN 1 ELSE 0 END AS new
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+           FROM r0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY rn
                                ROWS UNBOUNDED PRECEDING) AS sid FROM f),
 g AS (SELECT user_id, sid, min(ts) AS stime, count(*)::BIGINT AS n_rows,
-             arg_min(event_type, ts) AS event_type,
-             arg_min(value, ts) AS first_value
+             min(rn) AS ord,
+             arg_min(event_type, rn) AS event_type,
+             arg_min(value, rn) AS first_value
       FROM s GROUP BY 1,2),
 e AS (SELECT *, lead(stime) OVER w2 AS etime,
              (row_number() OVER w2)::INT AS stay_seq
-      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime))
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime, ord))
 SELECT user_id, stay_seq, event_type, stime, etime,
        ({_SEC.format(x='etime')} - {_SEC.format(x='stime')})::DOUBLE AS duration_s,
        n_rows, first_value
@@ -2170,17 +2180,20 @@ WHERE etime IS NOT NULL
   AND ({_SEC.format(x='etime')} - {_SEC.format(x='stime')}) >= 600
 """,
         "stay_move": f"""
-WITH f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+WITH r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+            FROM events),
+f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
                             OR lag(event_type) OVER w != event_type
                           THEN 1 ELSE 0 END AS new
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+           FROM r0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY rn
                                ROWS UNBOUNDED PRECEDING) AS sid FROM f),
-g AS (SELECT user_id, sid, min(ts) AS stime,
-             arg_min(event_type, ts) AS event_type
+g AS (SELECT user_id, sid, min(ts) AS stime, min(rn) AS ord,
+             arg_min(event_type, rn) AS event_type
       FROM s GROUP BY 1,2),
 e AS (SELECT *, lead(stime) OVER w2 AS etime
-      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime)),
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime, ord)),
 stays AS (SELECT user_id, event_type, stime, etime FROM e
           WHERE etime IS NOT NULL
             AND ({_SEC.format(x='etime')} - {_SEC.format(x='stime')}) >= 600),
@@ -2197,17 +2210,20 @@ SELECT user_id,
 FROM mv WHERE move_etime IS NOT NULL
 """,
         "stay_move_spliced": f"""
-WITH f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+WITH r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+            FROM events),
+f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
                             OR lag(event_type) OVER w != event_type
                           THEN 1 ELSE 0 END AS new
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+           FROM r0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY rn
                                ROWS UNBOUNDED PRECEDING) AS sid FROM f),
-g AS (SELECT user_id, sid, min(ts) AS stime,
-             arg_min(event_type, ts) AS event_type
+g AS (SELECT user_id, sid, min(ts) AS stime, min(rn) AS ord,
+             arg_min(event_type, rn) AS event_type
       FROM s GROUP BY 1,2),
 e AS (SELECT *, lead(stime) OVER w2 AS etime
-      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime)),
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime, ord)),
 stays AS (SELECT user_id, stime, etime, event_type, 1 AS tag FROM e
           WHERE etime IS NOT NULL
             AND ({_SEC.format(x='etime')} - {_SEC.format(x='stime')}) >= 600),
@@ -2237,17 +2253,20 @@ SELECT user_id,
 FROM mv WHERE move_etime IS NOT NULL
 """,
         "traj_graph": f"""
-WITH f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+WITH r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+            FROM events),
+f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
                             OR lag(event_type) OVER w != event_type
                           THEN 1 ELSE 0 END AS new
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+           FROM r0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY rn
                                ROWS UNBOUNDED PRECEDING) AS sid FROM f),
-g AS (SELECT user_id, sid, min(ts) AS stime,
-             arg_min(event_type, ts) AS event_type
+g AS (SELECT user_id, sid, min(ts) AS stime, min(rn) AS ord,
+             arg_min(event_type, rn) AS event_type
       FROM s GROUP BY 1,2),
 e AS (SELECT *, lead(stime) OVER w2 AS etime
-      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime)),
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime, ord)),
 stays AS (SELECT user_id, stime, event_type FROM e
           WHERE etime IS NOT NULL
             AND ({_SEC.format(x='etime')} - {_SEC.format(x='stime')}) >= 600),
@@ -2262,17 +2281,20 @@ FROM edges WHERE src IS NOT NULL AND src != dst
 GROUP BY src, dst
 """,
         "graph_nodes": f"""
-WITH f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+WITH r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+            FROM events),
+f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
                             OR lag(event_type) OVER w != event_type
                           THEN 1 ELSE 0 END AS new
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+           FROM r0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY rn
                                ROWS UNBOUNDED PRECEDING) AS sid FROM f),
-g AS (SELECT user_id, sid, min(ts) AS stime,
-             arg_min(event_type, ts) AS event_type
+g AS (SELECT user_id, sid, min(ts) AS stime, min(rn) AS ord,
+             arg_min(event_type, rn) AS event_type
       FROM s GROUP BY 1,2),
 e AS (SELECT *, lead(stime) OVER w2 AS etime
-      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime)),
+      FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY stime, ord)),
 stays AS (SELECT user_id, stime, event_type FROM e
           WHERE etime IS NOT NULL
             AND ({_SEC.format(x='etime')} - {_SEC.format(x='stime')}) >= 600),
@@ -2750,18 +2772,20 @@ poi AS (
          count(*) FILTER (WHERE event_type='signup')::BIGINT AS signup,
          count(*) FILTER (WHERE event_type='view')::BIGINT AS "view"
   FROM g GROUP BY 1),
+r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn FROM g),
 f AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
                        OR lag(event_type) OVER w != event_type
                      THEN 1 ELSE 0 END AS new
-      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY ts
+      FROM r0 WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+s AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY rn
                                ROWS UNBOUNDED PRECEDING) AS sid FROM f),
-gr AS (SELECT user_id, sid, min(ts) AS stime,
-              arg_min(grid, ts) AS grid
+gr AS (SELECT user_id, sid, min(ts) AS stime, min(rn) AS ord,
+              arg_min(grid, rn) AS grid
        FROM s GROUP BY 1,2),
 e AS (SELECT *, lead(stime) OVER w2 AS etime,
              (row_number() OVER w2)::INT AS stay_seq
-      FROM gr WINDOW w2 AS (PARTITION BY user_id ORDER BY stime)),
+      FROM gr WINDOW w2 AS (PARTITION BY user_id ORDER BY stime, ord)),
 stays AS (
   SELECT user_id, stay_seq, grid, stime, etime,
          ({_SEC.format(x='etime')} - {_SEC.format(x='stime')})::DOUBLE AS duration_s

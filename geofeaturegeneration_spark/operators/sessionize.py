@@ -38,8 +38,15 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _boundary_flag(entity_cols: list[str], order_col: str, state_col: str | None):
-    w = W.partitionBy(*entity_cols).orderBy(order_col)
+def _boundary_flag(
+    entity_cols: list[str],
+    order_col: str,
+    state_col: str | None,
+    order_cols: list[str] | None = None,
+):
+    w = W.partitionBy(*entity_cols).orderBy(
+        order_col, *[F.col(c) for c in (order_cols or [])]
+    )
     if state_col is None:
         return None, w
     prev = F.lag(F.col(state_col)).over(w)
@@ -56,6 +63,7 @@ def sessionize_state_change(
     state_col: str,
     min_duration_s: float | None = None,
     keep_cols: list[str] | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """State-change episodes ("stays").
 
@@ -67,27 +75,46 @@ def sessionize_state_change(
     The entity's final episode is dropped (etime unobserved), and episodes
     shorter than ``min_duration_s`` are filtered with ``>=`` — both per the
     reference.
+
+    ``order_cols``: extra tiebreak columns making the per-entity ordering
+    TOTAL. Real event streams contain equal timestamps (GPS fixes at sensor
+    resolution, batched ingestion), and with a tie the run segmentation
+    itself — hence stay boundaries, states and counts — depends on which
+    tied row the engine sorts first; the reference's pandas stable sort
+    silently breaks ties by input row order, which a distributed shuffle
+    does not preserve (and no two engines agree on). Pass a stable unique
+    column (an event id) for reproducible output on tied data; found by
+    tools/fuzz_oracle.py round 4. All internal orderings and first-row
+    extractions key on the resulting total order.
     """
-    flag, w = _boundary_flag(entity_cols, time_col, state_col)
-    cum = W.partitionBy(*entity_cols).orderBy(time_col).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    marked = df.withColumn("_new", flag).withColumn(
-        "_sid", F.sum("_new").over(cum)
+    flag, w = _boundary_flag(entity_cols, time_col, state_col, order_cols)
+    marked = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_new", flag)
+        .withColumn(
+            "_sid",
+            F.sum("_new").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
     )
 
     keep_cols = keep_cols or []
-    # min_by(c, time) = value of c on the episode's first row — deterministic,
-    # unlike first() inside a hash aggregate (state_col is constant within a
-    # run, but keep_cols need the true first-row value, keep='first' semantics
-    # of Test/GeoFeatureGenerationClass.py:404-405).
+    # min_by(c, _rn) = value of c on the episode's first row in the TOTAL
+    # order — deterministic, unlike first() inside a hash aggregate (and
+    # unlike min_by on the raw time, which ties when timestamps tie;
+    # keep='first' semantics of Test/GeoFeatureGenerationClass.py:404-405).
     grp = marked.groupBy(*entity_cols, "_sid").agg(
         F.min(time_col).alias("stime"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.min_by(state_col, time_col).alias(state_col),
-        *[F.min_by(c, time_col).alias(c) for c in keep_cols],
+        F.min("_rn").alias("_ord"),
+        F.min_by(state_col, "_rn").alias(state_col),
+        *[F.min_by(c, "_rn").alias(c) for c in keep_cols],
     )
-    w2 = W.partitionBy(*entity_cols).orderBy("stime")
+    # episodes can SHARE stime when their first rows tie on time, so the
+    # episode ordering also carries _ord (min _rn — strictly increasing
+    # across a partition's episodes, so (stime, _ord) is total)
+    w2 = W.partitionBy(*entity_cols).orderBy("stime", "_ord")
     out = (
         grp.withColumn("etime", F.lead("stime").over(w2))
         .withColumn("stay_seq", F.row_number().over(w2))
@@ -96,7 +123,7 @@ def sessionize_state_change(
             "duration_s",
             (F.unix_timestamp("etime") - F.unix_timestamp("stime")).cast("double"),
         )
-        .drop("_sid")
+        .drop("_sid", "_ord")
     )
     if min_duration_s is not None:
         out = out.filter(F.col("duration_s") >= F.lit(min_duration_s))
@@ -112,6 +139,7 @@ def sessionize_state_change_salted(
     keep_cols: list[str] | None = None,
     n_salts: int = 8,
     hot_threshold: int = 1_000_000,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Salted variant of ``sessionize_state_change`` for hot entities whose
     full row set exceeds one task (SURVEY.md §7.4 — the seam-stitching
@@ -138,6 +166,12 @@ def sessionize_state_change_salted(
 
     Time-range salting (not hash): boundaries must be order-contiguous so
     each seam is a single run pair, which is what makes the merge exact.
+
+    ``order_cols`` — same tiebreak contract as the unsalted op. Tied
+    timestamps always share a salt (the salt is a function of the time),
+    so a LOCAL (entity, salt) row number is enough: run order across the
+    whole entity is (stime, local _ord), total because equal stime implies
+    equal salt.
     """
     keep_cols = keep_cols or []
     bounds = df.groupBy(*entity_cols).agg(
@@ -162,29 +196,36 @@ def sessionize_state_change_salted(
 
     # pass 1: state-runs within each (entity, salt) time slice
     sub_entity = entity_cols + ["_salt"]
-    w1 = W.partitionBy(*sub_entity).orderBy(time_col)
+    w1 = W.partitionBy(*sub_entity).orderBy(
+        time_col, *[F.col(c) for c in (order_cols or [])]
+    )
     prev = F.lag(F.col(state_col)).over(w1)
     flag = F.when(prev.isNull() | (prev != F.col(state_col)), 1).otherwise(0)
     cum1 = w1.rowsBetween(W.unboundedPreceding, W.currentRow)
     runs = (
-        salted.withColumn("_new", flag)
+        salted.withColumn("_lrn", F.row_number().over(w1))
+        .withColumn("_new", flag)
         .withColumn("_rid", F.sum("_new").over(cum1))
         .groupBy(*sub_entity, "_rid")
         .agg(
             F.min(time_col).alias("stime"),
             F.count(F.lit(1)).alias("n_rows"),
-            F.min_by(state_col, time_col).alias(state_col),
-            *[F.min_by(c, time_col).alias(c) for c in keep_cols],
+            F.min("_lrn").alias("_ord"),
+            F.min_by(state_col, "_lrn").alias(state_col),
+            *[F.min_by(c, "_lrn").alias(c) for c in keep_cols],
         )
         .drop("_salt", "_rid")
     )
 
     # pass 2: merge seam-adjacent same-state runs, then episode outputs —
-    # identical recipe over the compressed rows
-    w2 = W.partitionBy(*entity_cols).orderBy("stime")
+    # identical recipe over the compressed rows. Run order (stime, _ord)
+    # is total: equal stime implies equal salt, where the local row
+    # number disambiguates.
+    w2 = W.partitionBy(*entity_cols).orderBy("stime", "_ord")
     prev2 = F.lag(F.col(state_col)).over(w2)
     flag2 = F.when(prev2.isNull() | (prev2 != F.col(state_col)), 1).otherwise(0)
     cum2 = w2.rowsBetween(W.unboundedPreceding, W.currentRow)
+    _runkey = F.struct(F.col("stime"), F.col("_ord"))
     merged = (
         runs.withColumn("_new", flag2)
         .withColumn("_sid", F.sum("_new").over(cum2))
@@ -192,11 +233,12 @@ def sessionize_state_change_salted(
         .agg(
             F.min("stime").alias("stime"),
             F.sum("n_rows").alias("n_rows"),
-            F.min_by(state_col, F.col("stime")).alias(state_col),
-            *[F.min_by(c, F.col("stime")).alias(c) for c in keep_cols],
+            F.min("_ord").alias("_ord"),
+            F.min_by(state_col, _runkey).alias(state_col),
+            *[F.min_by(c, _runkey).alias(c) for c in keep_cols],
         )
     )
-    w3 = W.partitionBy(*entity_cols).orderBy("stime")
+    w3 = W.partitionBy(*entity_cols).orderBy("stime", "_ord")
     out = (
         merged.withColumn("etime", F.lead("stime").over(w3))
         .withColumn("stay_seq", F.row_number().over(w3))
@@ -205,7 +247,7 @@ def sessionize_state_change_salted(
             "duration_s",
             (F.unix_timestamp("etime") - F.unix_timestamp("stime")).cast("double"),
         )
-        .drop("_sid")
+        .drop("_sid", "_ord")
     )
     if min_duration_s is not None:
         out = out.filter(F.col("duration_s") >= F.lit(min_duration_s))
@@ -259,6 +301,7 @@ def stay_move(
     min_duration_s: float,
     keep_cols: list[str] | None = None,
     splice_endpoints: bool = False,
+    order_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Full stay+move derivation (Test/GeoFeatureGenerationClass.py:394-466).
 
@@ -278,7 +321,8 @@ def stay_move(
     window pass over the raw stream on the same entity-key partitioning.
     """
     stays = sessionize_state_change(
-        df, entity_cols, time_col, state_col, min_duration_s, keep_cols
+        df, entity_cols, time_col, state_col, min_duration_s, keep_cols,
+        order_cols=order_cols,
     )
     seq = stays.select(
         *entity_cols, "stime", "etime", F.col(state_col), F.lit(1).alias("_tag")

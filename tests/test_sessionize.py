@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from geofeaturegeneration_spark.operators.sessionize import (
     sessionize_gap,
     sessionize_state_change,
+    sessionize_state_change_salted,
     stay_move,
 )
 from tests import oracle
@@ -152,3 +153,53 @@ def test_stay_move_spliced_endpoints(traj):
     # no-stay user C: fp->lp spans the whole observation window
     cm = m[m["uid"] == "C"]
     assert len(cm) == 1 and cm.iloc[0]["duration_s"] == 2700.0
+
+
+def test_tied_timestamps_deterministic_with_order_cols(spark):
+    """Tie rule (fuzz-found, round 4): two events at the SAME instant with
+    different states make the run segmentation depend on sort order — the
+    reference's pandas stable sort silently uses input row order, which a
+    distributed shuffle does not preserve. With order_cols the output is a
+    pure function of the data: segmentation, first-row extraction, and
+    episode sequencing all key on the (ts, event_id) total order, and the
+    salted two-pass plan agrees with the unsalted one on tied data."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # u1: click and error at the same instant, then a long view run
+        (0, "u1", t0, "click", 1.0),
+        (1, "u1", t0, "error", 2.0),
+        (2, "u1", t0 + 700 * sec, "view", 3.0),
+        (3, "u1", t0 + 1500 * sec, "view", 4.0),
+        (4, "u1", t0 + 3000 * sec, "click", 5.0),
+        # u2: two tied pairs back to back
+        (5, "u2", t0, "a", 1.0),
+        (6, "u2", t0, "b", 2.0),
+        (7, "u2", t0 + 650 * sec, "b", 3.0),
+        (8, "u2", t0 + 1400 * sec, "a", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id INT, uid STRING, ts TIMESTAMP, state STRING, v DOUBLE"
+    )
+    a = sessionize_state_change(
+        df, ["uid"], "ts", "state", keep_cols=["v"], order_cols=["event_id"]
+    )
+    b = sessionize_state_change_salted(
+        df, ["uid"], "ts", "state", keep_cols=["v"], order_cols=["event_id"],
+        n_salts=3, hot_threshold=1,
+    )
+    key = ["uid", "stay_seq", "state", "stime", "etime", "n_rows", "v"]
+    ra = sorted(tuple(r[k] for k in key) for r in a.collect())
+    rb = sorted(tuple(r[k] for k in key) for r in b.collect())
+    assert ra == rb and len(ra) > 0
+    # u1's first episode is the event_id order: click (id 0) first, alone —
+    # the tied error row opens its own episode at the same stime
+    u1 = [r for r in ra if r[0] == "u1"]
+    assert (u1[0][2], u1[0][5], u1[0][6]) == ("click", 1, 1.0)
+    assert (u1[1][2], u1[1][5], u1[1][6]) == ("error", 1, 2.0)
+    # tied-first episodes share stime; stay_seq still total (1, 2, ...)
+    assert u1[0][3] == u1[1][3] and [r[1] for r in u1] == list(
+        range(1, len(u1) + 1)
+    )
