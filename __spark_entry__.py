@@ -105,13 +105,22 @@ def _darr_csv(col) -> F.Column:
     round(x*1000000)::BIGINT), ',')``). Double->string formatting differs
     between engines (Spark '1.0E-6' vs DuckDB '0.000001'); the integer route
     is bit-deterministic because both engines share IEEE doubles and
-    half-away-from-zero round."""
+    half-away-from-zero round. Values are clamped to +-4e12 first — beyond
+    that the *1e6 scale overflows BIGINT's range and BOTH engines throw on
+    the cast (ANSI here, range-checked cast in DuckDB); the clamp is
+    mirrored in every SQL twin, so parity holds out to arbitrary doubles
+    (found by tools/fuzz_oracle.py with 1e15 event values)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.when(
         c.isNotNull(),
         F.concat_ws(
             ",",
-            F.transform(c, lambda x: F.round(x * 1000000).cast("long").cast("string")),
+            F.transform(
+                c,
+                lambda x: F.round(
+                    F.greatest(F.least(x, F.lit(4e12)), F.lit(-4e12)) * 1000000
+                ).cast("long").cast("string"),
+            ),
         ),
     )
 
@@ -813,14 +822,29 @@ def q_sliding(spark, sf_dir):
 
 
 def q_grid(spark, sf_dir):
+    """Grid + Cantor round-trip over synthetic coordinates. The strict
+    bounds filter mirrors the reference's §2.2 area filter (coordinates
+    outside the study area are dropped BEFORE gridding,
+    Test/GeoFeatureGenerationClass.py strict < >) — it is also what keeps
+    the Cantor pair inside int64: the pair is quadratic in the grid
+    indices, so unbounded coordinates (a corrupt GPS row at 1e15) would
+    overflow the pairing on any engine (found by tools/fuzz_oracle.py)."""
     ev = _t(spark, sf_dir, "events")
     lon = F.lit(116.0) + F.col("value") / 1000.0
     lat = F.lit(39.5) + F.col("value") / 2000.0
-    g = ev.select(
-        "event_id",
-        gps_to_loncol(lon, GRID_PARAMS).alias("loncol"),
-        gps_to_latcol(lat, GRID_PARAMS).alias("latcol"),
-    ).withColumn("grid", cantor_pair(F.col("loncol"), F.col("latcol")))
+    g = (
+        ev.select("event_id", lon.alias("_lon"), lat.alias("_lat"))
+        .filter(
+            (F.col("_lon") > 116.0) & (F.col("_lon") < 116.4)
+            & (F.col("_lat") > 39.5) & (F.col("_lat") < 39.7)
+        )
+        .select(
+            "event_id",
+            gps_to_loncol(F.col("_lon"), GRID_PARAMS).alias("loncol"),
+            gps_to_latcol(F.col("_lat"), GRID_PARAMS).alias("latcol"),
+        )
+        .withColumn("grid", cantor_pair(F.col("loncol"), F.col("latcol")))
+    )
     return g.select(
         "event_id", "loncol", "latcol", "grid",
         cantor_unpair_x(F.col("grid")).alias("ux"),
@@ -2692,11 +2716,15 @@ SELECT user_id, ts, array_to_string("query", ',') AS "query", pos FROM (
 WHERE len("query") = 3 AND pos IS NOT NULL
 """,
         "grid_cantor": """
-WITH g AS (
-  SELECT event_id,
-         floor((116.0 + value/1000.0 - 116.0 + 0.01/2) / 0.01)::BIGINT AS loncol,
-         floor((39.5 + value/2000.0 - 39.5 + 0.008/2) / 0.008)::BIGINT AS latcol
+WITH b AS (
+  SELECT event_id, 116.0 + value/1000.0 AS lon, 39.5 + value/2000.0 AS lat
   FROM events),
+g AS (
+  SELECT event_id,
+         floor((lon - 116.0 + 0.01/2) / 0.01)::BIGINT AS loncol,
+         floor((lat - 39.5 + 0.008/2) / 0.008)::BIGINT AS latcol
+  FROM b
+  WHERE lon > 116.0 AND lon < 116.4 AND lat > 39.5 AND lat < 39.7),
 c AS (
   SELECT *,
          CASE WHEN loncol >= 0 THEN 2*loncol ELSE -2*loncol-1 END AS fx,
@@ -2738,7 +2766,7 @@ allr AS (SELECT * FROM r UNION ALL SELECT * FROM pad)
 SELECT a.user_id, a.period_start, c.n_rows,
        array_to_string(
          list_transform(list(a.v ORDER BY a.idx),
-                        x -> round(x * 1000000)::BIGINT),
+                        x -> round(least(greatest(x, -4e12), 4e12) * 1000000)::BIGINT),
          ',') AS matrix
 FROM allr a JOIN cnt c
   ON a.user_id = c.user_id AND a.period_start = c.period_start
