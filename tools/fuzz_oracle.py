@@ -99,6 +99,90 @@ def build_documents(seed: int):
     return rows
 
 
+def build_events(seed: int):
+    """Hostile event stream for the core as-of/sessionize/window family:
+    duplicate timestamps (within AND across users, including tied
+    reference rows for the as-of), gaps exactly AT the 1800 s session
+    threshold and 1 us on either side, state runs exactly at the 600 s
+    min-duration, a purchase exactly at a click's timestamp (the
+    at-or-before boundary), 1 us spacings, exact-second timestamps
+    (floor-parity), constant-value groups (zero min-max span), value
+    extremes, a single-event user, and a hot user for the salted path."""
+    import datetime as dt
+
+    rng = random.Random(seed + 2)
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    types = ["click", "purchase", "view", "signup", "error"]
+    rows = []
+    eid = 0
+
+    def add(user, ts, etype, value):
+        nonlocal eid
+        rows.append((eid, ts, user, etype, float(value), '{"k": %d}' % (eid % 97)))
+        eid += 1
+
+    us = dt.timedelta(microseconds=1)
+    sec = dt.timedelta(seconds=1)
+
+    # user 1: hot, 5-min cadence, several exact-duplicate instants with
+    # DIFFERENT event types (state-change tie) and duplicate values
+    t = t0
+    for i in range(100):
+        add(1, t, types[i % 5], (i % 7) * 10.0)
+        if i % 19 == 0:
+            add(1, t, types[(i + 1) % 5], (i % 7) * 10.0)
+        t += dt.timedelta(minutes=5)
+    # user 2: single event
+    add(2, t0 + dt.timedelta(hours=1), "click", 1.0)
+    # user 3: two events at the same microsecond
+    add(3, t0, "click", 5.0)
+    add(3, t0, "purchase", 6.0)
+    # user 4: gaps exactly 1800 s, 1800s - 1us, 1800s + 1us
+    t = t0
+    for gap in [1800 * sec, 1800 * sec - us, 1800 * sec + us, 1800 * sec]:
+        add(4, t, "view", 2.0)
+        t = t + gap
+    add(4, t, "view", 2.0)
+    # user 5: state runs exactly 600 s long, alternating
+    t = t0
+    for i in range(6):
+        add(5, t, "view" if i % 2 == 0 else "click", 3.0)
+        add(5, t + 600 * sec - us, "view" if i % 2 == 0 else "click", 3.5)
+        t += 600 * sec
+    # user 6: constant type and value (zero min-max span, constant rolling)
+    for i in range(8):
+        add(6, t0 + i * 900 * sec, "view", 42.0)
+    # user 7: 1 us spacings + exact-second timestamps
+    for i in range(6):
+        add(7, t0 + i * us, "click", i)
+    for i in range(4):
+        add(7, t0 + dt.timedelta(hours=2, seconds=i), "purchase", i)
+    # user 8: value extremes
+    for i, v in enumerate([0.0, -1.5, 1e15, 0.03, 0.03, 327.53]):
+        add(8, t0 + i * 700 * sec, types[i % 5], v)
+    # user 9: as-of boundaries — purchase exactly AT a click's ts, a click
+    # 1 us after a purchase, and TWO clicks at one instant with different
+    # values (tied reference rows)
+    tc = t0 + dt.timedelta(hours=3)
+    add(9, tc, "click", 100.0)
+    add(9, tc, "purchase", 1.0)        # left ts == right ts (at-or-before)
+    add(9, tc + 60 * sec, "purchase", 2.0)
+    add(9, tc + 60 * sec + us, "click", 200.0)  # click just AFTER purchase
+    add(9, tc + 120 * sec, "click", 300.0)
+    add(9, tc + 120 * sec, "click", 301.0)      # tied clicks
+    add(9, tc + 180 * sec, "purchase", 3.0)
+    # cross-user identical instants
+    for u in (10, 11, 12):
+        add(u, t0 + dt.timedelta(hours=4), "signup", 7.0)
+    # random fill for the remaining users
+    for u in (13, 14, 15):
+        t = t0 + dt.timedelta(minutes=rng.randrange(0, 600))
+        for _ in range(rng.randrange(5, 25)):
+            add(u, t, rng.choice(types), round(rng.uniform(0, 300), 2))
+            t += dt.timedelta(seconds=rng.randrange(1, 4000))
+    return rows
+
+
 def build_embeddings(seed: int):
     rng = random.Random(seed + 1)
     rows = []
@@ -135,7 +219,7 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"]:
+              "lineitem"]:
         os.symlink(f"{base_sf}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
     import pyarrow as pa
@@ -154,6 +238,20 @@ def main() -> None:
         ),
         f"{out_dir}/documents.parquet",
     )
+    evs = build_events(seed)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in evs], pa.int64()),
+                "ts": pa.array([r[1] for r in evs], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in evs], pa.int64()),
+                "event_type": pa.array([r[3] for r in evs], pa.string()),
+                "value": pa.array([r[4] for r in evs], pa.float64()),
+                "props": pa.array([r[5] for r in evs], pa.string()),
+            }
+        ),
+        f"{out_dir}/events.parquet",
+    )
     embs = build_embeddings(seed)
     pq.write_table(
         pa.table(
@@ -167,8 +265,8 @@ def main() -> None:
         ),
         f"{out_dir}/embeddings.parquet",
     )
-    print(f"fuzz corpus (seed {seed}): {len(docs)} docs, {len(embs)} vecs "
-          f"-> {out_dir}")
+    print(f"fuzz corpus (seed {seed}): {len(docs)} docs, {len(embs)} vecs, "
+          f"{len(evs)} events -> {out_dir}")
     rc = subprocess.call(
         [sys.executable,
          os.path.join(os.path.dirname(__file__), "compare_oracle.py"),
