@@ -1014,8 +1014,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operator) — slot freed by folding `time_features` (pure calendar
         # column expressions, driver-green r01-r03) into extra_queries()
         "shuffle_shards": q_shuffle_shards,
+        # round 4: BM25 lexical retrieval (new operator — the lexical
+        # sibling of the embedding similarity family) — slot freed by
+        # folding `tpch_pricing` (a generic TPC-H demo aggregation from
+        # round 1, driver-green r01-r03, not a SURVEY §2 operator; the
+        # TPC-H layer keeps orders_enrich in-window) into extra_queries()
+        "bm25_topk": q_bm25_topk,
         # --- the rest of the contract ---
-        "tpch_pricing": q_tpch_pricing,
         "orders_enrich": q_orders_enrich,
         "sessionize_gap": q_sessionize_gap,
         "sessionize_state": q_sessionize_state,
@@ -1538,6 +1543,34 @@ def q_lm_logprob(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical top-k retrieval: every 83rd document (offset 5)
+    plays a more-like-this query against the full corpus — the
+    decontamination-audit / data-selection shape. Scaled-int64 term
+    contributions keep the score shuffle-order-proof; rank ties break on
+    doc_id. Query terms are broadcast so corpus postings for non-query
+    terms never shuffle."""
+    from geofeaturegeneration_spark.operators import bm25_topk
+
+    docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    qs = docs.filter(F.col("doc_id") % 83 == 5).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    return bm25_topk(docs, "doc_id", "text", qs, "q_id", "q_text", k=10)
+
+
+def q_bm25_scores(spark, sf_dir):
+    """The pre-top-k stage of q_bm25_topk: the full (query, matching doc)
+    score table — same corpora, no rank window."""
+    from geofeaturegeneration_spark.operators import bm25_scores
+
+    docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    qs = docs.filter(F.col("doc_id") % 83 == 5).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    return bm25_scores(docs, "doc_id", "text", qs, "q_id", "q_text")
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-scaled mixture sampling (alpha=0.5 upsample-the-tail,
     target half the corpus): driver-computed integer ppm rates realized
@@ -1583,6 +1616,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # compare_oracle.
         "vocab": q_vocab,
         "token_roundtrip": q_token_roundtrip,
+        # round 4: folded to give bm25_topk its first driver row — a
+        # generic TPC-H demo aggregation from round 1 (driver-green
+        # r01-r03), not a SURVEY §2 operator; orders_enrich keeps the
+        # TPC-H join layer in-window. `bm25_scores` is the pre-top-k
+        # stage of the in-window bm25_topk (full score table, no rank
+        # window), verified here value-exact.
+        "tpch_pricing": q_tpch_pricing,
+        "bm25_scores": q_bm25_scores,
         # round 4: folded to free the heavy_hitters / bloom_screen sketch
         # slots — frame_sample keeps its multimodal sibling
         # (multimodal_meta) in-window, sliding_subseq its windows siblings
@@ -1830,6 +1871,42 @@ sc AS (SELECT rb.doc_id,
                              CASE WHEN rb.space = 1 THEN 0
                                   ELSE {_LM_D_CTX} END))::BIGINT AS lp_sum
        FROM rb LEFT JOIN model USING (space, b) GROUP BY rb.doc_id)
+"""
+
+
+# BM25 CTEs (retrieval.bm25_scores / bm25_topk; k1=1.2, b=0.75,
+# scale=10000; queries = every 83rd doc, offset 5). The per-(doc,term)
+# contribution replays the operator's fixed float tree verbatim —
+#   idf = ln((n - df + 0.5) / (df + 0.5) + 1.0)
+#   tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+#   contrib = round(10000.0 * (idf * tfn)) :: BIGINT
+# — so per-pair scores are exact integer sums on both engines; n and
+# avgdl are exact-int-to-double conversions + one IEEE division.
+_BM25_CTES = """
+WITH
+d AS (SELECT doc_id, coalesce(len(string_split(text,' ')), 0)::BIGINT AS dl,
+             string_split(text,' ') AS ws
+      FROM documents),
+st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl
+       FROM d),
+q AS (SELECT DISTINCT doc_id AS q_id, unnest(ws) AS term
+      FROM d WHERE doc_id % 83 = 5),
+toks AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+       FROM toks WHERE term IN (SELECT term FROM q)
+       GROUP BY 1, 2, 3),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+c AS (SELECT tf.doc_id, tf.term,
+             round(10000.0 * (
+               ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)))
+             ))::BIGINT AS contrib
+      FROM tf CROSS JOIN st JOIN dft USING (term)),
+s AS (SELECT q.q_id, c.doc_id, count(*)::INT AS n_terms,
+             sum(c.contrib)::BIGINT AS score_int
+      FROM c JOIN q USING (term)
+      GROUP BY 1, 2)
 """
 
 
@@ -2151,6 +2228,25 @@ SELECT n_name, count(*)::BIGINT AS n_orders,
 FROM orders JOIN customer ON o_custkey=c_custkey
             JOIN nation ON c_nationkey=n_nationkey
 GROUP BY 1
+""",
+        # mirrors operators/retrieval (k1=1.2, b=0.75, scale=10000;
+        # queries = every 83rd doc, offset 5): per-(doc,term) BM25
+        # contribution in the IDENTICAL float expression order, rounded
+        # to scaled int64 (exact integer per-pair sums); n and avgdl are
+        # the same exact-int-to-double conversions + one IEEE division.
+        # sum(BIGINT) is HUGEINT in DuckDB -> cast back to BIGINT.
+        "bm25_topk": _BM25_CTES + """
+SELECT q_id, doc_id, rank, n_terms, score_int,
+       score_int::DOUBLE / 10000.0 AS score
+FROM (SELECT *, CAST(row_number() OVER
+        (PARTITION BY q_id ORDER BY score_int DESC, doc_id ASC) AS INT)
+        AS rank FROM s)
+WHERE rank <= 10
+""",
+        "bm25_scores": _BM25_CTES + """
+SELECT q_id, doc_id, n_terms, score_int,
+       score_int::DOUBLE / 10000.0 AS score
+FROM s
 """,
         "top_customers": """
 WITH rev AS (

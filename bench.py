@@ -102,6 +102,7 @@ HEADLINE = [
     "corpus_divergence",
     "bloom_screen",
     "bpe_roundtrip",
+    "bm25_topk",
 ]
 
 

@@ -33,7 +33,8 @@ def plan_str(df, mode: str = "formatted") -> str:
 
 
 def test_filter_and_column_pushdown(spark):
-    plan = plan_str(E.queries()["tpch_pricing"](spark, SF_DIR))
+    # tpch_pricing folded to extras round 4 (slot given to bm25_topk)
+    plan = plan_str({**E.queries(), **E.extra_queries()}["tpch_pricing"](spark, SF_DIR))
     scan = [b for b in plan.split("\n\n") if "PushedFilters" in b][0]
     assert "PushedFilters" in scan and "l_shipdate" in scan.split("PushedFilters")[1].split("\n")[0]
     # projection pruned to the referenced columns only

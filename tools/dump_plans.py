@@ -41,6 +41,7 @@ SHOW = [
     ("heavy_hitters", "exact heavy hitters via lossless count-min screen: the checkpointed sketch (ONE corpus scan, shown as ExistingRDD slices) feeds depth chained BROADCAST lookups on the single rescan — the pre-screen stream never shuffles; the only value-keyed aggregate runs over surviving candidates, map-side combined"),
     ("bloom_screen", "Bloom ingest screen: k chained BROADCAST joins against the checkpointed m_bits-bounded position table (ExistingRDD, corpus scanned once at build) — the batch side has zero exchanges"),
     ("normalize_text", "unicode/whitespace canonicalization: two narrow JVM regex projections around ONE zero-shuffle mapInArrow stage (ASCII short-circuit + UAX #15 for the minority) — fixes byte forms at scan speed before anything hashes"),
+    ("bm25_topk", "BM25 retrieval: distinct query terms BROADCAST onto the corpus posting stream (non-query postings never shuffle), df + contribution both read the ONE lineage-cut tf table (ExistingRDD — without the cut, pruning re-specialized the subtree and the corpus explode ran twice), exact int64 partial-agg score sums, WindowGroupLimit top-k per query"),
     ("bpe_roundtrip", "BPE encode+decode: ZERO key shuffles — scan -> round-robin parallelism floor -> mapInArrow encode (bounded artifact in the closure, per-task word cache, flat int32 token buffers: no per-token Python object on the output path) -> Arrow decode; tokenization is a per-document pure function and the plan says so (10-25x faster than the join twin bpe_roundtrip_join at every parallelism level, scaling efficiency 0.98 at 262M tokens)"),
 ]
 
