@@ -1020,8 +1020,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 1, driver-green r01-r03, not a SURVEY §2 operator; the
         # TPC-H layer keeps orders_enrich in-window) into extra_queries()
         "bm25_topk": q_bm25_topk,
+        # round 4: HLL cardinality sketch (new operator — completes the
+        # mergeable-sketch triad: CMS = frequency, Bloom = membership,
+        # HLL = cardinality) — slot freed by folding `orders_enrich` (the
+        # remaining TPC-H demo aggregation, driver-green r01-r03, not a
+        # SURVEY §2 operator; the §2.3 broadcast-enrich row is carried by
+        # the in-window stay_enrich) into extra_queries()
+        "hll_count": q_hll_count,
         # --- the rest of the contract ---
-        "orders_enrich": q_orders_enrich,
         "sessionize_gap": q_sessionize_gap,
         "sessionize_state": q_sessionize_state,
         "stay_move_spliced": q_stay_move_spliced,
@@ -1249,6 +1255,42 @@ def q_cms_query(spark, sf_dir):
     tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
     sketch = cms_build(tok, "w", depth=3, width=64)
     return cms_query(sketch, tok.distinct(), "w", depth=3, width=64)
+
+
+def q_hll_count(spark, sf_dir):
+    """HLL distinct-word count (operators/sketch.py:hll_count) exercised
+    through the SHARDED path: one register table per doc_id-parity half,
+    hll_merge, then the estimate — pinning both the mergeability claim
+    (merge == one-pass build, exactly) and the full estimate expression
+    (exact int64 register/Z math + the one fixed-order float) bit-for-bit
+    against an oracle that builds the registers in a single pass. The word
+    vocabulary at sf0.01 lands in the linear-counting branch; the raw
+    branch is pinned at 100k distinct in tests/test_sketch.py."""
+    from geofeaturegeneration_spark.operators import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    a = hll_build(tok.filter(F.col("doc_id") % 2 == 0), "w", p=12)
+    b = hll_build(tok.filter(F.col("doc_id") % 2 == 1), "w", p=12)
+    return hll_estimate(hll_merge(a, b), p=12)
+
+
+def q_hll_registers(spark, sf_dir):
+    """The HLL register table itself (r, max rank) at p=8 over the word
+    stream — the exact-integer artifact the in-window hll_count estimate
+    is computed from, oracle-replayed row-for-row (bin()-based bit
+    lengths agree across engines)."""
+    from geofeaturegeneration_spark.operators import hll_build
+
+    docs = _docs_wide(spark, sf_dir)
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    return hll_build(tok, "w", p=8)
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -1723,6 +1765,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the novel-keeper form of the in-window bloom_screen (same split,
         # same bit math — the screen's flags inverted to a keep set)
         "bloom_novel": q_bloom_novel,
+        # the exact-integer register table the in-window hll_count
+        # estimate is computed from, oracle-replayed row-for-row
+        "hll_registers": q_hll_registers,
+        # folded round 4 to free hll_count's driver slot: a TPC-H demo
+        # aggregation (green rows r01-r03), not a SURVEY §2 operator — the
+        # §2.3 broadcast-enrich row is carried by in-window stay_enrich
+        "orders_enrich": q_orders_enrich,
         # folded round 4 to free corpus_divergence's driver slot: green
         # rows r01-r03, pure column exprs, canonical vectors pinned in
         # test_grid.py; grid_cantor keeps the geo-function family in-window
@@ -1749,6 +1798,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _MD5L = "('0x'||substr(md5({x}),1,15))::BIGINT"
+
+# hll_count's estimate constant — computed by the SAME Python expression the
+# operator uses (operators/sketch.py:_hll_alpha), so the double literal the
+# oracle parses is bit-identical to the one Spark's plan carries
+from geofeaturegeneration_spark.operators.sketch import _hll_alpha as _HLL_A
+
+_HLL_C12 = _HLL_A(4096) * 4096 * 4096 * (1 << 49)
 _SEC = "epoch_us({x})//1000000"
 _NORM_TEXT = "regexp_replace(trim(lower(text)),'\\s+',' ','g')"
 _STOP = "('the','a','of','and','to','in','is','it')"
@@ -3195,6 +3251,47 @@ lu AS (SELECT i.w, coalesce(sk.cnt, 0) AS c
              FROM items, range(3) t3(d)) i
        LEFT JOIN sk ON sk.d = i.d AND sk.wc = i.wc)
 SELECT w, min(c) AS est FROM lu GROUP BY w
+""",
+        # hll_count: replay the full HLL pipeline in ONE pass (the Spark
+        # side shards by doc_id parity and merges — register max is
+        # associative, so the tables are identical by construction, which
+        # is exactly the mergeability claim this row pins). Register index
+        # = low 12 bits of the 60-bit md5, rank = 49 - bitlen(upper bits)
+        # (bin() is minimal in both engines), Z carried as an exact
+        # 2^49-scaled int64; the only floats are the final fixed-order
+        # expression with the SAME alpha*m^2*2^49 literal (computed by the
+        # operator's own _hll_alpha above) and the linear-counting branch.
+        "hll_count": f"""
+WITH t AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+h AS (SELECT ({_MD5L.format(x="w || '#hll'")}) AS h FROM t),
+reg AS (SELECT h % 4096 AS r,
+               CASE WHEN h // 4096 = 0 THEN 0
+                    ELSE length(bin(h // 4096)) END AS bl
+        FROM h),
+rg AS (SELECT r, max(49 - bl) AS rank FROM reg GROUP BY r),
+ag AS (SELECT count(*) AS filled,
+              coalesce(sum(1::BIGINT << (49 - rank)), 0)::BIGINT AS z1
+       FROM rg),
+zz AS (SELECT filled,
+              (z1 + (4096 - filled) * {1 << 49})::BIGINT AS z_scaled
+       FROM ag)
+SELECT filled, z_scaled,
+       CASE WHEN ({_HLL_C12!r} / z_scaled::DOUBLE) <= 10240.0
+                 AND (4096 - filled) > 0
+            THEN 4096.0 * ln(4096.0 / (4096 - filled)::DOUBLE)
+            ELSE {_HLL_C12!r} / z_scaled::DOUBLE END AS est
+FROM zz
+""",
+        # hll_registers: the exact-integer register table at p=8 —
+        # row-for-row the artifact hll_count estimates from
+        "hll_registers": f"""
+WITH t AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+h AS (SELECT ({_MD5L.format(x="w || '#hll'")}) AS h FROM t),
+reg AS (SELECT h % 256 AS r,
+               CASE WHEN h // 256 = 0 THEN 0
+                    ELSE length(bin(h // 256)) END AS bl
+        FROM h)
+SELECT r::INT AS r, max(53 - bl)::INT AS rank FROM reg GROUP BY r
 """,
         "rare_tokens": """
 WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),

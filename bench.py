@@ -99,6 +99,7 @@ HEADLINE = [
     "lm_logprob",
     "heavy_hitters",
     "cms_query",
+    "hll_count",
     "corpus_divergence",
     "bloom_screen",
     "bpe_roundtrip",

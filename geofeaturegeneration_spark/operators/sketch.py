@@ -361,6 +361,130 @@ def bloom_screen(
     )
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog-style cardinality sketch (mergeable distinct counting)
+# ---------------------------------------------------------------------------
+
+_HLL_BITS = 60  # md5_long yields 60-bit hashes
+
+
+def _hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias-correction constant for m registers."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_build(
+    df: DataFrame, value_col: str, p: int = 12, salt: str = "hll"
+) -> DataFrame:
+    """HyperLogLog register table of one column: (r, rank) with exactly one
+    row per NON-EMPTY register — at most ``2^p`` rows regardless of input
+    size, the cardinality sibling of ``cms_build`` (frequency) and
+    ``bloom_build`` (membership). Flajolet, Fusy, Gandouet & Meunier 2007:
+    register index ``r`` = the low ``p`` bits of the 60-bit md5, rank = the
+    leading-zero count of the remaining ``60-p`` bits plus one, maxed per
+    register.
+
+    Everything is EXACT integer arithmetic — the register table is a pure
+    function of the value set, identical across engines / partitionings /
+    retries (the DuckDB oracle replays it bit-for-bit; bit length is
+    ``length(bin(w))``, minimal in both engines). Estimation error enters
+    only in ``hll_estimate``'s final floats, with the standard
+    ``1.04/sqrt(2^p)`` relative std. Null values are skipped (they carry no
+    cardinality information and would otherwise all alias md5('null')).
+
+    Plan: NO explode (unlike CMS/Bloom, each row feeds one register) — one
+    narrow projection + one partial-aggregated groupBy on the uniform
+    bounded ``r`` key. Register tables of corpus shards merge via
+    ``hll_merge`` (union + max — associative, so sharded build == global
+    build exactly); the table round-trips through parquet, giving
+    "count distinct urls/tokens across 100 TB of shards" for the cost of
+    shuffling ``<= shards * 2^p`` rows."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    v = F.col(value_col)
+    h = md5_long(F.concat(v.cast("string"), F.lit(f"#{salt}")))
+    staged = df.filter(v.isNotNull()).select(h.alias("_h"))
+    w = F.expr(f"_h div {m}")  # the upper 60-p bits
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
+    rank = (F.lit(_HLL_BITS - p + 1) - bitlen).cast("int")
+    return (
+        staged.select((F.col("_h") % F.lit(m)).cast("int").alias("r"), rank.alias("rank"))
+        .groupBy("r")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Register-wise max of same-shape register tables (same p/salt — the
+    caller's contract, as with ``cms_merge``). Because max is associative
+    and commutative, merging shard sketches is EXACTLY the sketch of the
+    union — no merge error, the property that makes HLL the canonical
+    distributed distinct counter. union + groupBy on the 2^p-bounded key."""
+    if not sketches:
+        raise ValueError("hll_merge needs at least one sketch")
+    return (
+        reduce(DataFrame.unionByName, sketches)
+        .groupBy("r")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+    """One-row cardinality estimate from a register table: columns
+    ``filled`` (non-empty registers, exact int64), ``z_scaled`` (the HLL
+    harmonic-mean denominator ``sum(2^-rank)`` over ALL m registers, scaled
+    by ``2^(61-p)`` into an EXACT int64 — every term ``2^(61-p-rank)`` is a
+    dyadic integer, so the cross-partition sum is shuffle-order-proof), and
+    ``est`` (the corrected estimate, double).
+
+    The only floats are the final expression: raw = alpha_m * m^2 *
+    2^(61-p) / z_scaled (one literal multiply, one IEEE division), with
+    Flajolet's small-range correction — linear counting ``m * ln(m/zeros)``
+    when raw <= 2.5m and zero registers exist. Both branches are single
+    fixed-order expressions over exact integers, so the double replays
+    bit-identically in the DuckDB oracle."""
+    if not 4 <= p <= 18:
+        raise ValueError("p must be in [4, 18]")
+    m = 1 << p
+    scale = 1 << (_HLL_BITS - p + 1)  # 2^(61-p): the rank-0 (empty) term
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {_HLL_BITS - p + 1} - rank)")),
+            F.lit(0).cast("long"),
+        ).alias("_z1"),
+    )
+    zeros = F.lit(m) - F.col("filled")
+    z_scaled = (F.col("_z1") + zeros * F.lit(scale)).alias("z_scaled")
+    out = agg.select(F.col("filled"), z_scaled)
+    c = _hll_alpha(m) * m * m * scale  # one Python float literal
+    raw = F.lit(c) / F.col("z_scaled").cast("double")
+    zeros_o = F.lit(m) - F.col("filled")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros_o.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros_o > 0), lc
+    ).otherwise(raw)
+    return out.withColumn("est", est)
+
+
+def hll_count(
+    df: DataFrame, value_col: str, p: int = 12, salt: str = "hll"
+) -> DataFrame:
+    """Approximate COUNT(DISTINCT value_col) as build + estimate — one
+    narrow scan, one bounded groupBy, one single-row agg. The streaming /
+    incremental form is: persist ``hll_build`` per shard, ``hll_merge`` the
+    shard tables, ``hll_estimate`` the merge (exactly equal to this
+    one-shot form — pinned in tests)."""
+    return hll_estimate(hll_build(df, value_col, p, salt), p)
+
+
 def bloom_novel(
     batch: DataFrame,
     value_col: str,

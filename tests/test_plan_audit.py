@@ -44,7 +44,12 @@ def test_filter_and_column_pushdown(spark):
 
 
 def test_dim_joins_broadcast(spark):
-    plan = plan_str(E.queries()["orders_enrich"](spark, SF_DIR), "simple")
+    # orders_enrich folded to extras round 4 (hll_count took its slot);
+    # the broadcast-dim-join promise it pins is unchanged
+    plan = plan_str(
+        {**E.queries(), **E.extra_queries()}["orders_enrich"](spark, SF_DIR),
+        "simple",
+    )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
@@ -115,6 +120,23 @@ def test_ann_ivf_blocked_has_no_join(spark):
         plan = plan_str(all_queries()[name](spark, SF_DIR), "simple")
         assert "Join" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_hll_no_explode_no_join_bounded_shuffles(spark):
+    """Round-4: the HLL sketch feeds ONE register per input row — unlike
+    CMS/Bloom there is no k-way explode, so the operator's own plan must
+    carry no Generate, no join, and exactly the two bounded aggregations
+    (groupBy r capped at 2^p rows, then the single-row estimate)."""
+    from geofeaturegeneration_spark.operators import hll_build, hll_count
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    plan = plan_str(hll_build(df, "v", p=10), "simple")
+    assert "Generate" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the bounded groupBy(r) only
+    plan2 = plan_str(hll_count(df, "v", p=10), "simple")
+    assert "Generate" not in plan2 and "Join" not in plan2, plan2
+    assert plan2.count("Exchange") == 2, plan2  # + the single-row final agg
 
 
 def test_no_unconditioned_join_in_any_contract_query(spark):

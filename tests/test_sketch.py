@@ -22,6 +22,10 @@ from geofeaturegeneration_spark.operators.sketch import (
     cms_merge,
     cms_query,
     heavy_hitters,
+    hll_build,
+    hll_count,
+    hll_estimate,
+    hll_merge,
 )
 
 
@@ -193,3 +197,111 @@ def test_helper_column_cleanup_preserves_underscore_user_columns(spark):
     bloom = bloom_build(_freq_df(spark, ZIPF), "v", m_bits=4096, k=3)
     out2 = bloom_screen(items, "v", bloom, m_bits=4096, k=3)
     assert set(out2.columns) == {"v", "_weight", "_part", "might_contain"}
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog cardinality sketch
+# ---------------------------------------------------------------------------
+
+
+def _vals(spark, n, prefix="v"):
+    return spark.range(n).select(
+        F.concat(F.lit(f"{prefix}-"), F.col("id")).alias("v")
+    )
+
+
+def test_hll_register_table_is_exact_python_replay(spark):
+    # the register table is a pure integer function of the value set:
+    # replay r / rank in python over the same md5-60bit hash
+    import hashlib
+
+    vals = [f"x{i}" for i in range(500)] + ["x7", "x7"]  # dups collapse
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    p, m = 6, 64
+    regs = {}
+    for v in set(vals):
+        h = int(hashlib.md5(f"{v}#hll".encode()).hexdigest()[:15], 16)
+        r, w = h % m, h >> p
+        rank = (60 - p) - w.bit_length() + 1
+        regs[r] = max(regs.get(r, 0), rank)
+    got = {
+        row["r"]: row["rank"]
+        for row in hll_build(df, "v", p=p).collect()
+    }
+    assert got == regs
+
+
+def test_hll_merge_equals_build_on_union_exactly(spark):
+    df = _vals(spark, 20_000)
+    a = df.filter(F.col("v") < "v-3")
+    b = df.filter(F.col("v") >= "v-3")
+    p = 10
+    merged = hll_merge(hll_build(a, "v", p=p), hll_build(b, "v", p=p))
+    whole = hll_build(df, "v", p=p)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # and therefore the estimates agree bit-for-bit
+    assert (
+        hll_estimate(merged, p=p).collect()
+        == hll_estimate(whole, p=p).collect()
+    )
+
+
+def test_hll_estimate_accuracy_raw_branch(spark):
+    # 100k distinct at p=12 (m=4096): raw-estimate branch; standard
+    # error 1.04/sqrt(m) ~ 1.6%, assert a generous 3-sigma 5%
+    n = 100_000
+    [row] = hll_count(_vals(spark, n), "v", p=12).collect()
+    assert row["filled"] == 4096  # every register hit at this scale
+    assert abs(row["est"] - n) / n < 0.05
+
+
+def test_hll_estimate_accuracy_linear_counting_branch(spark):
+    # 300 distinct at p=12: zeros abound -> linear-counting branch,
+    # which is near-exact at this load factor
+    [row] = hll_count(_vals(spark, 300, "s"), "v", p=12).collect()
+    assert row["filled"] < 4096
+    assert abs(row["est"] - 300) / 300 < 0.05
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    # cardinality, not frequency: 50x-duplicated stream == distinct stream
+    base = _vals(spark, 2_000)
+    dup = base.crossJoin(spark.range(50).select(F.lit(1).alias("_k"))).select("v")
+    p = 10
+    assert (
+        hll_count(dup, "v", p=p).collect()
+        == hll_count(base, "v", p=p).collect()
+    )
+
+
+def test_hll_partitioning_invariant_and_null_skip(spark):
+    df = _vals(spark, 5_000).withColumn(
+        "v", F.when(F.col("v") < "v-2", F.col("v"))  # ~ nulls elsewhere
+    )
+    p = 8
+    one = hll_build(df.coalesce(1), "v", p=p)
+    many = hll_build(df.repartition(17), "v", p=p)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+    # nulls contributed nothing: same table as the pre-filtered stream
+    clean = hll_build(df.filter(F.col("v").isNotNull()), "v", p=p)
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, clean.collect())
+    )
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    df = spark.createDataFrame([], "v string")
+    [row] = hll_count(df, "v", p=8).collect()
+    assert row["filled"] == 0 and row["est"] == 0.0
+
+
+def test_hll_param_validation(spark):
+    df = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError):
+        hll_build(df, "v", p=3)
+    with pytest.raises(ValueError):
+        hll_build(df, "v", p=19)
+    with pytest.raises(ValueError):
+        hll_merge()
