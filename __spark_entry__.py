@@ -1048,7 +1048,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "embedding_neardup_multi": q_embedding_neardup_multi,
         "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
+        # round 4: HDR-histogram quantile sketch (new operator — the
+        # distribution member of the sketch family) — slot freed by
+        # folding `lang_id` (driver-green r01-r03; a pure column-expression
+        # classifier with no join/shuffle, and the text-function family
+        # keeps text_stats + repetition + quality_filter + clean_lines +
+        # normalize_text in-window) into extra_queries()
+        "hist_quantiles": q_hist_quantiles,
         "repetition": q_repetition,
         "multimodal_meta": q_multimodal_meta,
         # round 4: CCNet-style hashed-bigram LM scoring (new operator) —
@@ -1291,6 +1297,42 @@ def q_hll_registers(spark, sf_dir):
     docs = _docs_wide(spark, sf_dir)
     tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
     return hll_build(tok, "w", p=8)
+
+
+def q_hist_quantiles(spark, sf_dir):
+    """Doc-length distribution cuts (operators/sketch.py:hist_build/
+    hist_quantiles) through the SHARDED path: one base-2 HDR bucket table
+    per doc_id-parity half, hist_merge (integer sums — merge == one-pass
+    build exactly), then p25/p50/p90/p99 of n_chars. Bucket ids, lower
+    edges, cumulative ranks and ceil-rank targets are ALL exact integer
+    arithmetic in the shared Spark/DuckDB dialect, so the oracle replays
+    the full pipeline bit-for-bit from a single-pass build."""
+    from geofeaturegeneration_spark.operators import (
+        hist_build,
+        hist_merge,
+        hist_quantiles,
+    )
+
+    docs = _docs_wide(spark, sf_dir).select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    a = hist_build(docs.filter(F.col("doc_id") % 2 == 0), "n_chars", sub_bits=5)
+    b = hist_build(docs.filter(F.col("doc_id") % 2 == 1), "n_chars", sub_bits=5)
+    return hist_quantiles(
+        hist_merge(a, b), [250_000, 500_000, 900_000, 990_000], sub_bits=5
+    )
+
+
+def q_hist_buckets(spark, sf_dir):
+    """The HDR bucket table itself (b, cnt) over n_chars — the exact-
+    integer artifact the in-window hist_quantiles reads, oracle-replayed
+    row-for-row."""
+    from geofeaturegeneration_spark.operators import hist_build
+
+    docs = _docs_wide(spark, sf_dir).select(
+        F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return hist_build(docs, "n_chars", sub_bits=5)
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -1768,6 +1810,13 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the exact-integer register table the in-window hll_count
         # estimate is computed from, oracle-replayed row-for-row
         "hll_registers": q_hll_registers,
+        # the exact-integer HDR bucket table the in-window hist_quantiles
+        # reads, oracle-replayed row-for-row
+        "hist_buckets": q_hist_buckets,
+        # folded round 4 to free hist_quantiles' driver slot: pure
+        # column-expression language classifier, driver-green r01-r03;
+        # the text family keeps five in-window rows
+        "lang_id": q_lang_id,
         # folded round 4 to free hll_count's driver slot: a TPC-H demo
         # aggregation (green rows r01-r03), not a SURVEY §2 operator — the
         # §2.3 broadcast-enrich row is carried by in-window stay_enrich
@@ -1803,6 +1852,10 @@ _MD5L = "('0x'||substr(md5({x}),1,15))::BIGINT"
 # operator uses (operators/sketch.py:_hll_alpha), so the double literal the
 # oracle parses is bit-identical to the one Spark's plan carries
 from geofeaturegeneration_spark.operators.sketch import _hll_alpha as _HLL_A
+from geofeaturegeneration_spark.operators.sketch import (
+    _hist_id_expr as _HIST_ID,
+    _hist_lo_expr as _HIST_LO,
+)
 
 _HLL_C12 = _HLL_A(4096) * 4096 * 4096 * (1 << 49)
 _SEC = "epoch_us({x})//1000000"
@@ -3292,6 +3345,36 @@ reg AS (SELECT h % 256 AS r,
                     ELSE length(bin(h // 256)) END AS bl
         FROM h)
 SELECT r::INT AS r, max(53 - bl)::INT AS rank FROM reg GROUP BY r
+""",
+        # hist_quantiles: replay the HDR histogram pipeline in ONE pass
+        # (the Spark side shards by doc_id parity and merges — integer
+        # sums are associative, so the bucket tables are identical; that
+        # IS the mergeability claim). Bucket ids / lower edges come from
+        # the operator's OWN shared-dialect expression strings (_HIST_ID /
+        # _HIST_LO above — bin(), >>, CASE: parsed identically by both
+        # engines); ranks and ceil targets are exact integers.
+        "hist_quantiles": f"""
+WITH v AS (SELECT n_chars::BIGINT AS v FROM documents
+           WHERE n_chars IS NOT NULL),
+bk AS (SELECT ({_HIST_ID("v", 5)}) AS b, count(*) AS cnt
+       FROM v GROUP BY 1),
+c AS (SELECT b, ({_HIST_LO("b", 5)}) AS lo,
+             sum(cnt) OVER (ORDER BY b) AS cum,
+             sum(cnt) OVER () AS total
+      FROM bk),
+q AS (SELECT unnest([250000, 500000, 900000, 990000]::BIGINT[]) AS q_ppm)
+SELECT q.q_ppm,
+       arg_min(c.lo, c.b)::BIGINT AS value,
+       min((q.q_ppm * c.total + 999999) // 1000000)::BIGINT AS rank
+FROM q JOIN c ON c.cum >= (q.q_ppm * c.total + 999999) // 1000000
+GROUP BY q.q_ppm
+""",
+        # hist_buckets: the exact-integer HDR bucket table itself
+        "hist_buckets": f"""
+WITH v AS (SELECT n_chars::BIGINT AS v FROM documents
+           WHERE n_chars IS NOT NULL)
+SELECT ({_HIST_ID("v", 5)}) AS b, count(*) AS cnt
+FROM v GROUP BY 1
 """,
         "rare_tokens": """
 WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),

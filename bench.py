@@ -100,6 +100,7 @@ HEADLINE = [
     "heavy_hitters",
     "cms_query",
     "hll_count",
+    "hist_quantiles",
     "corpus_divergence",
     "bloom_screen",
     "bpe_roundtrip",

@@ -485,6 +485,207 @@ def hll_count(
     return hll_estimate(hll_build(df, value_col, p, salt), p)
 
 
+# ---------------------------------------------------------------------------
+# Base-2 HDR histogram + quantile sketch (mergeable distribution statistics)
+# ---------------------------------------------------------------------------
+
+
+def _hist_id_expr(value_sql: str, sub_bits: int) -> str:
+    """Bucket id of a NONNEGATIVE int64 as a SQL string over ``value_sql``:
+    exact singleton buckets below ``2^sub_bits``, then base-2 buckets split
+    into ``2^sub_bits`` equal sub-buckets (the HDR-histogram layout). With
+    e = floor(log2(v)) = length(bin(v)) - 1:
+
+        id = ((e - s + 1) << s) + (v >> (e - s)) - 2^s
+
+    — contiguous with the singleton range, monotone in v, EXACT integer
+    arithmetic. Written in the operator/engine-shared dialect (``bin()``,
+    ``>>`` with a column amount, no ``div``/``//``) so Spark's F.expr and
+    the DuckDB oracles consume the IDENTICAL string."""
+    s = sub_bits
+    v = value_sql
+    e = f"(length(bin({v})) - 1)"
+    return (
+        f"CASE WHEN {v} < {1 << s} THEN {v} "
+        f"ELSE (({e} - {s} + 1) * {1 << s}) "
+        f"+ ({v} >> ({e} - {s})) - {1 << s} END"
+    )
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    sub_bits: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Mergeable distribution sketch of an integer column: (b, cnt) with
+    one row per non-empty bucket — at most ``~63 * 2^sub_bits`` rows
+    (~2k at the default) regardless of input size. The distribution
+    sibling of ``cms_*`` (frequency) / ``bloom_*`` (membership) /
+    ``hll_*`` (cardinality): doc lengths, token counts, byte sizes, score
+    scaled-ints — "where should the p99 length cut sit across 100 TB"
+    without a global sort.
+
+    Buckets are the HDR-histogram layout: exact singletons below
+    ``2^sub_bits``, then power-of-2 ranges split into ``2^sub_bits``
+    sub-buckets — relative bucket width ``<= 2^-sub_bits`` (3.1% at the
+    default 5). The id math is EXACT integer arithmetic (bit length via
+    ``bin()``, identical in Spark and DuckDB), so the bucket table is a
+    pure function of the value multiset: deterministic across engines,
+    partitionings, and retries. Negative values mirror to negative ids
+    (id ordering == value ordering, so quantile scans stay one pass);
+    int64 min is outside the domain (its negation overflows — ANSI
+    raises rather than mis-bucketing). Nulls are skipped.
+
+    ``weight_col`` switches the mass from row counts to an exact-int64
+    per-row weight (token-mass quantiles: "the doc length below which
+    half the TOKENS sit"). Plan: one narrow projection + one
+    partial-aggregated groupBy on the bounded uniform key; shard
+    histograms merge by cell-wise sum (``hist_merge``)."""
+    if not 0 <= sub_bits <= 8:
+        raise ValueError("sub_bits must be in [0, 8]")
+    v = F.col(value_col)
+    wt = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    pos_id = _hist_id_expr("_av", sub_bits)
+    staged = df.filter(v.isNotNull()).select(
+        v.cast("long").alias("_v"), wt.alias("_wt")
+    ).withColumn("_av", F.abs(F.col("_v")))
+    b = F.when(F.col("_v") >= 0, F.expr(pos_id)).otherwise(
+        -F.expr(pos_id) - F.lit(1)
+    )
+    return (
+        staged.select(b.cast("long").alias("b"), F.col("_wt"))
+        .groupBy("b")
+        .agg(F.sum("_wt").alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Cell-wise sum of same-shape histograms (same sub_bits — the
+    caller's contract). union + groupBy on the bounded bucket key:
+    shard histograms of a 100-TB corpus merge for the cost of shuffling
+    a few thousand rows, and merge == build-on-union EXACTLY (integer
+    sums are associative)."""
+    if not hists:
+        raise ValueError("hist_merge needs at least one histogram")
+    return (
+        reduce(DataFrame.unionByName, hists)
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _hist_lo_expr(id_sql: str, sub_bits: int) -> str:
+    """Inverse of ``_hist_id_expr`` on NONNEGATIVE ids: the bucket's
+    smallest value. id = (k << s) + off with k >= 1 maps back to
+    lo = (2^s + off) << (k - 1). Same shared dialect (``>>`` replaces
+    integer division by 2^s; CAST keeps the shift in int64)."""
+    s = sub_bits
+    b = id_sql
+    k = f"({b} >> {s})"
+    off = f"({b} % {1 << s})"
+    return (
+        f"CASE WHEN {b} < {1 << s} THEN {b} "
+        f"ELSE (CAST({1 << s} + {off} AS BIGINT) << ({k} - 1)) END"
+    )
+
+
+def _hist_width_expr(id_sql: str, sub_bits: int) -> str:
+    """Bucket width - 1 for a NONNEGATIVE id (0 for singletons)."""
+    s = sub_bits
+    b = id_sql
+    return (
+        f"CASE WHEN {b} < {1 << s} THEN 0 "
+        f"ELSE (CAST(1 AS BIGINT) << (({b} >> {s}) - 1)) - 1 END"
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame, qs_ppm: list[int], sub_bits: int = 5
+) -> DataFrame:
+    """Quantile estimates from a bucket table: one row per requested
+    quantile (``q_ppm``, ``value``, ``rank``) where ``value`` is the LOWER
+    EDGE of the first bucket whose cumulative mass reaches
+    ``ceil(q_ppm * total / 1e6)`` — a deterministic integer rule (no
+    interpolation floats), under-reporting by at most the bucket's
+    relative width ``2^-sub_bits``. ``sub_bits`` must match
+    ``hist_build``.
+
+    Plan: the histogram is bounded (~63 * 2^sub_bits rows), so the
+    cumulative sum runs as ONE global-ordered window over a table that
+    fits in a single task by construction — the documented bounded
+    exception to the no-global-window rule (same class as the 10-row
+    top_customers window). The requested quantiles join the cumulative
+    table as a tiny broadcast range probe."""
+    if not qs_ppm:
+        raise ValueError("qs_ppm must be non-empty")
+    for q in qs_ppm:
+        if not 0 < q <= 1_000_000:
+            raise ValueError("each q_ppm must be in (0, 1e6]")
+    from pyspark.sql import Window as W
+
+    # lineage-cut: the tiny table computes once; the total and the
+    # cumulative both read the same computed rows (exchange-reuse
+    # discipline — without it, pushdown would specialize the aggregate's
+    # subtree per consumer)
+    hist = hist.localCheckpoint(eager=False)
+    w = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    neg_lo = _hist_lo_expr("(-b - 1)", sub_bits)
+    neg_w = _hist_width_expr("(-b - 1)", sub_bits)
+    lo = F.when(
+        F.col("b") >= 0, F.expr(_hist_lo_expr("b", sub_bits))
+    ).otherwise(
+        # negative bucket id: value range [-(lo_pos + width - 1), -lo_pos];
+        # the bucket's smallest value is the negated upper edge
+        -(F.expr(neg_lo) + F.expr(neg_w))
+    )
+    cum = hist.select(
+        "b",
+        lo.cast("long").alias("_lo"),
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(W.partitionBy(F.lit(1))).alias("_total"),
+    )
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame([(int(q),) for q in qs_ppm], "q_ppm long")
+    # target rank = ceil(q * total / 1e6), exact int64 (q*total stays in
+    # range for totals < 2^43 ~ 8.8e12 rows/mass — beyond that, pre-scale
+    # the weights; ANSI raises rather than wrapping)
+    out = (
+        qdf.join(
+            F.broadcast(cum),
+            F.col("_cum")
+            >= F.expr("(q_ppm * _total + 999999) div 1000000"),
+            "inner",
+        )
+        .groupBy("q_ppm")
+        .agg(
+            F.min_by(F.col("_lo"), F.col("b")).alias("value"),
+            F.expr("(min(q_ppm * _total + 999999)) div 1000000").alias(
+                "rank"
+            ),
+        )
+    )
+    return out
+
+
+def hist_quantile_values(
+    df: DataFrame,
+    value_col: str,
+    qs_ppm: list[int],
+    sub_bits: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """build + quantiles one-call (the incremental form persists
+    ``hist_build`` per shard and queries the ``hist_merge``)."""
+    return hist_quantiles(
+        hist_build(df, value_col, sub_bits, weight_col), qs_ppm, sub_bits
+    )
+
+
 def bloom_novel(
     batch: DataFrame,
     value_col: str,

@@ -22,6 +22,10 @@ from geofeaturegeneration_spark.operators.sketch import (
     cms_merge,
     cms_query,
     heavy_hitters,
+    hist_build,
+    hist_merge,
+    hist_quantile_values,
+    hist_quantiles,
     hll_build,
     hll_count,
     hll_estimate,
@@ -305,3 +309,137 @@ def test_hll_param_validation(spark):
         hll_build(df, "v", p=19)
     with pytest.raises(ValueError):
         hll_merge()
+
+
+# ---------------------------------------------------------------------------
+# Base-2 HDR histogram + quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _hist_truth_quantile(vals, q_ppm):
+    sv = sorted(vals)
+    target = -(-q_ppm * len(sv) // 1_000_000)  # ceil
+    return sv[target - 1], target
+
+
+def test_hist_bucket_rule_exact_python_replay(spark):
+    # bucket id is a pure integer function of the value: replay in python
+    vals = list(range(0, 70)) + [100, 1023, 1024, 1025, 2**40, 2**62,
+                                 -1, -31, -32, -1000000]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    s = 5
+
+    def pos_id(v):
+        if v < (1 << s):
+            return v
+        e = v.bit_length() - 1
+        return ((e - s + 1) << s) + (v >> (e - s)) - (1 << s)
+
+    def bid(v):
+        return pos_id(v) if v >= 0 else -pos_id(-v) - 1
+
+    import collections
+
+    truth = collections.Counter(bid(v) for v in vals)
+    got = {r["b"]: r["cnt"] for r in hist_build(df, "v", sub_bits=s).collect()}
+    assert got == dict(truth)
+
+
+def test_hist_quantiles_rank_guarantee_and_relative_error(spark):
+    import random
+
+    rng = random.Random(11)
+    vals = [rng.randrange(0, 10_000_000) for _ in range(30_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(13)
+    s = 5
+    qs = [1, 10_000, 250_000, 500_000, 900_000, 999_000, 1_000_000]
+    got = {
+        r["q_ppm"]: (r["value"], r["rank"])
+        for r in hist_quantile_values(df, "v", qs, sub_bits=s).collect()
+    }
+    for q in qs:
+        true, target = _hist_truth_quantile(vals, q)
+        est, rank = got[q]
+        assert rank == target
+        # lower-edge rule: est is <= the true order statistic and within
+        # one bucket's relative width (2^-s) of it
+        assert est <= true
+        assert est >= true * (1 - 2**-s) - 1
+
+
+def test_hist_merge_equals_build_on_union_exactly(spark):
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.randrange(0, 100_000) for _ in range(5_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    a = hist_build(df.filter(F.col("v") % 3 == 0), "v", sub_bits=4)
+    b = hist_build(df.filter(F.col("v") % 3 != 0), "v", sub_bits=4)
+    whole = hist_build(df, "v", sub_bits=4)
+    assert sorted(map(tuple, hist_merge(a, b).collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hist_weighted_mass_quantile(spark):
+    # token-mass quantile: the doc length below which half the TOKENS sit.
+    # lengths 10 (weight 1 each, x9) and 1000 (weight 991): half the mass
+    # sits in the single heavy doc
+    rows = [(10, 1)] * 9 + [(1000, 991)]
+    df = spark.createDataFrame(rows, "v long, wt long")
+    [row] = hist_quantile_values(
+        df, "v", [500_000], sub_bits=5, weight_col="wt"
+    ).collect()
+    # p50 by mass must land in the 1000-bucket (lower edge 992), not at 10
+    assert row["value"] >= 992
+    # by rows it would land at 10
+    [row2] = hist_quantile_values(df, "v", [500_000], sub_bits=5).collect()
+    assert row2["value"] == 10
+
+
+def test_hist_negative_values_order_and_edges(spark):
+    vals = [-1000, -10, -1, 0, 1, 10, 1000]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    s = 5
+    got = {
+        r["q_ppm"]: r["value"]
+        for r in hist_quantile_values(
+            df, "v", [1, 500_000, 1_000_000], sub_bits=s
+        ).collect()
+    }
+    # q→0 lands in the most negative bucket (lower edge <= -1000),
+    # median is exact (singleton bucket), max bucket's lower edge <= 1000
+    assert got[1] <= -1000
+    assert got[500_000] == 0
+    assert 1000 * (1 - 2**-s) - 1 <= got[1_000_000] <= 1000
+
+
+def test_hist_partitioning_invariance_and_null_skip(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in range(2_000)] + [(None,)] * 50, "v long"
+    )
+    one = hist_build(df.coalesce(1), "v", sub_bits=3)
+    many = hist_build(df.repartition(17), "v", sub_bits=3)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+    assert one.agg(F.sum("cnt")).collect()[0][0] == 2_000  # nulls skipped
+
+
+def test_hist_sub_bits_zero_is_pure_log2(spark):
+    df = spark.createDataFrame([(0,), (1,), (2,), (3,), (4,), (7,), (8,)], "v long")
+    got = {r["b"]: r["cnt"] for r in hist_build(df, "v", sub_bits=0).collect()}
+    # id: 0->0, 1->1, {2,3}->2, {4..7}->3, {8..15}->4
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_hist_param_validation_and_empty(spark):
+    df = spark.createDataFrame([], "v long")
+    with pytest.raises(ValueError):
+        hist_build(df, "v", sub_bits=9)
+    with pytest.raises(ValueError):
+        hist_quantiles(hist_build(df, "v"), [])
+    with pytest.raises(ValueError):
+        hist_quantiles(hist_build(df, "v"), [0])
+    with pytest.raises(ValueError):
+        hist_merge()
+    # empty input -> empty quantile table (quantiles of nothing)
+    assert hist_quantile_values(df, "v", [500_000]).count() == 0
