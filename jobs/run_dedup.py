@@ -87,6 +87,16 @@ the CheckpointStore so a crash resumes without recomputing finished work:
    size shard assignment (shuffle_shards) over the training rows (packed
    chunks when --pack is on, else surviving docs) — the webdataset-style
    export order, identical at any parallelism.
+9. ``stats`` (optional, global): corpus report card over the FINAL
+   corpus — HLL word registers (p=14), HDR doc-length buckets
+   (sub_bits=5), exact doc/token totals, the distinct-word estimate and
+   the p50/p99 length cuts — persisted as ONE long-form (metric, k, v)
+   table whose register/bucket rows hll_merge/hist_merge with future
+   runs' stats tables (cross-run distinct counts and length
+   distributions without rescanning this corpus). One text-bytes pass;
+   deliberately OUTSIDE the global lineage key — stats change no bytes
+   any other stage reads, so toggling them never invalidates the
+   pipeline.
 
 Determinism: signatures, pairs, components, and keeper choice are all pure
 functions of the corpus (md5 hashing, min-label components, min-id
@@ -115,6 +125,10 @@ from geofeaturegeneration_spark.operators import (
     decontaminate,
     dedup_clusters,
     encode_with_vocab,
+    hist_build,
+    hist_quantiles,
+    hll_build,
+    hll_estimate,
     lm_bucket_logprobs,
     lm_score,
     lsh_pairs_from_band_sigs,
@@ -181,6 +195,7 @@ def run_dedup_pipeline(
     pack_groups: int = 32,
     pack_pad: int | None = None,
     shard_size: int | None = None,
+    stats: bool = False,
     embeddings=None,
     emb_fingerprint: str | None = None,
     semantic_threshold: float = 0.95,
@@ -942,7 +957,7 @@ def run_dedup_pipeline(
     # fixed-size shard ids — webdataset-style export, no global
     # single-partition sort (distributed zipWithIndex).
     r_voc = r_pck = r_shd = None
-    if pack_len is not None or shard_size is not None:
+    if pack_len is not None or shard_size is not None or stats:
         if span_k is not None:
             exp_path = fin_path
             exp_schema = T.StructType(
@@ -1081,6 +1096,74 @@ def run_dedup_pipeline(
             shd_path, "part_key", lineage, force=force,
         )
 
+    # optional CORPUS REPORT CARD (--stats, one global unit): the sketch
+    # family run over the FINAL corpus (span-cleaned when those stages
+    # ran, else the deduped output) and persisted as one long-form table
+    # (metric, k, v):
+    #   hll_word_register  — HLL register table (p=14) over the word
+    #                        stream; hll_merge-able with future shards'
+    #                        stats tables, so cross-run distinct counting
+    #                        never rescans this corpus
+    #   len_hist_bucket    — base-2 HDR bucket table (sub_bits=5) over doc
+    #                        char lengths; hist_merge-able the same way
+    #   summary:*          — exact n_docs / n_tokens, the HLL distinct-word
+    #                        estimate (rounded), and the p50/p99 doc-length
+    #                        cuts derived from the bucket table
+    # Costs one text-bytes pass. Deliberately NOT part of the global
+    # lineage: stats change no bytes any other stage reads, so toggling
+    # them must not invalidate the pipeline — the stage gets its own
+    # lineage suffix instead.
+    sts_path = os.path.join(out_root, "stats")
+    r_sts = None
+    if stats:
+
+        def sts_one(_key: str):
+            corpus = read_export()
+            wstream = corpus.select(F.explode(words(F.col("text"))).alias("w"))
+            regs = hll_build(wstream, "w", p=14).localCheckpoint(eager=False)
+            reg_rows = regs.select(
+                F.lit("hll_word_register").alias("metric"),
+                F.col("r").cast("long").alias("k"),
+                F.col("rank").cast("long").alias("v"),
+            )
+            lens = corpus.select(F.length("text").cast("long").alias("v"))
+            hb = hist_build(lens, "v", sub_bits=5).localCheckpoint(eager=False)
+            hist_rows = hb.select(
+                F.lit("len_hist_bucket").alias("metric"),
+                F.col("b").alias("k"),
+                F.col("cnt").alias("v"),
+            )
+            q_rows = hist_quantiles(hb, [500_000, 990_000], sub_bits=5).select(
+                F.concat(F.lit("summary:doc_len_q"), F.col("q_ppm")).alias(
+                    "metric"
+                ),
+                F.col("rank").alias("k"),
+                F.col("value").alias("v"),
+            )
+            est_rows = hll_estimate(regs, p=14).select(
+                F.lit("summary:distinct_words_est").alias("metric"),
+                F.col("filled").alias("k"),
+                F.round(F.col("est")).cast("long").alias("v"),
+            )
+            tot_rows = corpus.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(
+                    F.sum(n_words(F.col("text"))), F.lit(0).cast("long")
+                ).alias("n_tokens"),
+            ).selectExpr(
+                "stack(2, 'summary:n_docs', 0L, n_docs, "
+                "'summary:n_tokens', 0L, n_tokens) AS (metric, k, v)"
+            )
+            out = reg_rows
+            for part in (hist_rows, q_rows, est_rows, tot_rows):
+                out = out.unionByName(part)
+            return out
+
+        r_sts = run_partitioned(
+            spark, store, f"{job_id}/stats", ["all"], sts_one,
+            sts_path, "part_key", lineage + ";stats=p14,s5", force=force,
+        )
+
     stages = []
     if r_cln is not None:
         stages.append(r_cln)
@@ -1104,6 +1187,8 @@ def run_dedup_pipeline(
         stages.extend([r_voc, r_pck])
     if r_shd is not None:
         stages.append(r_shd)
+    if r_sts is not None:
+        stages.append(r_sts)
     return tuple(stages)
 
 
@@ -1197,6 +1282,12 @@ def main(argv=None) -> int:
                         "deterministic global permutation + fixed-size "
                         "shard ids over the training rows (packed chunks "
                         "when --pack is on, else surviving docs)")
+    p.add_argument("--stats", action="store_true",
+                   help="append the corpus report-card stage: HLL word "
+                        "registers + HDR length-histogram buckets + exact "
+                        "doc/token totals over the final corpus, persisted "
+                        "as one mergeable long-form table (does not "
+                        "invalidate other stages when toggled)")
     p.add_argument("--mix", default=None,
                    help="JSON object of per-source keep rates in ppm, e.g. "
                         "'{\"web\": 800000, \"books\": 1000000}' — applied "
@@ -1261,6 +1352,7 @@ def main(argv=None) -> int:
         pack_len=args.pack, pack_bpe_merges=args.pack_bpe,
         pack_groups=args.pack_groups,
         pack_pad=args.pack_pad, shard_size=args.shard_size,
+        stats=args.stats,
         embeddings=embeddings, emb_fingerprint=args.embeddings,
         semantic_threshold=args.semantic_threshold,
         semantic_clusters=args.semantic_clusters,
@@ -1289,6 +1381,8 @@ def main(argv=None) -> int:
         names.extend(["pack_vocab", "packed"])
     if args.shard_size is not None:
         names.append("shards")
+    if args.stats:
+        names.append("stats")
     summary = {
         "job_id": args.job_id,
         "stages": {

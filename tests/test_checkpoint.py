@@ -1135,3 +1135,72 @@ def test_dedup_pipeline_normalize_then_clean(spark, tmp_path):
     # same flags resume: everything skips
     st2 = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
     assert all(r.skipped for stage in st2 for r in stage)
+
+
+def test_dedup_pipeline_stats_stage(spark, tmp_path):
+    """--stats appends the corpus report card: the persisted long-form
+    table must equal the sketch operators run by hand over the final
+    deduped corpus (HLL registers register-exact, HDR buckets bucket-exact,
+    totals exact, quantile rows from the same bucket table), it must NOT
+    invalidate any other stage when toggled on (stats change no bytes any
+    stage reads), and an identical re-run skips it."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.operators import (
+        hist_build,
+        hist_quantiles,
+        hll_build,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    kw = dict(buckets=2, k=3, n_hashes=8, bands=4, max_bucket_size=100)
+    out, ck = str(tmp_path / "out_st"), str(tmp_path / "ck_st")
+
+    # run 1 WITHOUT stats, run 2 WITH: the three base stages must all skip
+    # (toggling stats does not touch their lineage), only stats runs
+    RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    stages = RD.run_dedup_pipeline(spark, docs, out, ck, stats=True, **kw)
+    assert len(stages) == 4  # sig, clusters, output, stats
+    r_sig, r_clu, r_out, r_sts = stages
+    assert all(r.skipped for st in (r_sig, r_clu, r_out) for r in st)
+    assert all(not r.skipped for r in r_sts)
+
+    st = spark.read.parquet(f"{out}/stats").drop("part_key")
+    by_metric = {}
+    for r in st.collect():
+        by_metric.setdefault(r["metric"], set()).add((r["k"], r["v"]))
+
+    final = spark.read.parquet(f"{out}/deduped").drop("part_key").select(
+        "doc_id", "text"
+    )
+    # register-exact vs a direct build over the final corpus
+    words = final.select(F.explode(F.split("text", " ")).alias("w"))
+    want_regs = {
+        (r["r"], r["rank"]) for r in hll_build(words, "w", p=14).collect()
+    }
+    assert by_metric["hll_word_register"] == want_regs
+    # bucket-exact
+    lens = final.select(F.length("text").cast("long").alias("v"))
+    hb = hist_build(lens, "v", sub_bits=5)
+    want_hist = {(r["b"], r["cnt"]) for r in hb.collect()}
+    assert by_metric["len_hist_bucket"] == want_hist
+    # quantile rows replay from the same bucket table
+    for r in hist_quantiles(hb, [500_000, 990_000], sub_bits=5).collect():
+        key = f"summary:doc_len_q{r['q_ppm']}"
+        assert by_metric[key] == {(r["rank"], r["value"])}
+    # exact totals
+    n_docs = final.count()
+    n_tokens = final.agg(
+        F.sum(F.size(F.split("text", " ")))
+    ).collect()[0][0]
+    assert by_metric["summary:n_docs"] == {(0, n_docs)}
+    assert by_metric["summary:n_tokens"] == {(0, n_tokens)}
+    # the distinct-word estimate is within HLL tolerance of the truth
+    [(_, est)] = by_metric["summary:distinct_words_est"]
+    true_distinct = words.distinct().count()
+    assert abs(est - true_distinct) / true_distinct < 0.05
+
+    # identical re-run: everything skips, stats included
+    st2 = RD.run_dedup_pipeline(spark, docs, out, ck, stats=True, **kw)
+    assert all(r.skipped for stage in st2 for r in stage)

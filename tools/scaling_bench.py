@@ -102,7 +102,7 @@ def main() -> None:
     p.add_argument("--job", default="pipeline",
                    choices=["pipeline", "pack", "semdedup", "dsir",
                             "sketch", "bpe", "normalize", "span",
-                            "span_intervals"],
+                            "span_intervals", "hll", "hist"],
                    help="pipeline = token feature pipeline; pack = "
                         "pack_sequences over the same table; semdedup = "
                         "semantic_dedup over a synthetic embedding corpus "
@@ -124,7 +124,7 @@ def main() -> None:
     if args.job == "semdedup":
         seq_path = ensure_emb_input(args.n_vecs)
     elif args.job in ("dsir", "sketch", "bpe", "normalize", "span",
-                      "span_intervals"):
+                      "span_intervals", "hll", "hist"):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from dedup_scaling import ensure_corpus
 
@@ -155,9 +155,12 @@ def main() -> None:
         "normalize": "normalize_text (NFC, 10% of docs carrying non-ASCII byte forms)",
         "span": "span_dedup (k=50 token windows, min-(doc,pos) winner)",
         "span_intervals": "span_dup_intervals (stages 1-2 of span_dedup, no reassembly)",
+        "hll": "hll_count (distinct words, p=14)",
+        "hist": "hist_quantile_values (word-length p50/p99, sub_bits=5)",
     }[args.job]
     unit = {"semdedup": "vectors", "dsir": "grams", "sketch": "shingles",
-            "bpe": "subword tokens", "normalize": "chars"}.get(args.job, "tokens")
+            "bpe": "subword tokens", "normalize": "chars",
+            "hll": "words", "hist": "words"}.get(args.job, "tokens")
     if args.md_out:
         with open(args.md_out, "a") as f:
             f.write(
