@@ -8,6 +8,7 @@ from geofeaturegeneration_spark.streaming.sessions import (
     stream_gap_sessions,
     stream_running_features,
 )
+from geofeaturegeneration_spark.streaming.stats import stream_hll_registers
 
 __all__ = [
     "stream_gap_sessions",
@@ -16,4 +17,5 @@ __all__ = [
     "stream_asof_join",
     "stream_minhash_screen",
     "stream_bloom_screen",
+    "stream_hll_registers",
 ]

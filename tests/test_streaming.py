@@ -456,3 +456,61 @@ def test_stream_bloom_screen_matches_batch(spark, tmp_path):
         for r in bloom_novel(batch_df, "key", corpus, m_bits=1 << 14, k=4).collect()
     )
     assert got_novel == want_novel
+
+
+def test_stream_hll_registers_matches_batch_across_microbatches(spark, tmp_path):
+    """Running distinct count: the streaming HLL register table after the
+    whole stream equals hll_build over the same rows — with ingestion
+    FORCED through multiple micro-batches (maxFilesPerTrigger=1), so the
+    cross-batch state merge (streaming max-agg) is what is being tested,
+    not a single-batch degenerate. The estimate over the sink equals the
+    batch estimate bit-for-bit, and state is register-bounded (<= 2^p
+    rows) no matter how many keys streamed."""
+    from geofeaturegeneration_spark.operators import hll_build, hll_estimate
+    from geofeaturegeneration_spark.streaming import stream_hll_registers
+
+    schema = "key STRING"
+    path = str(tmp_path / "hll_in")
+    # three files -> three micro-batches; overlapping keys across files so
+    # the max-merge does real work
+    rows = [[(f"k-{i}",) for i in range(0, 400)],
+            [(f"k-{i}",) for i in range(200, 700)],
+            [(f"k-{i}",) for i in range(600, 1000)]]
+    for j, chunk in enumerate(rows):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append" if j else "overwrite"
+        ).parquet(path)
+
+    p = 8
+    out = stream_hll_registers(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(path),
+        "key", p=p,
+    )
+    name = f"hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "streaming query did not finish"
+    assert q.lastProgress["batchId"] >= 2  # really multiple micro-batches
+
+    got = sorted(
+        (r["r"], r["rank"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    batch_df = spark.createDataFrame(
+        [t for chunk in rows for t in chunk], schema
+    )
+    want = sorted(
+        (r["r"], r["rank"]) for r in hll_build(batch_df, "key", p=p).collect()
+    )
+    assert got == want
+    assert len(got) <= (1 << p)  # state bounded by the sketch geometry
+
+    # the running estimate from the sink == the batch estimate
+    sink = spark.sql(f"SELECT r, rank FROM {name}")
+    assert (
+        hll_estimate(sink, p=p).collect()
+        == hll_estimate(hll_build(batch_df, "key", p=p), p=p).collect()
+    )
