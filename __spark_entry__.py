@@ -1323,6 +1323,22 @@ def q_hist_quantiles(spark, sf_dir):
     )
 
 
+def q_hist_quantiles_by(spark, sf_dir):
+    """Per-SOURCE doc-length cuts (group_cols form of hist_quantiles):
+    one bounded histogram per source, p50/p99 each — the keyed-window
+    path that scales to millions of groups (each per-q pass is a filtered
+    aggregate over the bounded bucket table, never a probe join)."""
+    from geofeaturegeneration_spark.operators import hist_quantile_values
+
+    docs = _docs_wide(spark, sf_dir).select(
+        "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    return hist_quantile_values(
+        docs, "n_chars", [500_000, 990_000], sub_bits=5,
+        group_cols=["source"],
+    )
+
+
 def q_hist_buckets(spark, sf_dir):
     """The HDR bucket table itself (b, cnt) over n_chars — the exact-
     integer artifact the in-window hist_quantiles reads, oracle-replayed
@@ -1813,6 +1829,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the exact-integer HDR bucket table the in-window hist_quantiles
         # reads, oracle-replayed row-for-row
         "hist_buckets": q_hist_buckets,
+        # the group_cols form of the in-window hist_quantiles (per-source
+        # cuts; keyed windows, same bucket/rank math)
+        "hist_quantiles_by": q_hist_quantiles_by,
         # folded round 4 to free hist_quantiles' driver slot: pure
         # column-expression language classifier, driver-green r01-r03;
         # the text family keeps five in-window rows
@@ -3368,6 +3387,25 @@ SELECT q.q_ppm,
        min((q.q_ppm * c.total + 999999) // 1000000)::BIGINT AS rank
 FROM q JOIN c ON c.cum >= (q.q_ppm * c.total + 999999) // 1000000
 GROUP BY q.q_ppm
+""",
+        # hist_quantiles_by: the per-source (group_cols) form — same
+        # bucket/rank math partitioned by source; the oracle may use the
+        # probe-join formulation freely (values, not plans, are compared)
+        "hist_quantiles_by": f"""
+WITH v AS (SELECT source, n_chars::BIGINT AS v FROM documents
+           WHERE n_chars IS NOT NULL),
+bk AS (SELECT source, ({_HIST_ID("v", 5)}) AS b, count(*) AS cnt
+       FROM v GROUP BY 1, 2),
+c AS (SELECT source, b, ({_HIST_LO("b", 5)}) AS lo,
+             sum(cnt) OVER (PARTITION BY source ORDER BY b) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS total
+      FROM bk),
+q AS (SELECT unnest([500000, 990000]::BIGINT[]) AS q_ppm)
+SELECT c.source, q.q_ppm,
+       arg_min(c.lo, c.b)::BIGINT AS value,
+       min((q.q_ppm * c.total + 999999) // 1000000)::BIGINT AS rank
+FROM q JOIN c ON c.cum >= (q.q_ppm * c.total + 999999) // 1000000
+GROUP BY c.source, q.q_ppm
 """,
         # hist_buckets: the exact-integer HDR bucket table itself
         "hist_buckets": f"""

@@ -517,6 +517,7 @@ def hist_build(
     value_col: str,
     sub_bits: int = 5,
     weight_col: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Mergeable distribution sketch of an integer column: (b, cnt) with
     one row per non-empty bucket — at most ``~63 * 2^sub_bits`` rows
@@ -539,11 +540,15 @@ def hist_build(
 
     ``weight_col`` switches the mass from row counts to an exact-int64
     per-row weight (token-mass quantiles: "the doc length below which
-    half the TOKENS sit"). Plan: one narrow projection + one
+    half the TOKENS sit"). ``group_cols`` keeps one histogram PER GROUP
+    (per-source/per-language length distributions: bucket table bounded
+    at groups x ~63*2^sub_bits rows, one hash shuffle on the (group, b)
+    key — never a per-group sort). Plan: one narrow projection + one
     partial-aggregated groupBy on the bounded uniform key; shard
     histograms merge by cell-wise sum (``hist_merge``)."""
     if not 0 <= sub_bits <= 8:
         raise ValueError("sub_bits must be in [0, 8]")
+    gcols = list(group_cols or [])
     v = F.col(value_col)
     wt = (
         F.col(weight_col).cast("long")
@@ -552,29 +557,32 @@ def hist_build(
     )
     pos_id = _hist_id_expr("_av", sub_bits)
     staged = df.filter(v.isNotNull()).select(
-        v.cast("long").alias("_v"), wt.alias("_wt")
+        *gcols, v.cast("long").alias("_v"), wt.alias("_wt")
     ).withColumn("_av", F.abs(F.col("_v")))
     b = F.when(F.col("_v") >= 0, F.expr(pos_id)).otherwise(
         -F.expr(pos_id) - F.lit(1)
     )
     return (
-        staged.select(b.cast("long").alias("b"), F.col("_wt"))
-        .groupBy("b")
+        staged.select(*gcols, b.cast("long").alias("b"), F.col("_wt"))
+        .groupBy(*gcols, "b")
         .agg(F.sum("_wt").alias("cnt"))
     )
 
 
-def hist_merge(*hists: DataFrame) -> DataFrame:
-    """Cell-wise sum of same-shape histograms (same sub_bits — the
-    caller's contract). union + groupBy on the bounded bucket key:
+def hist_merge(
+    *hists: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Cell-wise sum of same-shape histograms (same sub_bits/group_cols —
+    the caller's contract). union + groupBy on the bounded bucket key:
     shard histograms of a 100-TB corpus merge for the cost of shuffling
     a few thousand rows, and merge == build-on-union EXACTLY (integer
     sums are associative)."""
     if not hists:
         raise ValueError("hist_merge needs at least one histogram")
+    gcols = list(group_cols or [])
     return (
         reduce(DataFrame.unionByName, hists)
-        .groupBy("b")
+        .groupBy(*gcols, "b")
         .agg(F.sum("cnt").alias("cnt"))
     )
 
@@ -605,22 +613,27 @@ def _hist_width_expr(id_sql: str, sub_bits: int) -> str:
 
 
 def hist_quantiles(
-    hist: DataFrame, qs_ppm: list[int], sub_bits: int = 5
+    hist: DataFrame,
+    qs_ppm: list[int],
+    sub_bits: int = 5,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Quantile estimates from a bucket table: one row per requested
-    quantile (``q_ppm``, ``value``, ``rank``) where ``value`` is the LOWER
-    EDGE of the first bucket whose cumulative mass reaches
-    ``ceil(q_ppm * total / 1e6)`` — a deterministic integer rule (no
-    interpolation floats), under-reporting by at most the bucket's
-    relative width ``2^-sub_bits``. ``sub_bits`` must match
+    quantile (and per group, with ``group_cols``) — (``q_ppm``,
+    ``value``, ``rank``) where ``value`` is the LOWER EDGE of the first
+    bucket whose cumulative mass reaches ``ceil(q_ppm * total / 1e6)`` —
+    a deterministic integer rule (no interpolation floats),
+    under-reporting by at most the bucket's relative width
+    ``2^-sub_bits``. ``sub_bits``/``group_cols`` must match
     ``hist_build``.
 
-    Plan: the histogram is bounded (~63 * 2^sub_bits rows), so the
-    cumulative sum runs as ONE global-ordered window over a table that
-    fits in a single task by construction — the documented bounded
-    exception to the no-global-window rule (same class as the 10-row
-    top_customers window). The requested quantiles join the cumulative
-    table as a tiny broadcast range probe."""
+    Plan: JOIN-FREE — the cumulative sum is a window over the lineage-cut
+    bucket table (keyed by ``group_cols`` when given: per-group state is
+    ~63 * 2^sub_bits rows, so millions of groups scale as one keyed
+    window; a bounded single-task global window otherwise), and each
+    requested quantile is one filtered aggregate over the same
+    checkpointed rows (|qs| bounded passes over a bounded table, unioned
+    — never a probe join that would grow with groups x buckets)."""
     if not qs_ppm:
         raise ValueError("qs_ppm must be non-empty")
     for q in qs_ppm:
@@ -628,12 +641,17 @@ def hist_quantiles(
             raise ValueError("each q_ppm must be in (0, 1e6]")
     from pyspark.sql import Window as W
 
-    # lineage-cut: the tiny table computes once; the total and the
-    # cumulative both read the same computed rows (exchange-reuse
-    # discipline — without it, pushdown would specialize the aggregate's
-    # subtree per consumer)
+    gcols = list(group_cols or [])
+    # lineage-cut: the tiny table computes once; the per-group total, the
+    # cumulative, and every per-q pass read the same computed rows
+    # (exchange-reuse discipline — without it, pushdown would specialize
+    # the aggregate's subtree per consumer)
     hist = hist.localCheckpoint(eager=False)
-    w = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = (
+        W.partitionBy(*gcols)
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     neg_lo = _hist_lo_expr("(-b - 1)", sub_bits)
     neg_w = _hist_width_expr("(-b - 1)", sub_bits)
     lo = F.when(
@@ -644,32 +662,37 @@ def hist_quantiles(
         -(F.expr(neg_lo) + F.expr(neg_w))
     )
     cum = hist.select(
+        *gcols,
         "b",
         lo.cast("long").alias("_lo"),
         F.sum("cnt").over(w).alias("_cum"),
-        F.sum("cnt").over(W.partitionBy(F.lit(1))).alias("_total"),
+        F.sum("cnt").over(W.partitionBy(*gcols)).alias("_total"),
     )
-    spark = hist.sparkSession
-    qdf = spark.createDataFrame([(int(q),) for q in qs_ppm], "q_ppm long")
     # target rank = ceil(q * total / 1e6), exact int64 (q*total stays in
     # range for totals < 2^43 ~ 8.8e12 rows/mass — beyond that, pre-scale
     # the weights; ANSI raises rather than wrapping)
-    out = (
-        qdf.join(
-            F.broadcast(cum),
-            F.col("_cum")
-            >= F.expr("(q_ppm * _total + 999999) div 1000000"),
-            "inner",
+    # ungrouped: group on a constant instead of a global agg, so an EMPTY
+    # histogram yields an empty result (quantiles of nothing), not one
+    # all-null row
+    gkeys = gcols if gcols else [F.lit(1).alias("_gfs_one")]
+    per_q = []
+    for q in qs_ppm:
+        target = F.expr(f"({int(q)} * _total + 999999) div 1000000")
+        per_q.append(
+            cum.filter(F.col("_cum") >= target)
+            .groupBy(*gkeys)
+            .agg(
+                F.min_by(F.col("_lo"), F.col("b")).alias("value"),
+                F.min(target).alias("rank"),
+            )
+            .select(
+                *gcols,
+                F.lit(int(q)).cast("long").alias("q_ppm"),
+                "value",
+                "rank",
+            )
         )
-        .groupBy("q_ppm")
-        .agg(
-            F.min_by(F.col("_lo"), F.col("b")).alias("value"),
-            F.expr("(min(q_ppm * _total + 999999)) div 1000000").alias(
-                "rank"
-            ),
-        )
-    )
-    return out
+    return reduce(DataFrame.unionByName, per_q)
 
 
 def hist_quantile_values(
@@ -678,11 +701,15 @@ def hist_quantile_values(
     qs_ppm: list[int],
     sub_bits: int = 5,
     weight_col: str | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """build + quantiles one-call (the incremental form persists
     ``hist_build`` per shard and queries the ``hist_merge``)."""
     return hist_quantiles(
-        hist_build(df, value_col, sub_bits, weight_col), qs_ppm, sub_bits
+        hist_build(df, value_col, sub_bits, weight_col, group_cols),
+        qs_ppm,
+        sub_bits,
+        group_cols,
     )
 
 

@@ -99,17 +99,7 @@ def test_bucketed_candidate_joins_not_cartesian(spark):
 #   ann_ivf_join — the join-form IVF twin: vectors x k=8 centroids
 #     assignment; the nested-loop build side is the k-row quantizer,
 #     never the corpus.
-#   - hist_quantiles: the quantile probes meet the cumulative bucket table
-#     in a range (theta) join — inherently non-equi, but BOTH sides are
-#     bounded by construction (len(qs) probes x <= ~63*2^sub_bits buckets,
-#     ~2k rows at the default), independent of corpus size; the corpus-
-#     sized work is the bounded groupBy below it. Pinned by
-#     test_hist_quantiles_windows_and_join_are_over_bounded_buckets.
-_UNCONDITIONED_JOIN_ALLOWLIST = {
-    "cosine_topk_join",
-    "ann_ivf_join",
-    "hist_quantiles",
-}
+_UNCONDITIONED_JOIN_ALLOWLIST = {"cosine_topk_join", "ann_ivf_join"}
 
 
 def test_cosine_topk_blocked_has_no_join(spark):
@@ -150,15 +140,14 @@ def test_hll_no_explode_no_join_bounded_shuffles(spark):
 
 
 def test_hist_quantiles_windows_and_join_are_over_bounded_buckets(spark):
-    """Round-4: hist_quantiles' global-ordered cumulative window and its
-    range join both run over the BUCKET table (<= ~63*2^sub_bits rows by
-    construction), never over raw values — the corpus-sized stream must be
-    reduced by the bounded groupBy(b) BEFORE any window/join node. Pinned
-    by asserting the executed plan's window sits above the bucket
-    aggregate, and the nested-loop's streamed side is the tiny probe
-    list."""
+    """Round-4: hist_quantiles is JOIN-FREE — each requested quantile is a
+    filtered aggregate over the lineage-cut bucket table, and the
+    cumulative window runs over that same bounded table (<= ~63*2^sub_bits
+    rows by construction), never over raw values: the corpus-sized stream
+    is reduced by the bounded groupBy(b) BEFORE any window node."""
     df = E.queries()["hist_quantiles"](spark, SF_DIR)
     phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in phys, phys
     win_at = phys.find("Window")
     assert win_at != -1, phys
     below = phys[win_at:]

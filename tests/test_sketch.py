@@ -443,3 +443,50 @@ def test_hist_param_validation_and_empty(spark):
         hist_merge()
     # empty input -> empty quantile table (quantiles of nothing)
     assert hist_quantile_values(df, "v", [500_000]).count() == 0
+
+
+def test_hist_grouped_equals_per_slice_ungrouped(spark):
+    # per-group histogram/quantiles == the ungrouped operator run on each
+    # group's slice independently (same buckets, same cuts)
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (g, rng.randrange(0, 10_000 * (1 + 3 * gi)))
+        for gi, g in enumerate("abc")
+        for _ in range(4_000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long").repartition(7)
+    s, qs = 4, [500_000, 990_000]
+    got_b = {
+        (r["g"], r["b"]): r["cnt"]
+        for r in hist_build(df, "v", sub_bits=s, group_cols=["g"]).collect()
+    }
+    got_q = {
+        (r["g"], r["q_ppm"]): (r["value"], r["rank"])
+        for r in hist_quantile_values(
+            df, "v", qs, sub_bits=s, group_cols=["g"]
+        ).collect()
+    }
+    for g in "abc":
+        sl = df.filter(F.col("g") == g)
+        for r in hist_build(sl, "v", sub_bits=s).collect():
+            assert got_b[(g, r["b"])] == r["cnt"]
+        for r in hist_quantile_values(sl, "v", qs, sub_bits=s).collect():
+            assert got_q[(g, r["q_ppm"])] == (r["value"], r["rank"])
+    assert len(got_q) == 6  # 3 groups x 2 quantiles
+
+
+def test_hist_grouped_merge_equals_build_on_union(spark):
+    rows = [("a", i % 97) for i in range(1_000)] + [
+        ("b", i % 31) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    x = hist_build(df.filter(F.col("v") % 2 == 0), "v", sub_bits=3,
+                   group_cols=["g"])
+    y = hist_build(df.filter(F.col("v") % 2 != 0), "v", sub_bits=3,
+                   group_cols=["g"])
+    whole = hist_build(df, "v", sub_bits=3, group_cols=["g"])
+    assert sorted(
+        map(tuple, hist_merge(x, y, group_cols=["g"]).collect())
+    ) == sorted(map(tuple, whole.collect()))
