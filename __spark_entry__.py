@@ -1323,6 +1323,19 @@ def q_hist_quantiles(spark, sf_dir):
     )
 
 
+def q_hll_count_by(spark, sf_dir):
+    """Per-SOURCE distinct-word counts (group_cols form of hll_count):
+    one register table per source, bounded at sources x 2^p rows, one
+    hash shuffle — the grouped sibling of the in-window hll_count."""
+    from geofeaturegeneration_spark.operators import hll_count
+
+    docs = _docs_wide(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    return hll_count(tok, "w", p=10, group_cols=["source"])
+
+
 def q_hist_quantiles_by(spark, sf_dir):
     """Per-SOURCE doc-length cuts (group_cols form of hist_quantiles):
     one bounded histogram per source, p50/p99 each — the keyed-window
@@ -1832,6 +1845,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the group_cols form of the in-window hist_quantiles (per-source
         # cuts; keyed windows, same bucket/rank math)
         "hist_quantiles_by": q_hist_quantiles_by,
+        # the group_cols form of the in-window hll_count (per-source
+        # distinct words; same register/estimate math per group)
+        "hll_count_by": q_hll_count_by,
         # folded round 4 to free hist_quantiles' driver slot: pure
         # column-expression language classifier, driver-green r01-r03;
         # the text family keeps five in-window rows
@@ -1877,6 +1893,7 @@ from geofeaturegeneration_spark.operators.sketch import (
 )
 
 _HLL_C12 = _HLL_A(4096) * 4096 * 4096 * (1 << 49)
+_HLL_C10 = _HLL_A(1024) * 1024 * 1024 * (1 << 51)
 _SEC = "epoch_us({x})//1000000"
 _NORM_TEXT = "regexp_replace(trim(lower(text)),'\\s+',' ','g')"
 _STOP = "('the','a','of','and','to','in','is','it')"
@@ -3352,6 +3369,31 @@ SELECT filled, z_scaled,
                  AND (4096 - filled) > 0
             THEN 4096.0 * ln(4096.0 / (4096 - filled)::DOUBLE)
             ELSE {_HLL_C12!r} / z_scaled::DOUBLE END AS est
+FROM zz
+""",
+        # hll_count_by: the group_cols form at p=10 — the identical
+        # register/Z/estimate math replayed PER SOURCE (constant computed
+        # by the operator's own _hll_alpha, as above)
+        "hll_count_by": f"""
+WITH t AS (SELECT source, unnest(string_split(text,' ')) AS w
+           FROM documents),
+h AS (SELECT source, ({_MD5L.format(x="w || '#hll'")}) AS h FROM t),
+reg AS (SELECT source, h % 1024 AS r,
+               CASE WHEN h // 1024 = 0 THEN 0
+                    ELSE length(bin(h // 1024)) END AS bl
+        FROM h),
+rg AS (SELECT source, r, max(51 - bl) AS rank FROM reg GROUP BY 1, 2),
+ag AS (SELECT source, count(*) AS filled,
+              coalesce(sum(1::BIGINT << (51 - rank)), 0)::BIGINT AS z1
+       FROM rg GROUP BY source),
+zz AS (SELECT source, filled,
+              (z1 + (1024 - filled) * {1 << 51})::BIGINT AS z_scaled
+       FROM ag)
+SELECT source, filled, z_scaled,
+       CASE WHEN ({_HLL_C10!r} / z_scaled::DOUBLE) <= 2560.0
+                 AND (1024 - filled) > 0
+            THEN 1024.0 * ln(1024.0 / (1024 - filled)::DOUBLE)
+            ELSE {_HLL_C10!r} / z_scaled::DOUBLE END AS est
 FROM zz
 """,
         # hll_registers: the exact-integer register table at p=8 —

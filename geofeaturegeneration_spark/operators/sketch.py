@@ -380,7 +380,11 @@ def _hll_alpha(m: int) -> float:
 
 
 def hll_build(
-    df: DataFrame, value_col: str, p: int = 12, salt: str = "hll"
+    df: DataFrame,
+    value_col: str,
+    p: int = 12,
+    salt: str = "hll",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """HyperLogLog register table of one column: (r, rank) with exactly one
     row per NON-EMPTY register — at most ``2^p`` rows regardless of input
@@ -404,39 +408,52 @@ def hll_build(
     ``hll_merge`` (union + max — associative, so sharded build == global
     build exactly); the table round-trips through parquet, giving
     "count distinct urls/tokens across 100 TB of shards" for the cost of
-    shuffling ``<= shards * 2^p`` rows."""
+    shuffling ``<= shards * 2^p`` rows. ``group_cols`` keeps one register
+    table PER GROUP ("distinct tokens per source/language" — bounded at
+    groups x 2^p rows, still one hash shuffle)."""
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
+    gcols = list(group_cols or [])
     m = 1 << p
     v = F.col(value_col)
     h = md5_long(F.concat(v.cast("string"), F.lit(f"#{salt}")))
-    staged = df.filter(v.isNotNull()).select(h.alias("_h"))
+    staged = df.filter(v.isNotNull()).select(*gcols, h.alias("_h"))
     w = F.expr(f"_h div {m}")  # the upper 60-p bits
     bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.bin(w)))
     rank = (F.lit(_HLL_BITS - p + 1) - bitlen).cast("int")
     return (
-        staged.select((F.col("_h") % F.lit(m)).cast("int").alias("r"), rank.alias("rank"))
-        .groupBy("r")
+        staged.select(
+            *gcols,
+            (F.col("_h") % F.lit(m)).cast("int").alias("r"),
+            rank.alias("rank"),
+        )
+        .groupBy(*gcols, "r")
         .agg(F.max("rank").alias("rank"))
     )
 
 
-def hll_merge(*sketches: DataFrame) -> DataFrame:
-    """Register-wise max of same-shape register tables (same p/salt — the
-    caller's contract, as with ``cms_merge``). Because max is associative
-    and commutative, merging shard sketches is EXACTLY the sketch of the
-    union — no merge error, the property that makes HLL the canonical
-    distributed distinct counter. union + groupBy on the 2^p-bounded key."""
+def hll_merge(
+    *sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Register-wise max of same-shape register tables (same p/salt/
+    group_cols — the caller's contract, as with ``cms_merge``). Because
+    max is associative and commutative, merging shard sketches is EXACTLY
+    the sketch of the union — no merge error, the property that makes HLL
+    the canonical distributed distinct counter. union + groupBy on the
+    2^p-bounded key."""
     if not sketches:
         raise ValueError("hll_merge needs at least one sketch")
+    gcols = list(group_cols or [])
     return (
         reduce(DataFrame.unionByName, sketches)
-        .groupBy("r")
+        .groupBy(*gcols, "r")
         .agg(F.max("rank").alias("rank"))
     )
 
 
-def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+def hll_estimate(
+    sketch: DataFrame, p: int = 12, group_cols: list[str] | None = None
+) -> DataFrame:
     """One-row cardinality estimate from a register table: columns
     ``filled`` (non-empty registers, exact int64), ``z_scaled`` (the HLL
     harmonic-mean denominator ``sum(2^-rank)`` over ALL m registers, scaled
@@ -449,21 +466,27 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
     Flajolet's small-range correction — linear counting ``m * ln(m/zeros)``
     when raw <= 2.5m and zero registers exist. Both branches are single
     fixed-order expressions over exact integers, so the double replays
-    bit-identically in the DuckDB oracle."""
+    bit-identically in the DuckDB oracle.
+
+    ``group_cols`` (matching ``hll_build``) yields one estimate row per
+    group; the ungrouped form stays a single global agg (one row even on
+    empty input — the count of nothing is 0, not absent)."""
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
+    gcols = list(group_cols or [])
     m = 1 << p
     scale = 1 << (_HLL_BITS - p + 1)  # 2^(61-p): the rank-0 (empty) term
-    agg = sketch.agg(
+    aggs = [
         F.count(F.lit(1)).alias("filled"),
         F.coalesce(
             F.sum(F.expr(f"shiftleft(1L, {_HLL_BITS - p + 1} - rank)")),
             F.lit(0).cast("long"),
         ).alias("_z1"),
-    )
+    ]
+    agg = sketch.groupBy(*gcols).agg(*aggs) if gcols else sketch.agg(*aggs)
     zeros = F.lit(m) - F.col("filled")
     z_scaled = (F.col("_z1") + zeros * F.lit(scale)).alias("z_scaled")
-    out = agg.select(F.col("filled"), z_scaled)
+    out = agg.select(*gcols, F.col("filled"), z_scaled)
     c = _hll_alpha(m) * m * m * scale  # one Python float literal
     raw = F.lit(c) / F.col("z_scaled").cast("double")
     zeros_o = F.lit(m) - F.col("filled")
@@ -475,14 +498,21 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
 
 
 def hll_count(
-    df: DataFrame, value_col: str, p: int = 12, salt: str = "hll"
+    df: DataFrame,
+    value_col: str,
+    p: int = 12,
+    salt: str = "hll",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Approximate COUNT(DISTINCT value_col) as build + estimate — one
-    narrow scan, one bounded groupBy, one single-row agg. The streaming /
+    """Approximate COUNT(DISTINCT value_col) (per group, with
+    ``group_cols``) as build + estimate — one narrow scan, one bounded
+    groupBy, one single-row (or per-group) agg. The streaming /
     incremental form is: persist ``hll_build`` per shard, ``hll_merge`` the
     shard tables, ``hll_estimate`` the merge (exactly equal to this
     one-shot form — pinned in tests)."""
-    return hll_estimate(hll_build(df, value_col, p, salt), p)
+    return hll_estimate(
+        hll_build(df, value_col, p, salt, group_cols), p, group_cols
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -490,3 +490,32 @@ def test_hist_grouped_merge_equals_build_on_union(spark):
     assert sorted(
         map(tuple, hist_merge(x, y, group_cols=["g"]).collect())
     ) == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_grouped_equals_per_slice_ungrouped(spark):
+    # per-group registers/estimates == the ungrouped operator run on each
+    # group's slice (values overlap across groups: registers must not)
+    rows = [(g, f"{'xy'[i % 2]}-{i % (300 * (gi + 1))}")
+            for gi, g in enumerate("abc") for i in range(2_000)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(7)
+    p = 10
+    got_r = {
+        (r["g"], r["r"]): r["rank"]
+        for r in hll_build(df, "v", p=p, group_cols=["g"]).collect()
+    }
+    got_e = {
+        r["g"]: (r["filled"], r["z_scaled"], r["est"])
+        for r in hll_count(df, "v", p=p, group_cols=["g"]).collect()
+    }
+    for g in "abc":
+        sl = df.filter(F.col("g") == g)
+        for r in hll_build(sl, "v", p=p).collect():
+            assert got_r[(g, r["r"])] == r["rank"]
+        [e] = hll_count(sl, "v", p=p).collect()
+        assert got_e[g] == (e["filled"], e["z_scaled"], e["est"])
+    # grouped merge == grouped build-on-union
+    x = hll_build(df.filter(F.col("v") < "y"), "v", p=p, group_cols=["g"])
+    y = hll_build(df.filter(F.col("v") >= "y"), "v", p=p, group_cols=["g"])
+    assert sorted(
+        map(tuple, hll_merge(x, y, group_cols=["g"]).collect())
+    ) == sorted(map(tuple, hll_build(df, "v", p=p, group_cols=["g"]).collect()))
