@@ -1267,9 +1267,10 @@ def q_hll_count(spark, sf_dir):
     """HLL distinct-word count (operators/sketch.py:hll_count) exercised
     through the SHARDED path: one register table per doc_id-parity half,
     hll_merge, then the estimate — pinning both the mergeability claim
-    (merge == one-pass build, exactly) and the full estimate expression
-    (exact int64 register/Z math + the one fixed-order float) bit-for-bit
-    against an oracle that builds the registers in a single pass. The word
+    (merge == one-pass build, exactly) and the estimate expression
+    (exact int64 register/Z math; the float tail rounded to 1e6-scaled
+    int64, since the linear-counting branch's ln() is engine-specific at
+    1 ulp) against an oracle that builds the registers in one pass. The word
     vocabulary at sf0.01 lands in the linear-counting branch; the raw
     branch is pinned at 100k distinct in tests/test_sketch.py."""
     from geofeaturegeneration_spark.operators import (
@@ -1284,7 +1285,17 @@ def q_hll_count(spark, sf_dir):
     )
     a = hll_build(tok.filter(F.col("doc_id") % 2 == 0), "w", p=12)
     b = hll_build(tok.filter(F.col("doc_id") % 2 == 1), "w", p=12)
-    return hll_estimate(hll_merge(a, b), p=12)
+    # the estimate crosses engines as round(1e6 * est): the linear-
+    # counting branch goes through ln(), which is 1-ulp engine-specific
+    # (JVM StrictMath vs DuckDB libm) — the repo-wide scaled-int rule
+    # absorbs it (same as corpus_divergence / lm_logprob)
+    return hll_estimate(hll_merge(a, b), p=12).select(
+        "filled",
+        "z_scaled",
+        F.round(F.lit(1_000_000.0) * F.col("est")).cast("long").alias(
+            "est_ppm"
+        ),
+    )
 
 
 def q_hll_registers(spark, sf_dir):
@@ -1333,7 +1344,14 @@ def q_hll_count_by(spark, sf_dir):
     tok = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
-    return hll_count(tok, "w", p=10, group_cols=["source"])
+    return hll_count(tok, "w", p=10, group_cols=["source"]).select(
+        "source",
+        "filled",
+        "z_scaled",
+        F.round(F.lit(1_000_000.0) * F.col("est")).cast("long").alias(
+            "est_ppm"
+        ),
+    )
 
 
 def q_hist_quantiles_by(spark, sf_dir):
@@ -3365,10 +3383,11 @@ zz AS (SELECT filled,
               (z1 + (4096 - filled) * {1 << 49})::BIGINT AS z_scaled
        FROM ag)
 SELECT filled, z_scaled,
-       CASE WHEN ({_HLL_C12!r} / z_scaled::DOUBLE) <= 10240.0
-                 AND (4096 - filled) > 0
-            THEN 4096.0 * ln(4096.0 / (4096 - filled)::DOUBLE)
-            ELSE {_HLL_C12!r} / z_scaled::DOUBLE END AS est
+       round(1000000.0 * (
+         CASE WHEN ({_HLL_C12!r} / z_scaled::DOUBLE) <= 10240.0
+                   AND (4096 - filled) > 0
+              THEN 4096.0 * ln(4096.0 / (4096 - filled)::DOUBLE)
+              ELSE {_HLL_C12!r} / z_scaled::DOUBLE END))::BIGINT AS est_ppm
 FROM zz
 """,
         # hll_count_by: the group_cols form at p=10 — the identical
@@ -3390,10 +3409,11 @@ zz AS (SELECT source, filled,
               (z1 + (1024 - filled) * {1 << 51})::BIGINT AS z_scaled
        FROM ag)
 SELECT source, filled, z_scaled,
-       CASE WHEN ({_HLL_C10!r} / z_scaled::DOUBLE) <= 2560.0
-                 AND (1024 - filled) > 0
-            THEN 1024.0 * ln(1024.0 / (1024 - filled)::DOUBLE)
-            ELSE {_HLL_C10!r} / z_scaled::DOUBLE END AS est
+       round(1000000.0 * (
+         CASE WHEN ({_HLL_C10!r} / z_scaled::DOUBLE) <= 2560.0
+                   AND (1024 - filled) > 0
+              THEN 1024.0 * ln(1024.0 / (1024 - filled)::DOUBLE)
+              ELSE {_HLL_C10!r} / z_scaled::DOUBLE END))::BIGINT AS est_ppm
 FROM zz
 """,
         # hll_registers: the exact-integer register table at p=8 —

@@ -464,9 +464,12 @@ def hll_estimate(
     The only floats are the final expression: raw = alpha_m * m^2 *
     2^(61-p) / z_scaled (one literal multiply, one IEEE division), with
     Flajolet's small-range correction — linear counting ``m * ln(m/zeros)``
-    when raw <= 2.5m and zero registers exist. Both branches are single
-    fixed-order expressions over exact integers, so the double replays
-    bit-identically in the DuckDB oracle.
+    when raw <= 2.5m and zero registers exist. The raw branch replays
+    bit-identically in the DuckDB oracle (multiply/divide are correctly
+    rounded); the linear-counting branch goes through ``ln``, which is
+    only 1-ulp-accurate and engine-specific (JVM StrictMath vs libm), so
+    cross-engine comparisons of ``est`` must round first — the contract
+    queries compare ``round(1e6 * est)`` per the repo's scaled-int rule.
 
     ``group_cols`` (matching ``hll_build``) yields one estimate row per
     group; the ungrouped form stays a single global agg (one row even on
@@ -489,10 +492,9 @@ def hll_estimate(
     out = agg.select(*gcols, F.col("filled"), z_scaled)
     c = _hll_alpha(m) * m * m * scale  # one Python float literal
     raw = F.lit(c) / F.col("z_scaled").cast("double")
-    zeros_o = F.lit(m) - F.col("filled")
-    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros_o.cast("double"))
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros_o > 0), lc
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), lc
     ).otherwise(raw)
     return out.withColumn("est", est)
 

@@ -93,10 +93,11 @@ the CheckpointStore so a crash resumes without recomputing finished work:
    the p50/p99 length cuts — persisted as ONE long-form (metric, k, v)
    table whose register/bucket rows hll_merge/hist_merge with future
    runs' stats tables (cross-run distinct counts and length
-   distributions without rescanning this corpus). One text-bytes pass;
-   deliberately OUTSIDE the global lineage key — stats change no bytes
-   any other stage reads, so toggling them never invalidates the
-   pipeline.
+   distributions without rescanning this corpus). Three narrow scan+agg
+   passes over the final corpus (words for HLL, lengths for the
+   histogram, totals) — no rewrite, no unbounded shuffle; deliberately
+   OUTSIDE the global lineage key — stats change no bytes any other
+   stage reads, so toggling them never invalidates the pipeline.
 
 Determinism: signatures, pairs, components, and keeper choice are all pure
 functions of the corpus (md5 hashing, min-label components, min-id
