@@ -703,6 +703,49 @@ def q_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def q_ivf_lloyd(spark, sf_dir):
+    """Distributed spherical-k-means refinement
+    (operators/similarity.py:lloyd_refine): the farthest-point seeds
+    (same cached table as ann_ivf_trained) refined by TWO full-corpus
+    Lloyd iterations inside Spark — assignment is greatest-struct argmax
+    over literal centroids (pure map-side), the spherical mean is an
+    exact int64 sum of round(1e9 * x/|x|) per coordinate (shuffle-order-
+    proof), and the per-centroid finisher (left-associated sum of
+    squares -> sqrt -> divide) replays bit-for-bit in the oracle's
+    chained CTEs. Output is the long-form refined quantizer: one row per
+    (centroid, dimension) with the coordinate as round(1e9 * c) and the
+    kept/refined norm as round(1e6 * cn)."""
+    from geofeaturegeneration_spark.operators import (
+        farthest_point_centroids,
+        lloyd_refine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    if sf_dir not in _IVF_FPS:
+        cents = farthest_point_centroids(emb, "vec_id", "embedding", k=8)
+        _IVF_FPS[sf_dir] = [
+            (r["_cid"], list(r["_cv"]), float(r["_cn"])) for r in cents.collect()
+        ]
+    cent = spark.createDataFrame(
+        _IVF_FPS[sf_dir], "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE"
+    )
+    refined = lloyd_refine(emb, "vec_id", "embedding", cent, iters=2)
+    return refined.select(
+        F.col("_cid").alias("cid"),
+        F.round(F.lit(1_000_000.0) * F.col("_cn")).cast("long").alias(
+            "cn_ppm"
+        ),
+        F.posexplode("_cv").alias("d0", "c"),
+    ).select(
+        "cid",
+        (F.col("d0") + 1).cast("int").alias("d"),
+        F.round(F.lit(1_000_000_000.0) * F.col("c")).cast("long").alias(
+            "c_ppb"
+        ),
+        "cn_ppm",
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): cluster embeddings with the
     deterministic farthest-point quantizer (same trained table as
@@ -1794,6 +1837,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract 'ann_ivf'/'ann_ivf_trained' now run the blocked-GEMM
         # plan (round 4); the join-form IVF stays here as its exactness twin
         "ann_ivf_join": q_ann_ivf_join,
+        # distributed full-corpus Lloyd refinement of the ann_ivf_trained
+        # quantizer — the train-on-everything sibling of the driver-side
+        # train_ivf_centroids sampler, value-exact via scaled-int sums
+        "ivf_lloyd": q_ivf_lloyd,
         # signature STAGE queries folded out of the driver window (late
         # round 3) to give quality_filter and pack_sequences contract
         # slots; both stages stay driver-verified transitively — the
@@ -2212,6 +2259,61 @@ def _fps_cent_ctes(k: int = 8, salt: str = "ivfseed") -> str:
     return ",\n".join(parts)
 
 
+def _lloyd_sql(k: int = 8, iters: int = 2, scale: int = 10**9) -> str:
+    """operators/similarity.lloyd_refine replayed as chained CTEs: cent0 =
+    the farthest-point seeds (same chain as ann_ivf_trained), then per
+    iteration assignment (row_number over cos DESC, cid — identical to the
+    Spark greatest-struct argmax), exact int64 coordinate sums of
+    round(scale * x/|x|), and the fixed-order finisher (left-assoc sum of
+    squares -> sqrt -> divide; empty clusters / zero sums keep the previous
+    centroid). Same MATERIALIZED discipline as _ivf_search_sql."""
+    parts = [_fps_cent_ctes(k), "cent0 AS (SELECT cid, cv::DOUBLE[] AS cv, cn FROM cent)"]
+    for i in range(1, iters + 1):
+        p = f"cent{i - 1}"
+        parts.append(
+            f"""a{i} AS (SELECT n.vec_id, n.embedding, n.nn, c.cid,
+             ({_dot_sql('n', 'c', bcol='cv')}) / (n.nn * c.cn) AS cos
+      FROM n CROSS JOIN {p} c)"""
+        )
+        parts.append(
+            f"""asg{i} AS (SELECT vec_id, embedding, nn, cid FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cid) AS rn FROM a{i})
+      WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""sm{i} AS (SELECT cid, d,
+             sum(round({float(scale)!r} * embedding[d]::DOUBLE / nn)::BIGINT) AS s
+      FROM asg{i} CROSS JOIN range(1, {EMB_DIM + 1}) t(d) GROUP BY cid, d)"""
+        )
+        parts.append(
+            f"sv{i} AS (SELECT cid, list(s::DOUBLE ORDER BY d) AS sv"
+            f" FROM sm{i} GROUP BY cid)"
+        )
+        sumsq = " + ".join(
+            f"(sv[{j}] * sv[{j}])" for j in range(1, EMB_DIM + 1)
+        )
+        parts.append(f"nm{i} AS (SELECT cid, sv, sqrt({sumsq}) AS nrm FROM sv{i})")
+        arr = ", ".join(f"m.sv[{j}] / m.nrm" for j in range(1, EMB_DIM + 1))
+        parts.append(
+            f"""cent{i} AS (SELECT p.cid,
+      CASE WHEN m.cid IS NULL OR m.nrm = 0.0 THEN p.cv ELSE [{arr}] END AS cv,
+      CASE WHEN m.cid IS NULL OR m.nrm = 0.0 THEN p.cn ELSE 1.0 END AS cn
+      FROM {p} p LEFT JOIN nm{i} m ON p.cid = m.cid)"""
+        )
+    ctes = ",\n".join(parts)
+    sql = f"""
+WITH n AS (SELECT vec_id, embedding, sqrt({_sqnorm_sql()}) AS nn FROM embeddings
+           WHERE ({_sqnorm_sql()}) > 0),
+{ctes}
+SELECT c.cid, t.d::INT AS d,
+       round(1000000000.0 * c.cv[t.d])::BIGINT AS c_ppb,
+       round(1000000.0 * c.cn)::BIGINT AS cn_ppm
+FROM cent{iters} c CROSS JOIN range(1, {EMB_DIM + 1}) t(d)
+"""
+    return sql.replace(" AS (SELECT", " AS MATERIALIZED (SELECT")
+
+
 def _hp_bucket_sql(planes: list[list[float]]) -> str:
     """One hash table's bucket id as DuckDB SQL — each bit's hyperplane dot
     is the SAME left-associated fold (0.0 + t1 + t2 + ...) as the Spark
@@ -2353,6 +2455,7 @@ def oracle_sql() -> dict[str, str]:
     # cosines within ~1e-13 — verified exact at sf0.01 and sf0.1)
     d["cosine_topk_join"] = d["cosine_topk"]
     d["ann_ivf_join"] = d["ann_ivf"]
+    d["ivf_lloyd"] = _lloyd_sql(k=8, iters=2)
     return d
 
 

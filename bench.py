@@ -105,6 +105,7 @@ HEADLINE = [
     "bloom_screen",
     "bpe_roundtrip",
     "bm25_topk",
+    "ivf_lloyd",
 ]
 
 

@@ -1318,6 +1318,117 @@ def train_ivf_centroids(
     )
 
 
+def lloyd_refine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    iters: int = 1,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Distributed spherical-k-means (Lloyd) refinement of a quantizer:
+    the FULL-CORPUS sibling of :func:`train_ivf_centroids`'s driver k-means
+    — every iteration assigns every corpus vector and recomputes every
+    centroid inside Spark, so the refinement sees all the data, not a
+    sample. Upgrades any seed table (:func:`farthest_point_centroids`,
+    :func:`train_ivf_centroids`, or hand-picked) in place; returns the
+    same ``(_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE)`` shape that
+    ``ann_ivf_topk`` / ``semantic_dedup`` accept (``_cn`` = 1.0 for
+    refined centers).
+
+    Determinism contract (why this is SQL-replayable where a naive
+    ``avg()`` k-means is not): the spherical mean ``Σ x_i/|x_i|`` is a
+    cross-row FLOAT sum, which Spark aggregates in shuffle order — so
+    each unit coordinate is quantized to ``round(scale * x/|x|)`` and
+    summed as EXACT int64 (the importance.py/sketch.py scaled-int rule).
+    The only floats are per-centroid finishers over the k×dim exact sums
+    (left-associated sum of squares → sqrt → one division per
+    coordinate), each a fixed-order expression both engines replay
+    bit-for-bit. Assignment argmax is ``greatest`` over per-centroid
+    structs ``(cos, -cid)`` — max is exact, ties break to the smaller
+    cid, identical to the ``row_number (ORDER BY cos DESC, cid)`` form in
+    the DuckDB oracle. Empty clusters and all-zero coordinate sums keep
+    their previous centroid (standard Lloyd practice, and it keeps the
+    engines in lock-step). Zero-norm input vectors are excluded
+    (family rule: no cosine direction).
+
+    Scale shape: per iteration the corpus is scanned ONCE; the k
+    centroids ride into the executors as expression literals (the
+    :func:`farthest_point_centroids` pattern), so assignment is pure
+    map-side — the iteration's only shuffle is the (cid, dim) int-sum
+    aggregate, which partial-agg collapses to k×dim rows per task before
+    the exchange. Driver traffic is O(k·dim) per iteration (the same
+    rows a broadcast would ship). Expression size grows with k·dim —
+    for k beyond a few hundred use :func:`_gemm_assign`-style batching
+    (``ann_ivf_topk_blocked``) for the search itself and train on a
+    sample instead. No analog in the reference (its only trained
+    artifact is the PoI category table, AttachFeature.py:497-501); this
+    is the missing train-on-everything path the round-3 review noted
+    ``train_ivf_centroids`` approximates from a sample."""
+    import math
+
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    crows = _quantizer_rows(df, id_col, vec_col, 0, centroids)
+    if not crows:
+        raise ValueError("lloyd_refine: empty centroid table")
+    spark = df.sparkSession
+    normed = with_norm(df, id_col, vec_col).filter(F.col("_n") > 0)
+    dim = len(crows[0][1])
+    for _ in range(iters):
+        structs = [
+            F.struct(
+                (
+                    _dot(F.col("_v"), F.array(*[F.lit(x) for x in cv]))
+                    / (F.col("_n") * F.lit(cn))
+                ).alias("_c"),
+                F.lit(-cid).alias("_nc"),
+            )
+            for cid, cv, cn in crows
+        ]
+        best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+        assigned = normed.select(
+            (-best["_nc"]).alias("_cid"), F.col("_v"), F.col("_n")
+        )
+        sums = (
+            assigned.select(
+                "_cid", "_n", F.posexplode("_v").alias("_d0", "_x")
+            )
+            .select(
+                "_cid",
+                (F.col("_d0") + 1).alias("d"),
+                F.round(F.lit(float(scale)) * F.col("_x") / F.col("_n"))
+                .cast("long")
+                .alias("_s"),
+            )
+            .groupBy("_cid", "d")
+            .agg(F.sum("_s").alias("s"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["_cid"]), {})[int(r["d"])] = int(r["s"])
+        nxt: list[tuple[int, list[float], float]] = []
+        for cid, cv, cn in crows:
+            sd = by_cid.get(cid)
+            if sd is None:
+                nxt.append((cid, cv, cn))  # empty cluster: keep previous
+                continue
+            sv = [float(sd[d]) for d in range(1, dim + 1)]
+            acc = 0.0
+            for x in sv:  # left-associated, same fold as the oracle
+                acc = acc + x * x
+            nrm = math.sqrt(acc)
+            if nrm == 0.0:
+                nxt.append((cid, cv, cn))  # cancelled to zero: keep
+                continue
+            nxt.append((cid, [x / nrm for x in sv], 1.0))
+        crows = nxt
+    return spark.createDataFrame(
+        crows, "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE"
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame, id_col: str, vec_col: str, k: int = 3, n_bits: int = 8
 ) -> DataFrame:

@@ -952,3 +952,153 @@ def test_semantic_dedup_default_quantizer_and_invariance(spark):
     gb = sorted((r.vec_id, r.cluster_id, r.keep) for r in b.collect())
     assert ga == gb
     assert sum(1 for _, _, k in ga if not k) == 3  # same 3 near-dups drop
+
+
+def _ref_lloyd(rows, cents, iters, scale=10**9):
+    """Independent pure-Python quantized spherical Lloyd — the semantics
+    lloyd_refine promises, written row-at-a-time: argmax cos (ties to the
+    smaller cid), per-coordinate HALF_UP round(scale*x/|x|) int sums,
+    left-associated sum-of-squares finisher. rows = [(id, [float32 vals])]."""
+    import math
+
+    def half_up(v):
+        return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+    # float32 storage then double widening, like ARRAY<FLOAT> -> _to_double
+    import numpy as np
+
+    X = [[float(np.float32(x)) for x in vec] for _, vec in rows]
+    norms = []
+    for v in X:
+        acc = 0.0
+        for x in v:
+            acc = acc + x * x
+        norms.append(math.sqrt(acc))
+    cents = [(cid, list(cv), cn) for cid, cv, cn in cents]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        sums = {}
+        for v, n in zip(X, norms):
+            if n <= 0:
+                continue
+            best = None
+            for cid, cv, cn in cents:
+                acc = 0.0
+                for x, c in zip(v, cv):
+                    acc = acc + x * c
+                key = (acc / (n * cn), -cid)
+                if best is None or key > best[0]:
+                    best = (key, cid)
+            cid = best[1]
+            s = sums.setdefault(cid, [0] * dim)
+            for d, x in enumerate(v):
+                s[d] += half_up(scale * x / n)
+        nxt = []
+        for cid, cv, cn in cents:
+            if cid not in sums:
+                nxt.append((cid, cv, cn))
+                continue
+            sv = [float(s) for s in sums[cid]]
+            acc = 0.0
+            for x in sv:
+                acc = acc + x * x
+            nrm = math.sqrt(acc)
+            if nrm == 0.0:
+                nxt.append((cid, cv, cn))
+                continue
+            nxt.append((cid, [x / nrm for x in sv], 1.0))
+        cents = nxt
+    return cents
+
+
+def test_lloyd_refine_matches_reference_and_improves(spark):
+    """lloyd_refine == the independent reference bit-for-bit after 2
+    full-corpus iterations, and the refined quantizer covers every true
+    cluster direction better than the raw farthest-point seeds."""
+    import numpy as np
+
+    from geofeaturegeneration_spark.operators import (
+        farthest_point_centroids,
+        lloyd_refine,
+    )
+
+    rng = np.random.default_rng(23)
+    dim, centers = 8, rng.normal(size=(3, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for cl, n in [(0, 40), (1, 25), (2, 15)]:
+        for _ in range(n):
+            v = centers[cl] + 0.2 * rng.normal(size=dim)
+            rows.append((len(rows), [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+
+    seeds_df = farthest_point_centroids(df, "vec_id", "embedding", k=3)
+    seeds = [
+        (int(r["_cid"]), list(r["_cv"]), float(r["_cn"]))
+        for r in seeds_df.orderBy("_cid").collect()
+    ]
+    got = lloyd_refine(df, "vec_id", "embedding", seeds_df, iters=2)
+    got_rows = [
+        (int(r["_cid"]), list(r["_cv"]), float(r["_cn"]))
+        for r in got.orderBy("_cid").collect()
+    ]
+    exp = _ref_lloyd(rows, seeds, iters=2)
+    assert got_rows == exp  # exact, no tolerance
+
+    def cover(cents):
+        C = np.array([c[1] for c in cents], dtype=np.float64)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        return (centers @ C.T).max(axis=1).min()
+
+    assert cover(got_rows) >= cover(seeds) - 1e-12
+    assert cover(got_rows) >= 0.95  # every true direction is represented
+
+
+def test_lloyd_refine_partitioning_invariant(spark):
+    """The scaled-int sums make the refined centroids EXACTLY equal under
+    any input partitioning — the property a float avg() k-means lacks."""
+    import numpy as np
+
+    from geofeaturegeneration_spark.operators import (
+        farthest_point_centroids,
+        lloyd_refine,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=6)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    cents = farthest_point_centroids(df, "vec_id", "embedding", k=4)
+    a = lloyd_refine(df, "vec_id", "embedding", cents, iters=2).collect()
+    b = lloyd_refine(
+        df.repartition(13), "vec_id", "embedding", cents, iters=2
+    ).collect()
+    ka = sorted((r["_cid"], list(r["_cv"]), r["_cn"]) for r in a)
+    kb = sorted((r["_cid"], list(r["_cv"]), r["_cn"]) for r in b)
+    assert ka == kb
+
+
+def test_lloyd_refine_empty_cluster_keeps_seed(spark):
+    """A centroid that captures no vectors (and iters=0) passes through
+    unchanged — Lloyd never invents or drops a center."""
+    from geofeaturegeneration_spark.operators import lloyd_refine
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],  # 3: zero-norm
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1.0), (2, [-1.0, 0.0], 1.0)],
+        "_cid INT, _cv ARRAY<DOUBLE>, _cn DOUBLE",
+    )
+    out = {
+        r["_cid"]: (list(r["_cv"]), r["_cn"])
+        for r in lloyd_refine(df, "vec_id", "embedding", cents, iters=1).collect()
+    }
+    assert out[2] == ([-1.0, 0.0], 1.0)  # empty cluster: seed kept verbatim
+    assert out[1][0][0] > 0.99  # the +x cluster mean stays on +x
+    same = lloyd_refine(df, "vec_id", "embedding", cents, iters=0).collect()
+    assert sorted((r["_cid"], list(r["_cv"]), r["_cn"]) for r in same) == [
+        (1, [1.0, 0.0], 1.0), (2, [-1.0, 0.0], 1.0),
+    ]
