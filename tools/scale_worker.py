@@ -98,6 +98,27 @@ def main() -> None:
             )
             out.write.format("noop").mode("overwrite").save()
             return n_vecs, time.perf_counter() - t0
+    elif job == "lloyd":
+        import time
+
+        from geofeaturegeneration_spark.operators import (
+            lloyd_refine,
+            train_ivf_centroids,
+        )
+
+        def run_job(spark, emb_path):
+            emb = spark.read.parquet(emb_path)
+            n_vecs = emb.count()
+            # seeds trained once (fixed cost shared by both levels, same
+            # rule as the semdedup job); the timed region is the TWO
+            # full-corpus Lloyd iterations — each one corpus scan of
+            # literal-centroid assignment + the (cid, dim) int-sum agg
+            cents = train_ivf_centroids(emb, "vec_id", "embedding", k=16)
+            t0 = time.perf_counter()
+            out = lloyd_refine(emb, "vec_id", "embedding", cents, iters=2)
+            out.write.format("noop").mode("overwrite").save()
+            # work metric = vector-iterations (each assigns + contributes)
+            return n_vecs * 2, time.perf_counter() - t0
     elif job == "dsir":
         import time
 

@@ -102,7 +102,7 @@ def main() -> None:
     p.add_argument("--job", default="pipeline",
                    choices=["pipeline", "pack", "semdedup", "dsir",
                             "sketch", "bpe", "normalize", "span",
-                            "span_intervals", "hll", "hist"],
+                            "span_intervals", "hll", "hist", "lloyd"],
                    help="pipeline = token feature pipeline; pack = "
                         "pack_sequences over the same table; semdedup = "
                         "semantic_dedup over a synthetic embedding corpus "
@@ -121,7 +121,7 @@ def main() -> None:
                    help="doc-length multiplier for --job dsir")
     args = p.parse_args()
 
-    if args.job == "semdedup":
+    if args.job in ("semdedup", "lloyd"):
         seq_path = ensure_emb_input(args.n_vecs)
     elif args.job in ("dsir", "sketch", "bpe", "normalize", "span",
                       "span_intervals", "hll", "hist"):
@@ -157,10 +157,12 @@ def main() -> None:
         "span_intervals": "span_dup_intervals (stages 1-2 of span_dedup, no reassembly)",
         "hll": "hll_count (distinct words, p=14)",
         "hist": "hist_quantile_values (word-length p50/p99, sub_bits=5)",
+        "lloyd": "lloyd_refine (16 centroids, 2 full-corpus iterations)",
     }[args.job]
     unit = {"semdedup": "vectors", "dsir": "grams", "sketch": "shingles",
             "bpe": "subword tokens", "normalize": "chars",
-            "hll": "words", "hist": "words"}.get(args.job, "tokens")
+            "hll": "words", "hist": "words",
+            "lloyd": "vector-iterations"}.get(args.job, "tokens")
     if args.md_out:
         with open(args.md_out, "a") as f:
             f.write(
