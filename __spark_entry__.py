@@ -1745,6 +1745,24 @@ def q_bm25_scores(spark, sf_dir):
     return bm25_scores(docs, "doc_id", "text", qs, "q_id", "q_text")
 
 
+def q_bm25_topk_maxdf(spark, sf_dir):
+    """q_bm25_topk under the max_df_frac=0.78 stop-filter: terms in more
+    than floor(0.78 * N) docs are pruned from scoring — the knob that
+    bounds the postings x queries join at corpus scale. At sf0.01 the
+    threshold (390 of 500 docs) keeps 14 of the 31 vocabulary terms, so
+    the pruning is exercised non-vacuously on both sides."""
+    from geofeaturegeneration_spark.operators import bm25_topk
+
+    docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    qs = docs.filter(F.col("doc_id") % 83 == 5).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    return bm25_topk(
+        docs, "doc_id", "text", qs, "q_id", "q_text", k=10,
+        max_df_frac=0.78,
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-scaled mixture sampling (alpha=0.5 upsample-the-tail,
     target half the corpus): driver-computed integer ppm rates realized
@@ -1798,6 +1816,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window), verified here value-exact.
         "tpch_pricing": q_tpch_pricing,
         "bm25_scores": q_bm25_scores,
+        # the stop-filtered (max_df_frac) form of the in-window bm25_topk —
+        # the quadratic-safety knob, exercised non-vacuously
+        "bm25_topk_maxdf": q_bm25_topk_maxdf,
         # round 4: folded to free the heavy_hitters / bloom_screen sketch
         # slots — frame_sample keeps its multimodal sibling
         # (multimodal_meta) in-window, sliding_subseq its windows siblings
@@ -2092,7 +2113,11 @@ sc AS (SELECT rb.doc_id,
 #   contrib = round(10000.0 * (idf * tfn)) :: BIGINT
 # — so per-pair scores are exact integer sums on both engines; n and
 # avgdl are exact-int-to-double conversions + one IEEE division.
-_BM25_CTES = """
+def _bm25_ctes(dft_having: str = "") -> str:
+    """BM25 oracle CTE chain; ``dft_having`` appends a HAVING clause to the
+    document-frequency table — the max_df/max_df_frac pruning hook
+    (operators/retrieval.py bm25_scores)."""
+    return f"""
 WITH
 d AS (SELECT doc_id, coalesce(len(string_split(text,' ')), 0)::BIGINT AS dl,
              string_split(text,' ') AS ws
@@ -2105,7 +2130,7 @@ toks AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
 tf AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf
        FROM toks WHERE term IN (SELECT term FROM q)
        GROUP BY 1, 2, 3),
-dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1{dft_having}),
 c AS (SELECT tf.doc_id, tf.term,
              round(10000.0 * (
                ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
@@ -2118,6 +2143,9 @@ s AS (SELECT q.q_id, c.doc_id, count(*)::INT AS n_terms,
       FROM c JOIN q USING (term)
       GROUP BY 1, 2)
 """
+
+
+_BM25_CTES = _bm25_ctes()
 
 
 # Hash-sampled negative-candidate CTEs (expects an ``inter`` CTE with
@@ -2513,6 +2541,19 @@ WHERE rank <= 10
 SELECT q_id, doc_id, n_terms, score_int,
        score_int::DOUBLE / 10000.0 AS score
 FROM s
+""",
+        # max_df_frac=0.78 stop-filter: HAVING prunes the df table, the
+        # same place the Spark side filters; floor(frac * n) replays the
+        # one IEEE multiply+floor exactly
+        "bm25_topk_maxdf": _bm25_ctes(
+            "\n       HAVING count(*) <= floor(0.78 * (SELECT n FROM st))"
+        ) + """
+SELECT q_id, doc_id, rank, n_terms, score_int,
+       score_int::DOUBLE / 10000.0 AS score
+FROM (SELECT *, CAST(row_number() OVER
+        (PARTITION BY q_id ORDER BY score_int DESC, doc_id ASC) AS INT)
+        AS rank FROM s)
+WHERE rank <= 10
 """,
         "top_customers": """
 WITH rev AS (

@@ -48,6 +48,8 @@ Scale shape (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -88,18 +90,32 @@ def bm25_scores(
     scale: int = 10_000,
     n_docs: int | None = None,
     total_words: int | None = None,
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """BM25 score of every (query, matching doc) pair:
     (q_id_col, id_col, n_terms, score_int, score) where ``n_terms`` is
-    the number of distinct query terms the doc contains, ``score_int``
-    the exact int64 sum of scaled per-term contributions and
-    ``score = score_int / scale``. Docs sharing no term with a query
+    the number of distinct SCORING query terms the doc contains,
+    ``score_int`` the exact int64 sum of scaled per-term contributions
+    and ``score = score_int / scale``. Docs sharing no term with a query
     emit no row (BM25 of a disjoint pair is 0 by definition).
 
     ``n_docs``/``total_words`` (corpus doc count and summed word count —
     the avgdl inputs) are collected with one bounded 1-row aggregate
     when not supplied; pass them to skip the stats scan when scoring
-    many query batches against one corpus."""
+    many query batches against one corpus.
+
+    ``max_df`` / ``max_df_frac`` (mutually exclusive) drop terms whose
+    corpus document frequency exceeds the bound (absolute, or
+    ``floor(max_df_frac * n_docs)``) from scoring entirely — Lucene's
+    common-terms / stop-filter practice. This is the knob that keeps the
+    operator quadratic-safe at scale: the score join emits one row per
+    (matching posting x query containing the term), so a stopword with
+    df ~ N appearing in every query contributes |queries| x N rows;
+    its idf is meanwhile the SMALLEST of any term (ln(1 + small)), so
+    pruning the df head removes almost all join volume at almost no
+    score mass. A doc whose only shared terms are pruned scores as
+    disjoint (no row), same as a search engine's stop-filtered recall."""
     if n_docs is None or total_words is None:
         stats = docs.select(
             F.coalesce(
@@ -110,6 +126,13 @@ def bm25_scores(
         total_words = int(stats[1] or 0)
     if n_docs <= 0:
         raise ValueError("bm25 needs a non-empty corpus")
+    if max_df is not None and max_df_frac is not None:
+        raise ValueError("pass max_df or max_df_frac, not both")
+    if max_df_frac is not None:
+        if not 0.0 < max_df_frac <= 1.0:
+            raise ValueError("max_df_frac must be in (0, 1]")
+        # floor of one IEEE multiply — replayed as floor(frac * n) in SQL
+        max_df = int(math.floor(max_df_frac * float(n_docs)))
     # one IEEE division of two exact ints — identical in the oracle
     avgdl = float(total_words) / float(n_docs)
 
@@ -135,6 +158,11 @@ def bm25_scores(
         .localCheckpoint(eager=False)
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        # pruning at the (broadcast-sized) df table bounds the score
+        # join's |postings with term| x |queries with term| output — the
+        # only super-linear row count in the operator
+        dft = dft.filter(F.col("df") <= F.lit(max_df))
 
     # fixed-order float tree, mirrored verbatim in the DuckDB oracle:
     #   idf  = ln((N - df + 0.5) / (df + 0.5) + 1.0)

@@ -178,3 +178,63 @@ def test_empty_corpus_raises(spark):
     qs = spark.createDataFrame([(1, "x")], "q_id long, q_text string")
     with pytest.raises(ValueError):
         bm25_scores(docs, "doc_id", "text", qs, "q_id", "q_text")
+
+
+def test_bm25_max_df_prunes_stopwords(spark):
+    """max_df drops high-df terms from scoring: a doc whose only shared
+    term is the stopword vanishes, surviving pairs equal the Python
+    oracle run on a df-restricted term set, and max_df_frac resolves to
+    the same absolute bound."""
+    docs = spark.createDataFrame(CORPUS, "doc_id INT, text STRING")
+    qs = spark.createDataFrame(QUERIES, "q_id INT, q_text STRING")
+    # 'the' has df=4 (docs 1,2,4,5); every other term df <= 2
+    full = {
+        (r["q_id"], r["doc_id"]): (r["n_terms"], r["score_int"])
+        for r in bm25_scores(
+            docs, "doc_id", "text", qs, "q_id", "q_text", max_df=3
+        ).collect()
+    }
+    # query 100 = "the cat": docs 2/4/5 matched ONLY via 'the' -> gone
+    assert (100, 5) not in full and (100, 2) not in full
+    assert (100, 4) not in full
+    assert {k for k in full if k[0] == 100} == {(100, 1), (100, 7)}
+    # surviving pairs replay exactly with 'the' removed from scoring
+    pruned_corpus = [(i, " ".join(w for w in t.split(" ") if w != "the"))
+                     for i, t in CORPUS]
+    # keep dl/avgdl of the ORIGINAL corpus: pruning only drops the term's
+    # contributions, not the document-length statistics
+    exp = {}
+    docs_ws = {i: t.split(" ") for i, t in CORPUS}
+    n = float(len(docs_ws))
+    dls = {i: len(ws) for i, ws in docs_ws.items()}
+    avgdl = float(sum(dls.values())) / n
+    for qid, qtext in QUERIES:
+        for term in sorted(set(qtext.split(" "))):
+            if term == "the":
+                continue
+            df = sum(1 for ws in docs_ws.values() if term in ws)
+            if df == 0:
+                continue
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            for i, ws in docs_ws.items():
+                tf = ws.count(term)
+                if tf == 0:
+                    continue
+                tfn = (tf * (K1 + 1.0)) / (
+                    tf + K1 * ((1.0 - B) + B * dls[i] / avgdl)
+                )
+                c = int(round(SCALE * (idf * tfn)))
+                nt, s = exp.get((qid, i), (0, 0))
+                exp[(qid, i)] = (nt + 1, s + c)
+    assert full == exp
+    # frac form: floor(0.5 * 7 docs) = 3 -> identical output
+    frac = {
+        (r["q_id"], r["doc_id"]): (r["n_terms"], r["score_int"])
+        for r in bm25_scores(
+            docs, "doc_id", "text", qs, "q_id", "q_text", max_df_frac=0.5
+        ).collect()
+    }
+    assert frac == full
+    with pytest.raises(ValueError, match="not both"):
+        bm25_scores(docs, "doc_id", "text", qs, "q_id", "q_text",
+                    max_df=3, max_df_frac=0.5)
