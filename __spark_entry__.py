@@ -1160,6 +1160,21 @@ def q_source_sample(spark, sf_dir):
     )
 
 
+def q_epoch_upsample(spark, sf_dir):
+    """Repetition form of the mixing recipe
+    (operators/curation.py:epoch_upsample): src0 at 2.3 epochs (two
+    guaranteed copies + a 30% hash-drawn third), src1 at 0.7 (the
+    sub-1.0 draw degrades to source_sample), everything else exactly one
+    copy — one broadcast rate join + one linear explode(sequence),
+    copies numbered by a 1-based epoch column."""
+    from geofeaturegeneration_spark.operators import epoch_upsample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_upsample(
+        docs, "doc_id", {"src0": 2_300_000, "src1": 700_000}
+    )
+
+
 _SPAN_DISC = (
     "this document is provided as is without warranty of any kind whatsoever"
 )
@@ -1819,6 +1834,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the stop-filtered (max_df_frac) form of the in-window bm25_topk —
         # the quadratic-safety knob, exercised non-vacuously
         "bm25_topk_maxdf": q_bm25_topk_maxdf,
+        # the >1.0-rate (multi-epoch repetition) complement of the
+        # in-window source_sample / temperature_mix keep-or-drop draws
+        "epoch_upsample": q_epoch_upsample,
         # round 4: folded to free the heavy_hitters / bloom_screen sketch
         # slots — frame_sample keeps its multimodal sibling
         # (multimodal_meta) in-window, sliding_subseq its windows siblings
@@ -3303,6 +3321,23 @@ FROM documents
 WHERE ({_MD5L.format(x="doc_id::VARCHAR || '#mixrate'")}) % 1000000
       < (CASE source WHEN 'src0' THEN 800000
                      WHEN 'src1' THEN 300000 ELSE 0 END)
+""",
+        # epoch_upsample: floor(ppm/1e6) guaranteed copies + one more iff
+        # md5(id#epoch) % 1e6 < ppm % 1e6; generate_series(1, 0) is empty
+        # in DuckDB and the Spark side filters n >= 1 before its ANSI
+        # sequence, so the engines agree on dropped rows
+        "epoch_upsample": f"""
+WITH j AS (SELECT doc_id, source,
+       (CASE source WHEN 'src0' THEN 2300000
+                    WHEN 'src1' THEN 700000 ELSE 1000000 END)::BIGINT AS ppm,
+       ({_MD5L.format(x="doc_id::VARCHAR || '#epoch'")}) % 1000000 AS h
+ FROM documents),
+n AS (SELECT doc_id, source,
+       (ppm // 1000000) + (CASE WHEN h < ppm % 1000000
+                                THEN 1 ELSE 0 END) AS n
+ FROM j)
+SELECT doc_id, source, unnest(generate_series(1, n))::INT AS epoch
+FROM n WHERE n >= 1
 """,
         # mirrors operators/curation.temperature_mix (alpha=0.5,
         # target_frac=0.5): the rate formula replays with the same float-op

@@ -106,6 +106,7 @@ HEADLINE = [
     "bpe_roundtrip",
     "bm25_topk",
     "ivf_lloyd",
+    "epoch_upsample",
 ]
 
 

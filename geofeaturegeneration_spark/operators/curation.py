@@ -724,6 +724,75 @@ def temperature_rates(
     return rates
 
 
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    rates_ppm: dict[str, int],
+    by: str = "source",
+    salt: str = "epoch",
+    default_ppm: int = 1_000_000,
+) -> DataFrame:
+    """Repetition-based mixing — the UPSAMPLING complement of
+    :func:`source_sample`, whose keep-or-drop draw caps every group's
+    realized rate at 1.0 (and makes :func:`temperature_rates` clamp hot
+    recipes). Pretraining mixes routinely specify MULTI-epoch rates for
+    small high-quality sources (e.g. Gopher/LLaMA-class recipes run
+    books/wiki at 2-3 epochs per web epoch); this operator materializes
+    them: each row is emitted ``floor(ppm / 1e6)`` times plus one more
+    iff ``md5(id#salt) % 1e6 < ppm % 1e6``, with a 1-based ``epoch``
+    column distinguishing the copies (feed the result to
+    ``shuffle_shards`` so repeats land in different shards). ``ppm`` is
+    the group's rate in integer parts-per-million (2_300_000 = 2.3
+    epochs); groups absent from ``rates_ppm`` get ``default_ppm``
+    (1_000_000 = exactly one copy — identity). Rates below 1e6 degrade
+    to the source_sample draw (same hash, different salt default).
+
+    Determinism and monotonicity: the copy count is a pure function of
+    (id, salt, ppm) — reproducible across engines/cluster sizes — and
+    NONDECREASING in ppm for every row (raising a group's rate only adds
+    copies, and new copies take higher epoch numbers, so previously
+    materialized data never churns — the same recipe-tuning property as
+    source_sample, extended past 1.0).
+
+    Plan: one broadcast join against the |groups|-row rate table + one
+    linear ``explode(sequence(1, n))`` — no shuffle; output rows =
+    sum of copy counts, which is the point. The n >= 1 filter is
+    load-bearing under ANSI mode (sequence(1, 0) DESCENDS in Spark 4.1,
+    CLAUDE.md rule). No reference analog (its pipeline reads every user
+    file exactly once); this is standard training-mix practice."""
+    for k, v in rates_ppm.items():
+        if not 0 <= int(v) <= 1_000_000_000:
+            raise ValueError(f"rate out of range for {k!r}: {v}")
+    if not 0 <= int(default_ppm) <= 1_000_000_000:
+        raise ValueError("default_ppm out of range")
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(rates_ppm.items())],
+        f"{by} STRING, _ppm LONG",
+    )
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
+    ppm = F.coalesce(F.col("_ppm"), F.lit(int(default_ppm)).cast("long"))
+    n = (
+        F.floor(ppm / F.lit(1_000_000)).cast("long")
+        + F.when(h % 1_000_000 < ppm % 1_000_000, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    )
+    cols = df.columns
+    return (
+        df.join(F.broadcast(rates), by, "left")
+        .withColumn("_n", n)
+        .filter(F.col("_n") >= 1)
+        .select(
+            *cols,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("_n"))
+            ).alias("_epoch"),
+        )
+        .select(*cols, F.col("_epoch").cast("int").alias("epoch"))
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     id_col: str,

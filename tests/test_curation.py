@@ -673,3 +673,69 @@ def test_normalize_text_zero_shuffle(spark):
     # the .repartition(8) input exchange is part of the fixture, not the
     # operator: assert the operator added none (exactly one Exchange total)
     assert plan.count("Exchange") == 1 and "ArrowEvalPython" not in plan
+
+
+def test_epoch_upsample_counts_monotone_identity(spark):
+    """Copy counts equal the documented formula, are monotone under rate
+    increases (old epochs are a stable prefix), default rate is the
+    identity with epoch=1, and rate 0 drops the group."""
+    import pytest
+
+    from geofeaturegeneration_spark.functions.text import md5_long
+    from geofeaturegeneration_spark.operators import epoch_upsample
+
+    rows = [(i, "hot" if i % 2 == 0 else "cold") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING")
+
+    def run(rates):
+        got = {}
+        for r in epoch_upsample(df, "doc_id", rates).collect():
+            got.setdefault((r["doc_id"], r["source"]), []).append(r["epoch"])
+        return {k: sorted(v) for k, v in got.items()}
+
+    a = run({"hot": 2_300_000, "cold": 0})
+    # cold dropped entirely
+    assert all(src == "hot" for _, src in a)
+    # formula: 2 copies + a third iff md5(id#epoch) % 1e6 < 300000
+    hs = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            (md5_long(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("#epoch"))) % 1_000_000).alias("h"),
+        ).collect()
+    }
+    for (i, _), epochs in a.items():
+        want = 2 + (1 if hs[i] < 300_000 else 0)
+        assert epochs == list(range(1, want + 1)), (i, epochs)
+    assert any(len(v) == 3 for v in a.values())  # the draw fires sometimes
+    assert any(len(v) == 2 for v in a.values())  # ... and not always
+    # monotone: raising hot to 3.1 epochs keeps every (doc, epoch) of a
+    b = run({"hot": 3_100_000, "cold": 0})
+    for k, epochs in a.items():
+        assert set(epochs) <= set(b[k]), (k, epochs, b[k])
+    # default_ppm: unlisted groups get exactly one copy, epoch 1
+    c = run({"hot": 2_000_000})
+    assert all(v == [1] for (i, s), v in c.items() if s == "cold")
+    assert all(v == [1, 2] for (i, s), v in c.items() if s == "hot")
+    # out-of-range rates raise
+    with pytest.raises(ValueError, match="out of range"):
+        epoch_upsample(df, "doc_id", {"hot": -1})
+
+
+def test_epoch_upsample_partitioning_invariant(spark):
+    """Pure per-row draw: identical output under any input partitioning."""
+    from geofeaturegeneration_spark.operators import epoch_upsample
+
+    rows = [(i, f"src{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id INT, source STRING")
+    rates = {"src0": 1_500_000, "src1": 400_000, "src2": 2_000_000}
+    a = sorted(
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in epoch_upsample(df, "doc_id", rates).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in epoch_upsample(df.repartition(11), "doc_id", rates).collect()
+    )
+    assert a == b and len(a) > 60
