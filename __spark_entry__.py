@@ -1515,6 +1515,31 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(lined, "doc_id", "text")
 
 
+def q_line_dedup_doc(spark, sf_dir):
+    """The per_doc=True scope of line_dedup: each doc gets the shared
+    boilerplate line TWICE plus a trailing copy of its own first 8-word
+    line — within a doc the second copies drop, but (unlike the corpus
+    rule) every doc keeps one boilerplate copy, and the blank separator
+    stays exempt. Winner key gains the doc id, so both shuffles are
+    doc-keyed."""
+    from geofeaturegeneration_spark.operators import line_dedup
+
+    docs = _docs_wide(spark, sf_dir)
+    first8 = F.regexp_extract(F.col("text"), r"^(\S+( \S+){7})", 1)
+    lined = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", "$1\n"),
+            F.lit(
+                "\n\nsubscribe to our newsletter today"
+                "\nsubscribe to our newsletter today\n"
+            ),
+            first8,
+        ).alias("text"),
+    )
+    return line_dedup(lined, "doc_id", "text", per_doc=True)
+
+
 def q_clean_lines(spark, sf_dir):
     """C4 intra-document line cleaning. The synthetic docs are single
     lines, so the query first LINE-IFIES each doc (a '.' + newline after
@@ -1837,6 +1862,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the >1.0-rate (multi-epoch repetition) complement of the
         # in-window source_sample / temperature_mix keep-or-drop draws
         "epoch_upsample": q_epoch_upsample,
+        # the per_doc=True scope of the in-window line_dedup (within-doc
+        # repeated-line trim, no cross-doc state)
+        "line_dedup_doc": q_line_dedup_doc,
         # round 4: folded to free the heavy_hitters / bloom_screen sketch
         # slots — frame_sample keeps its multimodal sibling
         # (multimodal_meta) in-window, sliding_subseq its windows siblings
@@ -3696,6 +3724,34 @@ h AS (SELECT doc_id, line_no, line,
              ('0x' || substr(md5(line),1,15))::BIGINT AS hh FROM lines),
 win AS (SELECT doc_id, line_no, line,
                row_number() OVER (PARTITION BY hh ORDER BY doc_id, line_no) AS rn
+        FROM h WHERE length(line) >= 1),
+kept AS (SELECT doc_id, line_no, line FROM win WHERE rn = 1
+         UNION ALL
+         SELECT doc_id, line_no, line FROM h WHERE length(line) < 1),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean,
+               count(*)::INT AS n_kept
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*)::INT AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.clean,'') AS clean, t.n_lines,
+       coalesce(a.n_kept,0)::INT AS n_kept
+FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+        # per_doc scope: winner partition gains doc_id; same exemption
+        "line_dedup_doc": """
+WITH lined AS (SELECT doc_id,
+        regexp_replace(text, '((\\S+ ){7}\\S+) ', '\\1' || chr(10), 'g')
+        || chr(10) || chr(10) || 'subscribe to our newsletter today'
+        || chr(10) || 'subscribe to our newsletter today' || chr(10)
+        || regexp_extract(text, '^(\\S+( \\S+){7})', 1) AS text
+      FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM lined),
+lines AS (SELECT doc_id, unnest(arr) AS line,
+                 unnest(generate_series(0, len(arr)-1)) AS line_no FROM ls),
+h AS (SELECT doc_id, line_no, line,
+             ('0x' || substr(md5(line),1,15))::BIGINT AS hh FROM lines),
+win AS (SELECT doc_id, line_no, line,
+               row_number() OVER (PARTITION BY doc_id, hh
+                                  ORDER BY line_no) AS rn
         FROM h WHERE length(line) >= 1),
 kept AS (SELECT doc_id, line_no, line FROM win WHERE rn = 1
          UNION ALL

@@ -241,6 +241,7 @@ def line_dedup(
     sep: str = "\n",
     keep_empty_docs: bool = True,
     min_len: int = 1,
+    per_doc: bool = False,
 ) -> DataFrame:
     """Corpus-level duplicate-line removal (the C4 rule): every distinct
     line keeps exactly ONE occurrence across the whole corpus — the one in
@@ -248,6 +249,14 @@ def line_dedup(
     dropped; each document is then reassembled from its surviving lines in
     original order. Kills boilerplate (cookie banners, nav menus, license
     headers) that per-document dedup cannot see.
+
+    ``per_doc=True`` scopes the rule WITHIN each document instead: a line
+    repeated inside one doc keeps its first occurrence there, but the
+    same line in two different docs survives in both — the
+    repeated-navigation/chrome trim applied before corpus-level passes
+    (and safe to run incrementally, since it needs no cross-doc state).
+    Same output columns; the winner key gains the doc id, so both
+    shuffles become doc-keyed and a full corpus-global agg is avoided.
 
     Returns (id_col, clean, n_lines, n_kept): the reassembled text, the
     doc's original line count, and how many lines survived. Docs whose
@@ -283,13 +292,20 @@ def line_dedup(
     h = md5_long(F.col("_line"))
     keyed = lines.withColumn("_h", h)
     eligible = keyed.filter(F.length(F.col("_line")) >= min_len)
-    winners = eligible.groupBy("_h").agg(
-        F.min(F.struct(F.col(id_col), F.col("_line_no"))).alias("_w")
-    ).select(
-        F.col("_h"),
-        F.col(f"_w.{id_col}").alias(id_col),
-        F.col("_w._line_no").alias("_line_no"),
-    )
+    if per_doc:
+        # winner = first occurrence within THIS doc: plain min(line_no)
+        # per (doc, hash) — same partial-agg map-side collapse, doc-keyed
+        winners = eligible.groupBy(id_col, "_h").agg(
+            F.min("_line_no").alias("_line_no")
+        )
+    else:
+        winners = eligible.groupBy("_h").agg(
+            F.min(F.struct(F.col(id_col), F.col("_line_no"))).alias("_w")
+        ).select(
+            F.col("_h"),
+            F.col(f"_w.{id_col}").alias(id_col),
+            F.col("_w._line_no").alias("_line_no"),
+        )
     kept = eligible.join(winners, ["_h", id_col, "_line_no"]).unionByName(
         keyed.filter(F.length(F.col("_line")) < min_len)
     )

@@ -739,3 +739,33 @@ def test_epoch_upsample_partitioning_invariant(spark):
         for r in epoch_upsample(df.repartition(11), "doc_id", rates).collect()
     )
     assert a == b and len(a) > 60
+
+
+def test_line_dedup_per_doc_scope(spark):
+    """per_doc=True: within-doc repeats keep their first occurrence,
+    cross-doc copies survive in EVERY doc (unlike the corpus rule), and
+    the short-line exemption still applies."""
+    from geofeaturegeneration_spark.operators import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav menu\nalpha beta\nnav menu\n\ngamma"),
+            (2, "nav menu\ndelta\n\ndelta\nnav menu"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["clean"], r["n_lines"], r["n_kept"])
+        for r in line_dedup(df, "doc_id", "text", per_doc=True).collect()
+    }
+    # doc 1: second 'nav menu' drops; blank line exempt
+    assert got[1] == ("nav menu\nalpha beta\n\ngamma", 5, 4)
+    # doc 2 keeps ITS OWN 'nav menu' (corpus rule would drop it) and
+    # drops its internal 'delta' repeat and trailing 'nav menu'
+    assert got[2] == ("nav menu\ndelta\n", 5, 3)
+    # corpus rule for contrast: doc 2 loses 'nav menu' entirely
+    corpus = {
+        r["doc_id"]: r["clean"]
+        for r in line_dedup(df, "doc_id", "text").collect()
+    }
+    assert "nav menu" not in corpus[2]
