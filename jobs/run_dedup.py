@@ -86,7 +86,13 @@ the CheckpointStore so a crash resumes without recomputing finished work:
 8. ``shards`` (optional, global): deterministic global shuffle + fixed-
    size shard assignment (shuffle_shards) over the training rows (packed
    chunks when --pack is on, else surviving docs) — the webdataset-style
-   export order, identical at any parallelism.
+   export order, identical at any parallelism. ``--epochs`` (per-source
+   repetition ppm, curation.epoch_upsample) multiplies rows INTO this
+   training export only: copies carry a composite ``<id>#<epoch>``
+   identity through tokenize/pack/shard, the corpus tables stay
+   one-copy-per-doc, the vocab artifact trains on unique docs, and the
+   rate tag rides a STAGE-LOCAL lineage key (packed/shards only), so
+   tuning epochs re-runs nothing upstream.
 9. ``stats`` (optional, global): corpus report card over the FINAL
    corpus — HLL word registers (p=14), HDR doc-length buckets
    (sub_bits=5), exact doc/token totals, the distinct-word estimate and
@@ -145,6 +151,7 @@ from geofeaturegeneration_spark.operators import (
 from geofeaturegeneration_spark.functions.text import n_words, words
 from geofeaturegeneration_spark.operators.curation import (
     clean_lines,
+    epoch_upsample,
     normalize_text,
     pii_clean_col,
     quality_filter,
@@ -190,6 +197,8 @@ def run_dedup_pipeline(
     mix_alpha: float | None = None,
     mix_target_frac: float = 0.5,
     mix_by_tokens: bool = False,
+    epoch_rates_ppm: dict[str, int] | None = None,
+    epoch_default_ppm: int = 1_000_000,
     span_k: int | None = None,
     pack_len: int | None = None,
     pack_bpe_merges: int | None = None,
@@ -317,6 +326,12 @@ def run_dedup_pipeline(
         raise ValueError(
             "pack_bpe_merges requires pack_len (--pack SEQ_LEN): without "
             "the packing stages no BPE artifact is trained"
+        )
+    if epoch_rates_ppm is not None and pack_len is None and shard_size is None:
+        raise ValueError(
+            "epoch_rates_ppm materializes repeats into the TRAINING export "
+            "(packed rows / shards) — pass pack_len and/or shard_size; for "
+            "keep-or-drop mixing of the corpus itself use mix_rates_ppm"
         )
     store = CheckpointStore(spark, ckpt_path)
     qua_path = os.path.join(out_root, "quality")
@@ -987,6 +1002,43 @@ def run_dedup_pipeline(
                 .drop("part_key")
             )
 
+        # --epochs: multi-epoch repetition (curation.epoch_upsample)
+        # materialized into the TRAINING export only — the corpus tables
+        # (deduped / span_deduped) stay one-copy-per-doc; copies get a
+        # composite '<id>#<epoch>' identity so downstream grouping
+        # (tokenize, pack, shard permutation) treats each repeat as its
+        # own row. The vocab/BPE artifact still trains on UNIQUE docs
+        # (repeats add no information to a tokenizer — and keeping the
+        # vocab stage epoch-free means tuning epochs never retrains it).
+        def maybe_epochs(rows, id_col):
+            if epoch_rates_ppm is None:
+                return rows, id_col
+            up = epoch_upsample(
+                rows, id_col, epoch_rates_ppm, by=mix_by,
+                default_ppm=epoch_default_ppm,
+            )
+            return (
+                up.withColumn(
+                    "_eid",
+                    F.concat_ws(
+                        "#", F.col(id_col).cast("string"), F.col("epoch")
+                    ),
+                ).drop("epoch"),
+                "_eid",
+            )
+
+        # stage-local lineage: epoch rates change only the bytes the
+        # packed/shards stages emit (vocab and every corpus stage are
+        # epoch-free), so only those two invalidate on a rate change
+        ep_tag = (
+            ""
+            if epoch_rates_ppm is None
+            else (
+                f";ep={mix_by}:{sorted(epoch_rates_ppm.items())}"
+                f":{epoch_default_ppm}"
+            )
+        )
+
     voc_path = os.path.join(out_root, "pack_vocab")
     pck_path = os.path.join(out_root, "packed")
     if pack_len is not None:
@@ -1035,17 +1087,18 @@ def run_dedup_pipeline(
                 spark.read.schema(voc_schema).parquet(voc_path)
                 .drop("part_key")
             )
+            rows, idc = maybe_epochs(read_export(), "doc_id")
             if pack_bpe_merges is not None:
-                arr = bpe_encode(
-                    read_export(), "doc_id", "text", vocab
-                ).select("doc_id", "tokens")
+                arr = bpe_encode(rows, idc, "text", vocab).select(
+                    idc, "tokens"
+                )
             else:
-                toks = read_export().select(
-                    "doc_id",
+                toks = rows.select(
+                    idc,
                     F.posexplode(words(F.col("text"))).alias("pos", "token"),
                 )
                 enc = encode_with_vocab(toks, vocab, "token")
-                arr = enc.groupBy("doc_id").agg(
+                arr = enc.groupBy(idc).agg(
                     F.transform(
                         F.array_sort(
                             F.collect_list(
@@ -1056,13 +1109,13 @@ def run_dedup_pipeline(
                     ).alias("tokens")
                 )
             return pack_sequences(
-                arr, "doc_id", "tokens", seq_len=pack_len,
+                arr, idc, "tokens", seq_len=pack_len,
                 n_groups=pack_groups, pad_value=pack_pad,
             )
 
         r_pck = run_partitioned(
             spark, store, f"{job_id}/packed", ["all"], pck_one,
-            pck_path, "part_key", lineage, force=force,
+            pck_path, "part_key", lineage + ep_tag, force=force,
         )
 
     shd_path = os.path.join(out_root, "shards")
@@ -1090,11 +1143,12 @@ def run_dedup_pipeline(
                     )
                 )
                 return shuffle_shards(rows, "_sid", shard_size).drop("_sid")
-            return shuffle_shards(read_export(), "doc_id", shard_size)
+            rows, idc = maybe_epochs(read_export(), "doc_id")
+            return shuffle_shards(rows, idc, shard_size)
 
         r_shd = run_partitioned(
             spark, store, f"{job_id}/shards", ["all"], shd_one,
-            shd_path, "part_key", lineage, force=force,
+            shd_path, "part_key", lineage + ep_tag, force=force,
         )
 
     # optional CORPUS REPORT CARD (--stats, one global unit): the sketch
@@ -1302,6 +1356,15 @@ def main(argv=None) -> int:
     p.add_argument("--mix-tokens", action="store_true",
                    help="weigh the --mix-alpha recipe by token counts "
                         "(the token-budget form) instead of doc counts")
+    p.add_argument("--epochs", default=None,
+                   help="JSON object of per-source repetition rates in ppm "
+                        "(2300000 = 2.3 epochs) — curation.epoch_upsample "
+                        "materialized into the TRAINING export (packed "
+                        "rows / shards); requires --pack and/or "
+                        "--shard-size; corpus tables stay one-copy-per-doc")
+    p.add_argument("--epochs-default", type=int, default=1_000_000,
+                   help="repetition ppm for sources absent from --epochs "
+                        "(default 1000000 = exactly one copy)")
     p.add_argument("--embeddings", default=None,
                    help="optional embeddings parquet (doc_id, embedding); "
                         "adds the SEMANTIC dedup stage (SemDeDup): docs "
@@ -1349,6 +1412,8 @@ def main(argv=None) -> int:
         mix_rates_ppm=json.loads(args.mix) if args.mix else None,
         mix_alpha=args.mix_alpha, mix_target_frac=args.mix_target,
         mix_by_tokens=args.mix_tokens,
+        epoch_rates_ppm=json.loads(args.epochs) if args.epochs else None,
+        epoch_default_ppm=args.epochs_default,
         span_k=args.span_dedup,
         pack_len=args.pack, pack_bpe_merges=args.pack_bpe,
         pack_groups=args.pack_groups,

@@ -1204,3 +1204,84 @@ def test_dedup_pipeline_stats_stage(spark, tmp_path):
     # identical re-run: everything skips, stats included
     st2 = RD.run_dedup_pipeline(spark, docs, out, ck, stats=True, **kw)
     assert all(r.skipped for stage in st2 for r in stage)
+
+
+def test_dedup_pipeline_epoch_upsampling_export(spark, tmp_path):
+    """--epochs materializes per-source repetition into the training
+    export only: 2.0 epochs everywhere exactly doubles the packed real
+    tokens and the shard rows vs the epoch-free run, the corpus tables
+    stay one-copy-per-doc, resume skips everything, and changing the
+    rates re-runs ONLY the packed/shards stages (stage-local lineage)."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.functions.text import words
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "source")
+    base = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+                pack_len=64, pack_groups=4, pack_pad=0, shard_size=16)
+
+    out0, ck0 = str(tmp_path / "out_e0"), str(tmp_path / "ck_e0")
+    RD.run_dedup_pipeline(spark, docs, out0, ck0, **base)
+    tok0 = (
+        spark.read.parquet(f"{out0}/packed").select(F.sum("n_real"))
+        .collect()[0][0]
+    )
+    n_shard_rows0 = spark.read.parquet(f"{out0}/shards").count()
+
+    kw = dict(base, epoch_rates_ppm={"src0": 2_000_000},
+              epoch_default_ppm=2_000_000)
+    out, ck = str(tmp_path / "out_ep"), str(tmp_path / "ck_ep")
+    stages = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert len(stages) == 6
+    assert all(not r.skipped for st in stages for r in st)
+
+    # exactly 2 copies of every surviving doc reach the training export;
+    # the corpus table itself is NOT duplicated
+    assert (
+        spark.read.parquet(f"{out}/packed").select(F.sum("n_real"))
+        .collect()[0][0] == 2 * tok0
+    )
+    # shards cover the packed rows (chunk count is NOT exactly 2x — the
+    # doubled token stream amortizes each group's padding differently)
+    assert (
+        spark.read.parquet(f"{out}/shards").count()
+        == spark.read.parquet(f"{out}/packed").count()
+        > n_shard_rows0
+    )
+    ded = spark.read.parquet(f"{out}/deduped").drop("part_key", "cluster_id")
+    assert ded.groupBy("doc_id").count().filter("count > 1").count() == 0
+    assert ded.count() == spark.read.parquet(f"{out0}/deduped").count()
+
+    # resume: identical flags skip every stage
+    again = RD.run_dedup_pipeline(spark, docs, out, ck, **kw)
+    assert all(r.skipped for st in again for r in st)
+
+    # epoch-rate change invalidates ONLY the export stages
+    kw2 = dict(kw, epoch_rates_ppm={"src0": 3_000_000})
+    third = RD.run_dedup_pipeline(spark, docs, out, ck, **kw2)
+    skipped = [all(r.skipped for r in st) for st in third]
+    assert skipped == [True, True, True, True, False, False]
+
+    # doc-level export (no packing): shard rows double exactly
+    kwd = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+               shard_size=16, epoch_rates_ppm={"src0": 2_000_000},
+               epoch_default_ppm=2_000_000)
+    outd, ckd = str(tmp_path / "out_ed"), str(tmp_path / "ck_ed")
+    RD.run_dedup_pipeline(spark, docs, outd, ckd, **kwd)
+    n_docs = spark.read.parquet(f"{outd}/deduped").count()
+    shd = spark.read.parquet(f"{outd}/shards")
+    assert shd.count() == 2 * n_docs
+    # the two copies of one doc carry distinct composite identities
+    assert (
+        shd.groupBy("_eid").count().filter("count > 1").count() == 0
+    )
+
+    # epochs without a training export is a configuration error
+    import pytest
+
+    with pytest.raises(ValueError, match="pack_len and/or shard_size"):
+        RD.run_dedup_pipeline(
+            spark, docs, str(tmp_path / "x"), str(tmp_path / "y"),
+            buckets=3, epoch_rates_ppm={"src0": 2_000_000},
+        )
