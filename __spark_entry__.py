@@ -1689,6 +1689,29 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_pack_segments(spark, sf_dir):
+    """pack_sequences(with_segments=True): the packed chunks plus the
+    block-diagonal-attention metadata — per-token 0-based segment ids
+    (increment at every doc boundary inside the chunk) and the per-chunk
+    contributing-doc count. The segment id is doc_ordinal - min(ordinal
+    in chunk) over the SAME window the pack offset uses, so the metadata
+    costs no extra shuffle."""
+    from geofeaturegeneration_spark.operators import pack_sequences
+
+    toks = _doc_tokens(spark, sf_dir)
+    packed = pack_sequences(
+        toks, "doc_id", "tokens", SEQ_LEN, n_groups=8, with_segments=True
+    )
+    return packed.select(
+        "grp",
+        "chunk_id",
+        _arr_csv("tokens").alias("chunk"),
+        _arr_csv("segs").alias("segs"),
+        "n_docs",
+        "n_real",
+    )
+
+
 DSIR_BUCKETS = 1024
 DSIR_SCALE = 10_000
 DSIR_K = 200
@@ -1865,6 +1888,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the per_doc=True scope of the in-window line_dedup (within-doc
         # repeated-line trim, no cross-doc state)
         "line_dedup_doc": q_line_dedup_doc,
+        # with_segments=True form of the in-window pack_sequences: the
+        # block-diagonal-attention metadata (per-token segment ids +
+        # per-chunk doc counts)
+        "pack_segments": q_pack_segments,
         # round 4: folded to free the heavy_hitters / bloom_screen sketch
         # slots — frame_sample keeps its multimodal sibling
         # (multimodal_meta) in-window, sliding_subseq its windows siblings
@@ -3886,6 +3913,33 @@ SELECT g::INT AS grp, (gp // {SEQ_LEN})::INT AS chunk_id,
        count(*)::INT AS n_real
 FROM r GROUP BY 1, 2
 """,
+        # with_segments form: dord (the doc ordinal within the pack
+        # group — dense_rank == Spark's row_number because doc ids are
+        # unique by precondition) rebased per chunk to 0-based segment ids
+        "pack_segments": f"""
+WITH {{tokens_cte}},
+d AS (SELECT doc_id, tokens,
+             ('0x'||substr(md5('pack:'||doc_id),1,15))::BIGINT AS dh
+      FROM tok),
+e AS (SELECT dh % 8 AS g, dh, doc_id, unnest(tokens) AS tid,
+             unnest(generate_series(1, len(tokens))) AS pos
+      FROM d),
+r AS (SELECT g, tid,
+             row_number() OVER (PARTITION BY g ORDER BY dh, doc_id, pos) - 1 AS gp,
+             dense_rank() OVER (PARTITION BY g ORDER BY dh, doc_id) AS dord
+      FROM e),
+c AS (SELECT g, (gp // {SEQ_LEN}) AS chunk_id, gp % {SEQ_LEN} AS pic,
+             tid, dord FROM r),
+a AS (SELECT g, chunk_id, list(tid ORDER BY pic) AS chunk_l,
+             list(dord ORDER BY pic) AS dl,
+             min(dord) AS mn, max(dord) AS mx, count(*)::INT AS n_real
+      FROM c GROUP BY 1, 2)
+SELECT g::INT AS grp, chunk_id::INT AS chunk_id,
+       array_to_string(chunk_l, ',') AS chunk,
+       array_to_string(list_transform(dl, x -> x - mn), ',') AS segs,
+       (mx - mn + 1)::INT AS n_docs, n_real
+FROM a
+""".format(tokens_cte=_TOKENS_CTE.strip()),
         "quality_filter": f"""
 WITH s AS (SELECT doc_id,
        len(string_split(text,' ')) AS nw,

@@ -224,6 +224,7 @@ def pack_sequences(
     n_groups: int = 32,
     pad_value: int | None = None,
     seed: str = "pack",
+    with_segments: bool = False,
 ) -> DataFrame:
     """Corpus-level sequence packing: concatenate documents' token arrays in
     a deterministic order and cut fixed-length training sequences that CROSS
@@ -239,6 +240,17 @@ def pack_sequences(
     the packing of a duped corpus is valid but not reproducible. Output: (grp, chunk_id, <tokens_col>, n_real)
     where n_real < seq_len only on each group's final partial chunk; with
     ``pad_value`` set, that chunk is right-padded to seq_len.
+
+    ``with_segments=True`` adds the DOCUMENT-BOUNDARY metadata trainers
+    need for block-diagonal attention (tokens must not attend across the
+    docs a packed sequence concatenates — the LLaMA-3/T5-pack
+    convention): ``segs``, an int array parallel to ``tokens`` holding a
+    0-based per-chunk segment id that increments at every doc boundary
+    (padding positions get -1, the mask convention), and ``n_docs``, the
+    number of documents contributing to the chunk. Costs nothing at
+    scale: the segment id is ``doc_ordinal - min(doc_ordinal in chunk)``
+    where the ordinal is a row_number over the SAME doc-level window the
+    offset already uses — no extra shuffle, no extra pass.
 
     Scale shape: the running token offset is a window over DOC rows (one
     row per document, sum-unbounded-preceding within the group) — never
@@ -273,7 +285,79 @@ def pack_sequences(
         .orderBy("_dh", id_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    if with_segments:
+        # empty docs contribute no tokens and 0 to every offset, but a
+        # row_number would still assign them an ordinal — making segment
+        # ids jump and n_docs overcount across an empty doc. Drop them
+        # BEFORE the window (offsets are unchanged; the oracle's unnest
+        # never sees them either), so ordinals are consecutive over the
+        # docs that actually own tokens.
+        sized = sized.filter(F.col("_n") > 0)
     sized = sized.withColumn("_off", F.sum("_n").over(w) - F.col("_n"))
+    if with_segments:
+        sized = sized.withColumn("_ord", F.row_number().over(w))
+        ex = sized.select(
+            "grp", "_off", "_ord",
+            F.posexplode(F.col(tokens_col)).alias("_pos", "_tid"),
+        ).select(
+            "grp",
+            F.expr(f"(_off + _pos) div {int(seq_len)}")
+            .cast("int")
+            .alias("chunk_id"),
+            ((F.col("_off") + F.col("_pos")) % seq_len).alias("_pic"),
+            "_tid",
+            "_ord",
+        )
+        agg = ex.groupBy("grp", "chunk_id").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_pic").alias("p"),
+                        F.col("_tid").alias("v"),
+                        F.col("_ord").alias("o"),
+                    )
+                )
+            ).alias("_arr"),
+            F.min("_ord").alias("_o0"),
+            F.max("_ord").alias("_o1"),
+            F.count(F.lit(1)).cast("int").alias("n_real"),
+        )
+        packed = agg.select(
+            "grp",
+            "chunk_id",
+            F.transform(F.col("_arr"), lambda s: s["v"]).alias(tokens_col),
+            F.transform(
+                F.col("_arr"),
+                lambda s: (s["o"] - F.col("_o0")).cast("int"),
+            ).alias("segs"),
+            (F.col("_o1") - F.col("_o0") + 1).cast("int").alias("n_docs"),
+            "n_real",
+        )
+        if pad_value is not None:
+            short = F.col("n_real") < seq_len
+            packed = packed.withColumn(
+                tokens_col,
+                F.when(~short, F.col(tokens_col)).otherwise(
+                    F.concat(
+                        F.col(tokens_col),
+                        F.array_repeat(
+                            F.lit(pad_value), seq_len - F.col("n_real")
+                        ),
+                    )
+                ),
+            ).withColumn(
+                "segs",
+                F.when(~short, F.col("segs")).otherwise(
+                    F.concat(
+                        F.col("segs"),
+                        F.array_repeat(
+                            F.lit(-1).cast("int"),
+                            seq_len - F.col("n_real"),
+                        ),
+                    )
+                ),
+            )
+        return packed
     ex = sized.select(
         "grp", "_off", F.posexplode(F.col(tokens_col)).alias("_pos", "_tid")
     ).select(

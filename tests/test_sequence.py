@@ -281,3 +281,63 @@ def test_chunk_strided_validates_stride(spark):
         chunk_sequences(df, "tokens", 8, stride=9)  # gaps would drop tokens
     with pytest.raises(ValueError):
         chunk_sequences(df, "tokens", 8, stride=0)
+
+
+def test_pack_sequences_segments(spark):
+    """with_segments: per-token segment ids are 0-based per chunk,
+    increment exactly at doc boundaries, padding positions carry -1,
+    n_docs counts contributing docs, and tokens equal the plain form."""
+    from geofeaturegeneration_spark.operators import pack_sequences
+
+    rows = [
+        (1, list(range(100, 105))),   # 5 tokens
+        (2, list(range(200, 207))),   # 7 tokens
+        (3, list(range(300, 303))),   # 3 tokens
+        (4, []),                      # empty doc: contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, tokens ARRAY<INT>")
+    kw = dict(seq_len=6, n_groups=1, pad_value=0)
+    plain = {
+        (r["grp"], r["chunk_id"]): (list(r["tokens"]), r["n_real"])
+        for r in pack_sequences(df, "doc_id", "tokens", **kw).collect()
+    }
+    got = sorted(
+        pack_sequences(
+            df, "doc_id", "tokens", with_segments=True, **kw
+        ).collect(),
+        key=lambda r: (r["grp"], r["chunk_id"]),
+    )
+    # token stream identical to the plain form
+    for r in got:
+        assert (list(r["tokens"]), r["n_real"]) == plain[(r["grp"], r["chunk_id"])]
+        assert len(r["segs"]) == len(r["tokens"]) == 6
+    # 15 real tokens in one group -> chunks of 6/6/3(+3 pad)
+    assert [r["n_real"] for r in got] == [6, 6, 3]
+    all_toks = [t for r in got for t in r["tokens"]][:15]
+    all_segs = [s for r in got for s in r["segs"]]
+    # padding is masked with -1
+    assert all_segs[15:] == [-1, -1, -1]
+    # per chunk: segs start at 0 and increment exactly where the packed
+    # token stream crosses a doc boundary (doc sizes 5/7/3 in SOME
+    # deterministic hash order)
+    import itertools
+
+    sizes = {1: 5, 2: 7, 3: 3}
+    # recover doc order from the token values (each doc's tokens are
+    # distinctive centuries)
+    order = [k for k, _ in itertools.groupby(all_toks, key=lambda t: t // 100)]
+    assert sorted(order) == [1, 2, 3]
+    # expected global doc index per position
+    gidx = []
+    for di, doc in enumerate(order):
+        gidx.extend([di] * sizes[doc])
+    for r, lo in zip(got, range(0, 15, 6)):
+        real = r["segs"][: r["n_real"]]
+        base = gidx[lo]
+        assert real == [g - base for g in gidx[lo:lo + r["n_real"]]]
+        assert r["n_docs"] == len(set(gidx[lo:lo + r["n_real"]]))
+    # unpadded form: no pad positions, segs lengths == n_real
+    raw = pack_sequences(
+        df, "doc_id", "tokens", seq_len=6, n_groups=1, with_segments=True
+    ).collect()
+    assert all(len(r["segs"]) == r["n_real"] for r in raw)
