@@ -8,7 +8,10 @@ from geofeaturegeneration_spark.streaming.sessions import (
     stream_gap_sessions,
     stream_running_features,
 )
-from geofeaturegeneration_spark.streaming.stats import stream_hll_registers
+from geofeaturegeneration_spark.streaming.stats import (
+    stream_hist_buckets,
+    stream_hll_registers,
+)
 
 __all__ = [
     "stream_gap_sessions",
@@ -18,4 +21,5 @@ __all__ = [
     "stream_minhash_screen",
     "stream_bloom_screen",
     "stream_hll_registers",
+    "stream_hist_buckets",
 ]

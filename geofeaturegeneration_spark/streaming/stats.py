@@ -39,3 +39,31 @@ def stream_hll_registers(
     micro-batches; parity pinned in test_streaming.py, including forced
     multi-batch ingestion). State: <= 2^p (r, rank) rows."""
     return hll_build(stream_df, value_col, p=p, salt=salt)
+
+
+def stream_hist_buckets(
+    stream_df: DataFrame,
+    value_col: str,
+    sub_bits: int = 5,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Running HDR-histogram bucket table of a streaming integer column —
+    the distribution sibling of :func:`stream_hll_registers`, and the
+    same construction: ``operators/sketch.hist_build`` IS a streaming
+    sum-aggregation (``groupBy(b).sum(wt)`` — sum is associative and
+    commutative across micro-batches), with state bounded at
+    ``~63 * 2^sub_bits`` bucket rows BY CONSTRUCTION, independent of
+    stream length or value range. No watermark and no eviction: the
+    distribution-so-far is monotone in mass and the state bound comes
+    from the bucket geometry, not from time.
+
+    Write with ``outputMode("complete")`` (a tiny bounded aggregate); run
+    ``operators.hist_quantiles`` over the sink for the running p50/p99
+    cuts, and ``hist_merge`` to fold with batch shards (stream-so-far +
+    historical corpora without rescanning either). Micro-batch parity
+    with the batch operator is pinned in test_streaming.py."""
+    from geofeaturegeneration_spark.operators.sketch import hist_build
+
+    return hist_build(
+        stream_df, value_col, sub_bits=sub_bits, weight_col=weight_col
+    )

@@ -514,3 +514,63 @@ def test_stream_hll_registers_matches_batch_across_microbatches(spark, tmp_path)
         hll_estimate(sink, p=p).collect()
         == hll_estimate(hll_build(batch_df, "key", p=p), p=p).collect()
     )
+
+
+def test_stream_hist_buckets_matches_batch_across_microbatches(spark, tmp_path):
+    """Running length distribution: the streaming bucket table after the
+    whole stream equals hist_build over the same rows, with ingestion
+    forced through multiple micro-batches so the cross-batch sum-merge is
+    what is tested; the running p50/p99 from the sink equal the batch
+    quantiles exactly, and state stays bucket-bounded."""
+    from geofeaturegeneration_spark.operators import (
+        hist_build,
+        hist_quantiles,
+    )
+    from geofeaturegeneration_spark.streaming import stream_hist_buckets
+
+    schema = "v LONG"
+    path = str(tmp_path / "hist_in")
+    # overlapping magnitude ranges across files so bucket sums merge
+    rows = [[(int(i),) for i in range(1, 500)],
+            [(int(i * 7),) for i in range(1, 400)],
+            [(int(i * i),) for i in range(1, 300)]]
+    for j, chunk in enumerate(rows):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append" if j else "overwrite"
+        ).parquet(path)
+
+    sb = 4
+    out = stream_hist_buckets(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(path),
+        "v", sub_bits=sb,
+    )
+    name = f"hist_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "streaming query did not finish"
+    assert q.lastProgress["batchId"] >= 2
+
+    got = sorted(
+        (r["b"], r["cnt"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    batch_df = spark.createDataFrame(
+        [t for chunk in rows for t in chunk], schema
+    )
+    want = sorted(
+        (r["b"], r["cnt"])
+        for r in hist_build(batch_df, "v", sub_bits=sb).collect()
+    )
+    assert got == want
+    assert len(got) <= 63 * (1 << sb)
+
+    sink = spark.sql(f"SELECT b, cnt FROM {name}")
+    assert (
+        sorted(map(tuple, hist_quantiles(sink, [500_000, 990_000], sb).collect()))
+        == sorted(map(tuple, hist_quantiles(
+            hist_build(batch_df, "v", sub_bits=sb), [500_000, 990_000], sb
+        ).collect()))
+    )
