@@ -50,8 +50,10 @@ from geofeaturegeneration_spark.operators import (
     chunk_sequences,
     cosine_topk,
     encode_with_vocab,
+    edit_join,
     exact_dedup,
     extract_meta,
+    fim_transform,
     interaction_matrix,
     lag_lead_features,
     minhash_lsh_pairs,
@@ -558,6 +560,46 @@ def q_leakage_split(spark, sf_dir):
     return leakage_safe_split(
         docs.select("doc_id"), "doc_id", clusters
     ).select("doc_id", "split_bucket", "is_test")
+
+
+def q_edit_join(spark, sf_dir):
+    """Edit-distance similarity self-join (round 4): every doc pair whose
+    24-char ascii_key canonical forms are within Levenshtein distance 1,
+    with the exact distance — the character-level dedup sibling (minhash =
+    token shingles, simhash = bits, edit_join = chars). Blocking is the
+    symmetric-delete neighborhood (provably complete, so the result is
+    EXACTLY the quadratic levenshtein join the oracle runs); ascii_key
+    strips to [a-z0-9 ] first so Spark and DuckDB levenshtein count the
+    same edits even on hostile unicode (fuzz gate)."""
+    docs = _docs_wide(spark, sf_dir)
+    keyed = docs.select("doc_id", X.ascii_key(F.col("text"), 24).alias("key"))
+    return edit_join(keyed, "doc_id", "key", max_dist=1)
+
+
+def q_fim_transform(spark, sf_dir):
+    """Fill-in-middle training export (round 4, PSM order): a deterministic
+    60% of docs rewritten to [PRE] prefix [SUF] suffix [MID] middle with
+    md5-drawn cut points; sentinel ids sit just above the hashed-token
+    space (TOKEN_MOD..TOKEN_MOD+2). Tokens are only moved, never
+    recomputed — fim_restore inverts exactly (pinned in
+    tests/test_sequence.py)."""
+    toks = _doc_tokens(spark, sf_dir)
+    out = fim_transform(
+        toks,
+        "tokens",
+        rate_ppm=600_000,
+        prefix_tok=TOKEN_MOD,
+        suffix_tok=TOKEN_MOD + 1,
+        middle_tok=TOKEN_MOD + 2,
+    )
+    return out.select(
+        "doc_id",
+        "is_fim",
+        "fim_lo",
+        "fim_hi",
+        F.size("tokens").cast("int").alias("n_tok"),
+        _arr_csv("tokens_fim").alias("tokens_fim"),
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1070,6 +1112,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SURVEY §2 operator; the §2.3 broadcast-enrich row is carried by
         # the in-window stay_enrich) into extra_queries()
         "hll_count": q_hll_count,
+        # round 4 (this session): edit-distance fuzzy join (new operator —
+        # the character-level member of the dedup family) — slot freed by
+        # folding `ngram_jaccard` (driver-green r01-r03; the shingle-based
+        # dedup family keeps minhash_pairs / simhash_pairs / dedup_exact /
+        # dedup_clusters / span_dedup in-window) into extra_queries()
+        "edit_join": q_edit_join,
+        # round 4 (this session): fill-in-middle export (new operator —
+        # the infilling member of the sequence-export family) — slot freed
+        # by folding `interaction_matrix` (driver-green r01-r03; the pivot
+        # family keeps pivot_counts in-window, and the wide twin was
+        # already in extras) into extra_queries()
+        "fim_transform": q_fim_transform,
         # --- the rest of the contract ---
         "sessionize_gap": q_sessionize_gap,
         "sessionize_state": q_sessionize_state,
@@ -1078,13 +1132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "rolling": q_rolling,  # folded: rows frame + range frame
         "pivot_counts": q_pivot_counts,
-        "interaction_matrix": q_interaction,
         "vocab_encode": q_vocab_encode,
         "chunk_sequences": q_chunks,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_multi": q_ann_lsh_multi,
@@ -1921,7 +1973,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_union": q_asof_union,
         # standalone range-frame rolling (contract 'rolling' folds both)
         "rolling_range": q_rolling_range,
-        # wide pivot of contract 'interaction_matrix'
+        # round 4 (this session): folded out of the driver window
+        # (driver-green r01-r03) to give edit_join and fim_transform their
+        # first CORRECTNESS rows; both stay value-exact under
+        # compare_oracle. interaction_wide is interaction_matrix's wide
+        # pivot twin; ngram_jaccard's shingle machinery stays in-window
+        # through minhash_pairs (same _shingles_expr stage).
+        "interaction_matrix": q_interaction,
+        "ngram_jaccard": q_ngram_jaccard,
         "interaction_wide": q_interaction_wide,
         # TakeOrdered top-k + broadcast enrich (same family as orders_enrich)
         "top_customers": q_top_customers,
@@ -2927,6 +2986,53 @@ SELECT doc_id, i::INT AS chunk_idx,
 FROM allr, wins t
 WHERE i < nw AND pos > i*{SEQ_LEN // 2} AND pos <= i*{SEQ_LEN // 2} + {SEQ_LEN}
 GROUP BY 1, 2
+""",
+        # edit_join: the oracle IS the naive quadratic join — the operator's
+        # symmetric-delete blocking is complete, so they agree exactly;
+        # both engines measure distance over the identical ascii_key form
+        # (pure ASCII, so char edits count the same under Java and utf8)
+        "edit_join": """
+WITH k AS (SELECT doc_id, substr(trim(regexp_replace(lower(regexp_replace(text,'[^A-Za-z0-9 ]','','g')),' +',' ','g')),1,24) AS key FROM documents),
+k2 AS (SELECT * FROM k WHERE len(key) >= 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.key, b.key)::INT AS dist
+FROM k2 a JOIN k2 b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 1
+""",
+        # fim_transform: built explode-side (no list slicing — see the
+        # chunk_sequences note): each source position gets its PSM output
+        # rank, sentinels ride in as three extra rows per selected doc
+        "fim_transform": f"""
+WITH {_TOKENS_CTE.strip()},
+sized AS (SELECT doc_id, tokens, len(tokens) AS n,
+       CASE WHEN (('0x'||substr(md5(doc_id::VARCHAR || '#fim'),1,15))::BIGINT) % 1000000 < 600000 THEN 1 ELSE 0 END AS is_fim,
+       (('0x'||substr(md5(doc_id::VARCHAR || '#fim-a'),1,15))::BIGINT) % (len(tokens)+1) AS ha,
+       (('0x'||substr(md5(doc_id::VARCHAR || '#fim-b'),1,15))::BIGINT) % (len(tokens)+1) AS hb
+  FROM tok),
+cuts AS (SELECT doc_id, tokens, n, is_fim,
+       least(ha, hb)::INT AS lo, greatest(ha, hb)::INT AS hi FROM sized),
+realr AS (SELECT doc_id, is_fim, lo, hi, n, unnest(tokens) AS tid,
+       unnest(generate_series(1, n)) AS pos FROM cuts),
+ordr AS (SELECT doc_id, is_fim, lo, hi, n, tid,
+       CASE WHEN is_fim = 0 THEN pos
+            WHEN pos <= lo THEN pos
+            WHEN pos > hi THEN pos - hi + lo + 1
+            ELSE pos + n - hi + 2 END AS ord
+  FROM realr),
+sents AS (
+  SELECT doc_id, is_fim, lo, hi, n, {TOKEN_MOD} AS tid, 0 AS ord
+  FROM cuts WHERE is_fim = 1
+  UNION ALL
+  SELECT doc_id, is_fim, lo, hi, n, {TOKEN_MOD + 1}, lo + 1
+  FROM cuts WHERE is_fim = 1
+  UNION ALL
+  SELECT doc_id, is_fim, lo, hi, n, {TOKEN_MOD + 2}, lo + n - hi + 2
+  FROM cuts WHERE is_fim = 1),
+allr AS (SELECT * FROM ordr UNION ALL SELECT * FROM sents)
+SELECT doc_id, is_fim::INT AS is_fim, lo AS fim_lo, hi AS fim_hi,
+       n::INT AS n_tok,
+       array_to_string(list(tid ORDER BY ord), ',') AS tokens_fim
+FROM allr GROUP BY 1, 2, 3, 4, 5
 """,
         # identity oracle: the Spark side runs decode(encode(text)) through
         # the trained BPE artifact and must reproduce the corpus bytes

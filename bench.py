@@ -89,7 +89,9 @@ HEADLINE = [
     "normalize_text",
     "clean_lines",
     "pack_sequences",
+    "fim_transform",
     "span_dedup",
+    "edit_join",
     "leakage_split",
     "traj_graph",
     "semantic_dedup",

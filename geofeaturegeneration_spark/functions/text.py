@@ -60,6 +60,20 @@ def fingerprint_normalize(text: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(text)), "\\s+", " ")
 
 
+def ascii_key(text: Column, max_len: int = 24) -> Column:
+    """Cross-engine-exact fuzzy-match key: strip every char outside
+    ``[A-Za-z0-9 ]``, lowercase (now pure ASCII, so Java and utf8 casing
+    agree byte-for-byte), collapse space runs, trim, truncate to
+    ``max_len`` chars. The canonical form ``edit_join`` measures edit
+    distance over — on its output, Spark ``levenshtein`` and DuckDB
+    ``levenshtein`` count the same char edits (char == byte == codepoint),
+    so the fuzzy join is oracle-replayable on hostile unicode input."""
+    stripped = F.regexp_replace(text, "[^A-Za-z0-9 ]", "")
+    return F.substring(
+        F.trim(F.regexp_replace(F.lower(stripped), " +", " ")), 1, max_len
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """64-bit-ish document fingerprint of the normalized text."""
     return md5_long(fingerprint_normalize(text))

@@ -773,3 +773,113 @@ def span_reassemble(
         n.cast("int").alias("n_tokens"),
         F.coalesce(F.col("_ndup"), F.lit(0)).cast("int").alias("n_dup_tokens"),
     )
+
+
+def deletion_variants(key, max_dist: int):
+    """Array of every string reachable from ``key`` by deleting up to
+    ``max_dist`` characters (the SymSpell / symmetric-delete neighborhood,
+    including the string itself), as pure array/HOF expressions.
+
+    Soundness of the blocking it powers: if ``ed(s, t) <= d`` then an
+    optimal alignment has ``subs + dels + ins <= d``; deleting from ``s``
+    the substituted+deleted chars (``<= d`` of them) and from ``t`` the
+    substituted+inserted chars (``<= d``) leaves the matched chars — the
+    SAME string. So two strings within distance ``d`` always share a
+    member of their ``<= d``-deletion neighborhoods: joining on variants
+    is a COMPLETE candidate generator (no false negatives), unlike q-gram
+    prefix heuristics. Neighborhood size is C(len, <=d) — cap the key
+    length upstream (``functions.text.ascii_key``).
+
+    Per CLAUDE.md's HOF rule the per-element work here is intrinsic
+    (each variant is built once, O(len) chars); nothing corpus-sized is
+    captured in a lambda body."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    one = F.lit(1)
+
+    def _del1(v):
+        # all single-char deletions of v; ANSI guard: sequence(1, 0)
+        # DESCENDS in Spark 4.x, so empty v must short-circuit to an
+        # empty array (typed off v itself, not a bare literal)
+        return F.when(
+            F.length(v) > 0,
+            F.transform(
+                F.sequence(one, F.length(v)),
+                lambda i: F.concat(
+                    v.substr(one, i - one), v.substr(i + one, F.length(v) - i)
+                ),
+            ),
+        ).otherwise(F.slice(F.array(v), 1, 0))
+
+    vs = F.array(key)
+    for _ in range(max_dist):
+        vs = F.array_distinct(
+            F.flatten(F.transform(vs, lambda v: F.concat(F.array(v), _del1(v))))
+        )
+    return vs
+
+
+def edit_join(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    max_dist: int = 1,
+    min_len: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Edit-distance similarity self-join: every pair ``(id_a < id_b)``
+    whose keys are within Levenshtein distance ``max_dist``, with the exact
+    distance — the character-level sibling of ``minhash_lsh_pairs`` (token
+    near-dups) and ``simhash_pairs`` (bit near-dups), for near-identical
+    titles / URLs / boilerplate keys where token shingles are too coarse.
+    No analog in the reference (its dedup is drop_duplicates,
+    GenerateGeographicFeature.py:331).
+
+    Plan: explode each key's symmetric-delete neighborhood
+    (``deletion_variants`` — provably complete blocking), hash variants to
+    60-bit ints so the equi-join shuffles narrow (variant, id, key<=max_len
+    chars) rows, self-join on the variant hash, dedupe candidates, then
+    verify with the JVM ``levenshtein``. Hash collisions only ADD
+    candidates (killed by the verify), never lose pairs, so the result is
+    EXACTLY the quadratic ``levenshtein(a,b) <= d`` join — which is the
+    DuckDB oracle.
+
+    Scale: row expansion is C(len, <=max_dist) per key on the truncated
+    key column only (never the documents); the join is an equi-join AQE
+    can skew-split. Degenerate keys (a corpus of near-empty titles all
+    collapsing to the same variants) are the LSH hot-bucket problem —
+    ``max_bucket_size`` drops variant buckets above the cap exactly like
+    the minhash/ngram caps (documented recall loss, off by default so the
+    operator stays oracle-exact). Keys shorter than ``min_len`` (default:
+    empty keys) are excluded — matching everything within distance d of
+    "" is noise, not similarity."""
+    keyed = df.select(
+        F.col(id_col).alias("_eid"), F.col(key_col).alias("_ekey")
+    ).filter(F.length("_ekey") >= int(min_len))
+    # explode_outer: the generator tree is expensive HOF work — the plain
+    # explode form lets InferFiltersFromGenerate clone it into a pushed
+    # filter (the pinned shingle-split trap); variants always contain the
+    # key itself so no null/empty rows need filtering afterwards
+    vr = keyed.select(
+        "_eid",
+        "_ekey",
+        F.explode_outer(deletion_variants(F.col("_ekey"), max_dist)).alias("_v"),
+    ).select("_eid", "_ekey", md5_long(F.col("_v")).alias("_vh"))
+    if max_bucket_size is not None:
+        sizes = vr.groupBy("_vh").count()
+        keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
+        vr = vr.join(keep, "_vh", "inner")
+    a = vr.select("_vh", F.col("_eid").alias("id_a"), F.col("_ekey").alias("key_a"))
+    b = vr.select("_vh", F.col("_eid").alias("id_b"), F.col("_ekey").alias("key_b"))
+    cand = (
+        a.join(b, "_vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "key_a", "id_b", "key_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("key_a", "key_b").cast("int"))
+        .filter(F.col("dist") <= int(max_dist))
+        .select("id_a", "id_b", "dist")
+    )

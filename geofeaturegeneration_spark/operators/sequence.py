@@ -388,3 +388,103 @@ def pack_sequences(
             ),
         )
     return packed
+
+
+def fim_transform(
+    df: DataFrame,
+    tokens_col: str,
+    *,
+    rate_ppm: int,
+    prefix_tok: int,
+    suffix_tok: int,
+    middle_tok: int,
+    id_col: str = "doc_id",
+    salt: str = "fim",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Fill-in-middle transform (Bavarian et al. 2022, arXiv:2207.14255):
+    rewrite a deterministic ``rate_ppm``-fraction of documents into PSM
+    order — ``[PRE] prefix [SUF] suffix [MID] middle`` — so an
+    autoregressive model learns infilling from what remains a left-to-right
+    corpus. No analog in the reference (pandas trajectory features); this is
+    the training-export sibling of ``chunk_sequences``/``pack_sequences``.
+
+    Determinism contract (the repo-wide md5 draw, same as
+    ``source_sample``): a doc is transformed iff
+    ``md5(id#salt) % 1e6 < rate_ppm``, and the two cut points are
+    ``md5(id#salt-a) % (n+1)`` / ``md5(id#salt-b) % (n+1)`` (lo = least,
+    hi = greatest, so ``0 <= lo <= hi <= n``). Pure functions of the row id
+    — reproducible across engines, re-runs, and parallelism, and the
+    transformed set is MONOTONE under rate increases. Raising ``rate_ppm``
+    never changes a doc already transformed at a lower rate (same property
+    as source_sample's draw), so a mixing recipe can tune the FIM fraction
+    without churning previously exported data.
+
+    Adds columns: ``is_fim`` (int 0/1), ``fim_lo``/``fim_hi`` (the cut
+    points, computed for every row so audits can replay the draw), and
+    ``out_col`` (default ``<tokens_col>_fim``) — the PSM array for selected
+    docs, the untouched source array otherwise. Tokens are only MOVED,
+    never recomputed (the BASELINE per-row invariant); ``fim_restore``
+    inverts the permutation exactly.
+
+    Scale shape: zero shuffle — the whole transform is slice/concat
+    expressions inside whole-stage codegen; sentinel ids are cast to the
+    source element type so the output array type never widens.
+    """
+    from geofeaturegeneration_spark.functions.text import md5_long
+
+    out_col = out_col or f"{tokens_col}_fim"
+    elem_t = df.schema[tokens_col].dataType
+    t = F.col(tokens_col)
+    n = F.size(t)
+    ids = F.col(id_col).cast("string")
+    sel = md5_long(F.concat(ids, F.lit(f"#{salt}"))) % 1_000_000 < int(rate_ppm)
+    a = md5_long(F.concat(ids, F.lit(f"#{salt}-a"))) % (n + 1).cast("long")
+    b = md5_long(F.concat(ids, F.lit(f"#{salt}-b"))) % (n + 1).cast("long")
+    lo = F.least(a, b).cast("int")
+    hi = F.greatest(a, b).cast("int")
+
+    def _sent(tok: int):
+        return F.array(F.lit(int(tok))).cast(elem_t)
+
+    with_cuts = df.withColumn("is_fim", sel.cast("int")).withColumn(
+        "fim_lo", lo
+    ).withColumn("fim_hi", hi)
+    fim = F.concat(
+        _sent(prefix_tok),
+        F.slice(t, 1, F.col("fim_lo")),
+        _sent(suffix_tok),
+        F.slice(t, F.col("fim_hi") + 1, n - F.col("fim_hi")),
+        _sent(middle_tok),
+        F.slice(t, F.col("fim_lo") + 1, F.col("fim_hi") - F.col("fim_lo")),
+    )
+    return with_cuts.withColumn(
+        out_col, F.when(F.col("is_fim") == 1, fim).otherwise(t)
+    )
+
+
+def fim_restore(
+    df: DataFrame,
+    fim_col: str,
+    *,
+    lo_col: str = "fim_lo",
+    hi_col: str = "fim_hi",
+    is_col: str = "is_fim",
+    out_col: str = "tokens_restored",
+) -> DataFrame:
+    """Exact inverse of ``fim_transform`` given its cut-point columns: strip
+    the three sentinels and undo the PSM permutation, recovering the source
+    token array byte-for-byte (pinned by the round-trip test). Untransformed
+    rows pass through. Pure slice/concat — zero shuffle."""
+    f = F.col(fim_col)
+    lo = F.col(lo_col)
+    hi = F.col(hi_col)
+    n = F.size(f) - 3  # original length: PSM adds exactly three sentinels
+    restored = F.concat(
+        F.slice(f, 2, lo),                      # prefix sits after [PRE]
+        F.slice(f, lo + 4 + (n - hi), hi - lo), # middle sits after [MID]
+        F.slice(f, lo + 3, n - hi),             # suffix sits after [SUF]
+    )
+    return df.withColumn(
+        out_col, F.when(F.col(is_col) == 1, restored).otherwise(f)
+    )

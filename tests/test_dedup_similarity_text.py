@@ -1102,3 +1102,149 @@ def test_lloyd_refine_empty_cluster_keeps_seed(spark):
     assert sorted((r["_cid"], list(r["_cv"]), r["_cn"]) for r in same) == [
         (1, [1.0, 0.0], 1.0), (2, [-1.0, 0.0], 1.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# edit_join / deletion_variants
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[:], i
+        for j, cb in enumerate(b, 1):
+            d[j] = min(prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (ca != cb))
+    return d[len(b)]
+
+
+def test_deletion_variants_exact_neighborhood(spark):
+    from geofeaturegeneration_spark.operators.dedup import deletion_variants
+
+    df = spark.createDataFrame([("abc",), ("a",), ("",)], "key STRING")
+    got = {
+        r["key"]: set(r["vs"])
+        for r in df.select("key", deletion_variants(F.col("key"), 1).alias("vs")).collect()
+    }
+    assert got["abc"] == {"abc", "bc", "ac", "ab"}
+    assert got["a"] == {"a", ""}
+    assert got[""] == {""}
+    got2 = {
+        r["key"]: set(r["vs"])
+        for r in df.select("key", deletion_variants(F.col("key"), 2).alias("vs")).collect()
+    }
+    assert got2["abc"] == {"abc", "bc", "ac", "ab", "a", "b", "c"}
+    assert got2[""] == {""}
+
+
+def test_edit_join_known_typos(spark):
+    from geofeaturegeneration_spark.operators.dedup import edit_join
+
+    rows = [
+        (1, "spark engine"),
+        (2, "spork engine"),   # 1 substitution from 1
+        (3, "spark engin"),    # 1 deletion from 1, 2 edits from 2
+        (4, "entirely different"),
+        (5, "spark engine"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, key STRING")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_join(df, "id", "key", max_dist=1).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (1, 5): 0, (2, 5): 1, (3, 5): 1}
+    got2 = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_join(df, "id", "key", max_dist=2).collect()
+    }
+    assert got2[(2, 3)] == 2 and len(got2) == 6
+
+
+def test_edit_join_equals_bruteforce(spark):
+    """Completeness of the symmetric-delete blocking: exactly the naive
+    quadratic levenshtein join, on a corpus dense enough that every edit
+    kind (sub/del/ins) and distance 0/1/2 occurs."""
+    import itertools
+    import random
+
+    from geofeaturegeneration_spark.operators.dedup import edit_join
+
+    rng = random.Random(41)
+    strs = [
+        "".join(rng.choice("abc ") for _ in range(rng.randrange(0, 8)))
+        for _ in range(150)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "id BIGINT, key STRING"
+    )
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_join(df, "id", "key", max_dist=d, min_len=0).collect()
+        }
+        want = {
+            (i, j, _lev(strs[i], strs[j]))
+            for i, j in itertools.combinations(range(len(strs)), 2)
+            if _lev(strs[i], strs[j]) <= d
+        }
+        assert got == want
+
+
+def test_edit_join_min_len_and_bucket_cap(spark):
+    from geofeaturegeneration_spark.operators.dedup import edit_join
+
+    rows = [(i, "") for i in range(5)] + [(10, "abcdef"), (11, "abcdefg")]
+    df = spark.createDataFrame(rows, "id BIGINT, key STRING")
+    # default min_len=1: the five empty keys never pair
+    got = {
+        (r["id_a"], r["id_b"]) for r in edit_join(df, "id", "key").collect()
+    }
+    assert got == {(10, 11)}
+    # min_len=0 admits them (10 empty-empty pairs at dist 0)
+    got0 = edit_join(df, "id", "key", max_dist=1, min_len=0).collect()
+    assert len(got0) == 11
+    # a bucket cap below the hot empty-variant population drops those pairs
+    # but keeps the well-behaved pair (documented recall loss, like LSH)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in edit_join(
+            df, "id", "key", max_dist=1, min_len=0, max_bucket_size=4
+        ).collect()
+    }
+    assert capped == {(10, 11)}
+
+
+def test_edit_join_partition_invariant(spark):
+    from geofeaturegeneration_spark.operators.dedup import edit_join
+
+    rows = [(i, s) for i, s in enumerate(["abc", "abd", "abcd", "xyz", "xy"])]
+    df = spark.createDataFrame(rows, "id BIGINT, key STRING")
+    a = sorted(map(tuple, edit_join(df, "id", "key", max_dist=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            edit_join(df.repartition(5, "id"), "id", "key", max_dist=2).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_ascii_key_hostile_unicode(spark):
+    """The canonical form is pure [a-z0-9 ] regardless of input bytes, so
+    levenshtein counts the same edits in Spark and the DuckDB oracle."""
+    from geofeaturegeneration_spark.functions.text import ascii_key
+
+    rows = [
+        (1, "Café  DÉCOMPOSÉ!!"),
+        (2, "ＦＵＬＬｗｉｄｔｈ ＡＢＣ"),
+        (3, "  Spaces   Runs\t tab"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, text STRING")
+    got = {
+        r["id"]: r["k"]
+        for r in df.select("id", ascii_key(F.col("text"), 24).alias("k")).collect()
+    }
+    assert got[1] == "caf dcompos"
+    assert got[2] == ""             # fullwidth letters are non-ASCII: stripped
+    assert got[3] == "spaces runs tab"[:24]
+    assert got[4] == ""

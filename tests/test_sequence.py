@@ -341,3 +341,102 @@ def test_pack_sequences_segments(spark):
         df, "doc_id", "tokens", seq_len=6, n_groups=1, with_segments=True
     ).collect()
     assert all(len(r["segs"]) == r["n_real"] for r in raw)
+
+
+# ---------------------------------------------------------------------------
+# fim_transform / fim_restore
+# ---------------------------------------------------------------------------
+
+def _fim_input(spark, n=60):
+    rows = [(i, list(range(i * 100, i * 100 + (i % 9)))) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id BIGINT, tokens ARRAY<INT>")
+
+
+def test_fim_roundtrip_and_passthrough(spark):
+    from geofeaturegeneration_spark.operators.sequence import (
+        fim_restore,
+        fim_transform,
+    )
+
+    df = _fim_input(spark)
+    out = fim_transform(
+        df, "tokens", rate_ppm=500_000, prefix_tok=-1, suffix_tok=-2,
+        middle_tok=-3,
+    )
+    back = fim_restore(out, "tokens_fim")
+    assert back.filter(F.col("tokens_restored") != F.col("tokens")).count() == 0
+    # both selected and unselected rows must actually occur
+    sel = out.filter("is_fim = 1").count()
+    assert 0 < sel < out.count()
+    # unselected rows pass through byte-identical
+    assert (
+        out.filter("is_fim = 0")
+        .filter(F.col("tokens_fim") != F.col("tokens"))
+        .count()
+        == 0
+    )
+
+
+def test_fim_psm_shape_and_conservation(spark):
+    """Selected rows: exactly the three sentinels in P..S..M order, cut
+    points honored, and the source tokens conserved as a multiset."""
+    from geofeaturegeneration_spark.operators.sequence import fim_transform
+
+    P, S, M = -1, -2, -3
+    df = _fim_input(spark)
+    rows = fim_transform(
+        df, "tokens", rate_ppm=1_000_000, prefix_tok=P, suffix_tok=S,
+        middle_tok=M,
+    ).collect()
+    assert all(r["is_fim"] == 1 for r in rows)
+    for r in rows:
+        t, f, lo, hi = r["tokens"], r["tokens_fim"], r["fim_lo"], r["fim_hi"]
+        n = len(t)
+        assert 0 <= lo <= hi <= n
+        assert len(f) == n + 3
+        # PSM order with the documented layout
+        assert f[0] == P
+        assert f[lo + 1] == S
+        assert f[lo + 1 + (n - hi) + 1] == M
+        assert f[1 : lo + 1] == t[:lo]                      # prefix
+        assert f[lo + 2 : lo + 2 + n - hi] == t[hi:]        # suffix
+        assert f[lo + 3 + n - hi :] == t[lo:hi]             # middle
+        assert sorted(x for x in f if x >= 0) == sorted(t)
+
+
+def test_fim_rate_monotone_and_partition_invariant(spark):
+    from geofeaturegeneration_spark.operators.sequence import fim_transform
+
+    df = _fim_input(spark, n=120)
+    sel = {}
+    for ppm in (200_000, 700_000):
+        out = fim_transform(
+            df, "tokens", rate_ppm=ppm, prefix_tok=-1, suffix_tok=-2,
+            middle_tok=-3,
+        )
+        sel[ppm] = {r["doc_id"] for r in out.filter("is_fim = 1").collect()}
+    assert sel[200_000] <= sel[700_000]  # raising the rate only ADDS docs
+
+    base = fim_transform(
+        df, "tokens", rate_ppm=700_000, prefix_tok=-1, suffix_tok=-2,
+        middle_tok=-3,
+    )
+    rep = fim_transform(
+        df.repartition(7, "doc_id"), "tokens", rate_ppm=700_000,
+        prefix_tok=-1, suffix_tok=-2, middle_tok=-3,
+    )
+    a = {r["doc_id"]: r["tokens_fim"] for r in base.collect()}
+    b = {r["doc_id"]: r["tokens_fim"] for r in rep.collect()}
+    assert a == b
+
+
+def test_fim_empty_doc(spark):
+    from geofeaturegeneration_spark.operators.sequence import fim_transform
+
+    df = spark.createDataFrame([(1, [])], "doc_id BIGINT, tokens ARRAY<INT>")
+    r = fim_transform(
+        df, "tokens", rate_ppm=1_000_000, prefix_tok=-1, suffix_tok=-2,
+        middle_tok=-3,
+    ).collect()[0]
+    assert (r["fim_lo"], r["fim_hi"]) == (0, 0)
+    assert r["tokens_fim"] == [-1, -2, -3]
