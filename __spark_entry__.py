@@ -51,6 +51,7 @@ from geofeaturegeneration_spark.operators import (
     cosine_topk,
     encode_with_vocab,
     edit_join,
+    edit_join_cross,
     exact_dedup,
     extract_meta,
     fim_transform,
@@ -574,6 +575,18 @@ def q_edit_join(spark, sf_dir):
     docs = _docs_wide(spark, sf_dir)
     keyed = docs.select("doc_id", X.ascii_key(F.col("text"), 24).alias("key"))
     return edit_join(keyed, "doc_id", "key", max_dist=1)
+
+
+def q_edit_join_cross(spark, sf_dir):
+    """Incremental-ingest shape of the in-window edit_join: screen the
+    odd-doc_id half (the 'new batch') against the even half (the
+    'existing corpus') — same complete symmetric-delete blocking, corpus
+    side persistable via edit_variant_table."""
+    docs = _docs_wide(spark, sf_dir)
+    keyed = docs.select("doc_id", X.ascii_key(F.col("text"), 24).alias("key"))
+    batch = keyed.filter(F.col("doc_id") % 2 == 1)
+    corpus = keyed.filter(F.col("doc_id") % 2 == 0)
+    return edit_join_cross(batch, corpus, "doc_id", "key", max_dist=1)
 
 
 def q_fim_transform(spark, sf_dir):
@@ -1981,6 +1994,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # through minhash_pairs (same _shingles_expr stage).
         "interaction_matrix": q_interaction,
         "ngram_jaccard": q_ngram_jaccard,
+        # the incremental-ingest (batch x corpus) form of the in-window
+        # edit_join — same variant machinery, corpus side persistable
+        "edit_join_cross": q_edit_join_cross,
         "interaction_wide": q_interaction_wide,
         # TakeOrdered top-k + broadcast enrich (same family as orders_enrich)
         "top_customers": q_top_customers,
@@ -2997,6 +3013,14 @@ k2 AS (SELECT * FROM k WHERE len(key) >= 1)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.key, b.key)::INT AS dist
 FROM k2 a JOIN k2 b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.key, b.key) <= 1
+""",
+        "edit_join_cross": """
+WITH k AS (SELECT doc_id, substr(trim(regexp_replace(lower(regexp_replace(text,'[^A-Za-z0-9 ]','','g')),' +',' ','g')),1,24) AS key FROM documents),
+k2 AS (SELECT * FROM k WHERE len(key) >= 1)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.key, b.key)::INT AS dist
+FROM k2 a JOIN k2 b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
 WHERE levenshtein(a.key, b.key) <= 1
 """,
         # fim_transform: built explode-side (no list slicing — see the

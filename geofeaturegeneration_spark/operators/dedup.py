@@ -854,6 +854,41 @@ def edit_join(
     operator stays oracle-exact). Keys shorter than ``min_len`` (default:
     empty keys) are excluded — matching everything within distance d of
     "" is noise, not similarity."""
+    vr = edit_variant_table(
+        df, id_col, key_col, max_dist=max_dist, min_len=min_len
+    )
+    if max_bucket_size is not None:
+        sizes = vr.groupBy("_vh").count()
+        keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
+        vr = vr.join(keep, "_vh", "inner")
+    a = vr.select("_vh", F.col("id").alias("id_a"), F.col("key").alias("key_a"))
+    b = vr.select("_vh", F.col("id").alias("id_b"), F.col("key").alias("key_b"))
+    cand = (
+        a.join(b, "_vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "key_a", "id_b", "key_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("key_a", "key_b").cast("int"))
+        .filter(F.col("dist") <= int(max_dist))
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def edit_variant_table(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    max_dist: int = 1,
+    min_len: int = 1,
+) -> DataFrame:
+    """The persistable half of ``edit_join_cross``: one ``(vh, id, key)``
+    row per symmetric-delete variant of each key. Build it ONCE over the
+    accumulated corpus, store it (parquet), and screen every future ingest
+    batch against the stored table — the same build-once-screen-forever
+    contract as ``bloom_build`` / the persisted minhash band table."""
     keyed = df.select(
         F.col(id_col).alias("_eid"), F.col(key_col).alias("_ekey")
     ).filter(F.length("_ekey") >= int(min_len))
@@ -861,20 +896,59 @@ def edit_join(
     # explode form lets InferFiltersFromGenerate clone it into a pushed
     # filter (the pinned shingle-split trap); variants always contain the
     # key itself so no null/empty rows need filtering afterwards
-    vr = keyed.select(
+    return keyed.select(
         "_eid",
         "_ekey",
         F.explode_outer(deletion_variants(F.col("_ekey"), max_dist)).alias("_v"),
-    ).select("_eid", "_ekey", md5_long(F.col("_v")).alias("_vh"))
+    ).select(
+        md5_long(F.col("_v")).alias("_vh"),
+        F.col("_eid").alias("id"),
+        F.col("_ekey").alias("key"),
+    )
+
+
+def edit_join_cross(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    max_dist: int = 1,
+    min_len: int = 1,
+    max_bucket_size: int | None = None,
+    right_variants: DataFrame | None = None,
+) -> DataFrame:
+    """Cross-corpus edit-distance join (id_a from ``left``, id_b from
+    ``right``, exact distance <= ``max_dist``) — the incremental-ingest
+    shape of ``edit_join``: screen a NEW batch of keys against the
+    accumulated corpus without the corpus ever meeting itself. Complete
+    for the same reason as the self-join (each side contributes its own
+    <=d-deletion neighborhood), so the result is exactly the quadratic
+    cross levenshtein join.
+
+    Pass ``right_variants`` (a stored ``edit_variant_table`` output) to
+    skip recomputing the corpus side — at scale the corpus neighborhood
+    is built once per ingest epoch, not once per batch.
+    ``max_bucket_size`` caps the CORPUS side's variant buckets (a
+    degenerate corpus key — boilerplate titles — would otherwise pair
+    with every batch doc sharing the variant)."""
+    la = edit_variant_table(
+        left, id_col, key_col, max_dist=max_dist, min_len=min_len
+    ).select("_vh", F.col("id").alias("id_a"), F.col("key").alias("key_a"))
+    rb = (
+        right_variants
+        if right_variants is not None
+        else edit_variant_table(
+            right, id_col, key_col, max_dist=max_dist, min_len=min_len
+        )
+    ).select("_vh", F.col("id").alias("id_b"), F.col("key").alias("key_b"))
     if max_bucket_size is not None:
-        sizes = vr.groupBy("_vh").count()
+        sizes = rb.groupBy("_vh").count()
         keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
-        vr = vr.join(keep, "_vh", "inner")
-    a = vr.select("_vh", F.col("_eid").alias("id_a"), F.col("_ekey").alias("key_a"))
-    b = vr.select("_vh", F.col("_eid").alias("id_b"), F.col("_ekey").alias("key_b"))
+        rb = rb.join(keep, "_vh", "inner")
     cand = (
-        a.join(b, "_vh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        la.join(rb, "_vh")
+        .filter(F.col("id_a") != F.col("id_b"))
         .select("id_a", "key_a", "id_b", "key_b")
         .distinct()
     )

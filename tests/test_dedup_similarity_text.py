@@ -1248,3 +1248,47 @@ def test_ascii_key_hostile_unicode(spark):
     assert got[2] == ""             # fullwidth letters are non-ASCII: stripped
     assert got[3] == "spaces runs tab"[:24]
     assert got[4] == ""
+
+
+def test_edit_join_cross_equals_bruteforce_and_persisted_variants(spark, tmp_path):
+    import itertools
+    import random
+
+    from geofeaturegeneration_spark.operators.dedup import (
+        edit_join_cross,
+        edit_variant_table,
+    )
+
+    rng = random.Random(99)
+    strs = [
+        "".join(rng.choice("ab c") for _ in range(rng.randrange(1, 7)))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "id BIGINT, key STRING"
+    )
+    batch = df.filter("id % 2 = 1")
+    corpus = df.filter("id % 2 = 0")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_join_cross(batch, corpus, "id", "key", max_dist=1).collect()
+    }
+    want = {
+        (i, j, _lev(strs[i], strs[j]))
+        for i in range(1, len(strs), 2)
+        for j in range(0, len(strs), 2)
+        if _lev(strs[i], strs[j]) <= 1
+    }
+    assert got == want
+    # the corpus variant table persisted to parquet and reloaded yields the
+    # identical join (the build-once-screen-forever contract)
+    vt_path = str(tmp_path / "variants")
+    edit_variant_table(corpus, "id", "key", max_dist=1).write.parquet(vt_path)
+    stored = spark.read.parquet(vt_path)
+    got2 = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_join_cross(
+            batch, corpus, "id", "key", max_dist=1, right_variants=stored
+        ).collect()
+    }
+    assert got2 == want
