@@ -1,6 +1,7 @@
 from geofeaturegeneration_spark.streaming.asof import stream_asof_join
 from geofeaturegeneration_spark.streaming.screen import (
     stream_bloom_screen,
+    stream_edit_screen,
     stream_minhash_screen,
 )
 from geofeaturegeneration_spark.streaming.sessions import (
@@ -20,6 +21,7 @@ __all__ = [
     "stream_asof_join",
     "stream_minhash_screen",
     "stream_bloom_screen",
+    "stream_edit_screen",
     "stream_hll_registers",
     "stream_hist_buckets",
 ]

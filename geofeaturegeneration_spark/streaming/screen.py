@@ -136,3 +136,72 @@ def stream_bloom_screen(
     if novel_only:
         out = out.filter(~F.col("might_contain")).drop("might_contain")
     return out
+
+
+def stream_edit_screen(
+    stream_docs: DataFrame,
+    id_col: str,
+    key_col: str,
+    time_col: str,
+    corpus_variants: DataFrame,
+    watermark: str = "1 hour",
+    max_dist: int = 1,
+    min_len: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Edit-distance ingest screen: matches (id_col, time_col, corpus_id,
+    dist) for arriving keys within Levenshtein distance ``max_dist`` of an
+    existing corpus — the character-level sibling of the two screens above
+    (minhash = token near-dups, bloom = exact membership, edit = key
+    typos/boilerplate variants). Batch analog:
+    ``operators/dedup.edit_join_cross``; the static side is the SAME
+    persisted ``edit_variant_table`` parquet, so one corpus artifact
+    serves both the batch backfill and the continuous ingest path.
+
+    Stateless except the final within-watermark pair dedup (multi-variant
+    hits emit once, state evicted at the watermark — the
+    stream_minhash_screen rule): per-row variant generation is pure
+    expression work, the join is stream-static, and the verify is the JVM
+    ``levenshtein``. Blocking is complete (symmetric-delete, see
+    ``deletion_variants``), so within a watermark window the emitted
+    matches equal the batch cross join exactly (parity pinned in
+    test_streaming.py). ``max_bucket_size`` caps CORPUS variant buckets,
+    computed once on the static side — no streaming state."""
+    from geofeaturegeneration_spark.operators.dedup import deletion_variants
+    from geofeaturegeneration_spark.functions.text import md5_long
+
+    cv = corpus_variants.select(
+        "_vh",
+        F.col("id").alias("corpus_id"),
+        F.col("key").alias("_corpus_key"),
+    )
+    if max_bucket_size is not None:
+        sizes = cv.groupBy("_vh").count()
+        keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
+        cv = cv.join(keep, "_vh", "inner")
+    keyed = stream_docs.withWatermark(time_col, watermark).filter(
+        F.length(F.col(key_col)) >= int(min_len)
+    )
+    vr = (
+        keyed.select(
+            F.col(id_col),
+            F.col(time_col),
+            F.col(key_col),
+            F.explode_outer(
+                deletion_variants(F.col(key_col), max_dist)
+            ).alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .select(
+            id_col, time_col, key_col, md5_long(F.col("_v")).alias("_vh")
+        )
+    )
+    return (
+        vr.join(cv, "_vh")
+        .withColumn(
+            "dist", F.levenshtein(F.col(key_col), F.col("_corpus_key")).cast("int")
+        )
+        .filter(F.col("dist") <= int(max_dist))
+        .dropDuplicatesWithinWatermark([id_col, "corpus_id"])
+        .select(id_col, time_col, "corpus_id", "dist")
+    )

@@ -574,3 +574,58 @@ def test_stream_hist_buckets_matches_batch_across_microbatches(spark, tmp_path):
             hist_build(batch_df, "v", sub_bits=sb), [500_000, 990_000], sb
         ).collect()))
     )
+
+
+def test_stream_edit_screen_matches_batch_cross(spark, tmp_path):
+    """Streaming edit-distance screen vs the batch cross join on the same
+    data: identical (arriving, corpus, dist) matches, each emitted once
+    despite multi-variant hits, served from the PERSISTED corpus variant
+    table (the shared batch/stream artifact)."""
+    from geofeaturegeneration_spark.operators import (
+        edit_join_cross,
+        edit_variant_table,
+    )
+    from geofeaturegeneration_spark.streaming import stream_edit_screen
+
+    corpus = spark.createDataFrame(
+        [(100, "spark engine"), (101, "totally different")],
+        "doc_id INT, key STRING",
+    )
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    arriving = [
+        (1, "spark engine", t0),    # dist 0 of 100
+        (2, "spork engine", t0),    # dist 1 of 100
+        (3, "no match here", t0),
+        (4, "totally different", t0),  # dist 0 of 101
+    ]
+    schema = "doc_id INT, key STRING, ts TIMESTAMP"
+    path = str(tmp_path / "edit_in")
+    spark.createDataFrame(arriving, schema).coalesce(1).write.parquet(path)
+
+    vt_path = str(tmp_path / "edit_variants")
+    edit_variant_table(corpus, "doc_id", "key", max_dist=1).write.parquet(vt_path)
+    out = stream_edit_screen(
+        spark.readStream.schema(schema).parquet(path),
+        "doc_id", "key", "ts",
+        spark.read.parquet(vt_path),
+        watermark="1 hour", max_dist=1,
+    )
+    name = f"editscreen_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "streaming query did not finish"
+    got = sorted(
+        (r["doc_id"], r["corpus_id"], r["dist"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    batch = edit_join_cross(
+        spark.createDataFrame(
+            [(i, k) for i, k, _ in arriving], "doc_id INT, key STRING"
+        ),
+        corpus, "doc_id", "key", max_dist=1,
+    )
+    want = sorted((r["id_a"], r["id_b"], r["dist"]) for r in batch.collect())
+    assert got == want
+    assert got == [(1, 100, 0), (2, 100, 1), (4, 101, 0)]
