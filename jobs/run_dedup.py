@@ -80,7 +80,8 @@ the CheckpointStore so a crash resumes without recomputing finished work:
 6/7. ``pack_vocab`` / ``packed`` (optional, global): tokenizer artifact
    over the final corpus — dense word->id vocab (build_vocab) or a BPE
    merge table (--pack-bpe, bpe.train_bpe) — then fixed-length
-   boundary-crossing training rows (encode + pack_sequences) — the curated corpus leaves the
+   boundary-crossing training rows (encode + optional --fim-ppm
+   fill-in-middle rewrite + pack_sequences) — the curated corpus leaves the
    job as (grp, chunk_id, tokens:array<int>, n_real) rows ready to train
    on.
 8. ``shards`` (optional, global): deterministic global shuffle + fixed-
@@ -141,6 +142,7 @@ from geofeaturegeneration_spark.operators import (
     lsh_pairs_from_band_sigs,
     minhash_band_signatures,
     pack_sequences,
+    fim_transform,
     semantic_dedup,
     shuffle_shards,
     span_dup_intervals,
@@ -204,6 +206,7 @@ def run_dedup_pipeline(
     pack_bpe_merges: int | None = None,
     pack_groups: int = 32,
     pack_pad: int | None = None,
+    fim_rate_ppm: int | None = None,
     shard_size: int | None = None,
     stats: bool = False,
     embeddings=None,
@@ -321,6 +324,11 @@ def run_dedup_pipeline(
         raise ValueError(
             "mix_alpha (computed temperature recipe) and mix_rates_ppm "
             "(explicit rates) are mutually exclusive"
+        )
+    if fim_rate_ppm is not None and pack_len is None:
+        raise ValueError(
+            "fim_rate_ppm requires pack_len (--pack SEQ_LEN): the FIM "
+            "rewrite applies to the tokenized docs the pack stage cuts"
         )
     if pack_bpe_merges is not None and pack_len is None:
         raise ValueError(
@@ -1038,6 +1046,12 @@ def run_dedup_pipeline(
                 f":{epoch_default_ppm}"
             )
         )
+        # same stage-local rule for the FIM rewrite: it changes only the
+        # packed token bytes (and the shards cut from them); the vocab
+        # artifact and every corpus stage are FIM-free
+        ep_tag += (
+            "" if fim_rate_ppm is None else f";fim={fim_rate_ppm}"
+        )
 
     voc_path = os.path.join(out_root, "pack_vocab")
     pck_path = os.path.join(out_root, "packed")
@@ -1107,6 +1121,21 @@ def run_dedup_pipeline(
                         ),
                         lambda s: s["vocab_id"].cast("int"),
                     ).alias("tokens")
+                )
+            if fim_rate_ppm is not None:
+                # FIM rewrite (Bavarian et al. 2022 PSM order) on the
+                # per-doc arrays BEFORE packing, so infilling spans never
+                # cross document boundaries; sentinel ids are negative —
+                # below any trained vocab id (word vocab starts at 1 with
+                # 0 reserved, BPE at 0), so decode/audit tables never
+                # collide with them
+                arr = (
+                    fim_transform(
+                        arr, "tokens", rate_ppm=fim_rate_ppm,
+                        prefix_tok=-1, suffix_tok=-2, middle_tok=-3,
+                        id_col=idc,
+                    )
+                    .select(idc, F.col("tokens_fim").alias("tokens"))
                 )
             return pack_sequences(
                 arr, idc, "tokens", seq_len=pack_len,
@@ -1329,6 +1358,10 @@ def main(argv=None) -> int:
     p.add_argument("--pack-groups", type=int, default=32,
                    help="independent pack groups (parallelism knob; "
                         "packing quality is unaffected)")
+    p.add_argument("--fim-ppm", type=int, default=None, metavar="PPM",
+                   help="rewrite this ppm fraction of docs into "
+                        "fill-in-middle (PSM) order before packing "
+                        "(requires --pack; sentinels -1/-2/-3)")
     p.add_argument("--pack-pad", type=int, default=None,
                    help="right-pad each group's final partial chunk with "
                         "this token id")
@@ -1416,6 +1449,7 @@ def main(argv=None) -> int:
         epoch_default_ppm=args.epochs_default,
         span_k=args.span_dedup,
         pack_len=args.pack, pack_bpe_merges=args.pack_bpe,
+        fim_rate_ppm=args.fim_ppm,
         pack_groups=args.pack_groups,
         pack_pad=args.pack_pad, shard_size=args.shard_size,
         stats=args.stats,

@@ -1285,3 +1285,98 @@ def test_dedup_pipeline_epoch_upsampling_export(spark, tmp_path):
             spark, docs, str(tmp_path / "x"), str(tmp_path / "y"),
             buckets=3, epoch_rates_ppm={"src0": 2_000_000},
         )
+
+
+def test_dedup_pipeline_pack_with_fim(spark, tmp_path):
+    """--fim-ppm rewrites a deterministic fraction of the tokenized docs
+    into PSM order before packing: packed rows equal the hand-composed
+    vocab -> encode -> fim_transform -> pack chain, sentinels appear (and
+    only the three negative ids), total real tokens grow by exactly
+    3 x n_fim docs, and changing the rate invalidates the pack stages on
+    resume (lineage) while the corpus stages skip."""
+    import jobs.run_dedup as RD
+    from geofeaturegeneration_spark.functions.text import words
+    from geofeaturegeneration_spark.operators import (
+        build_vocab,
+        encode_with_vocab,
+        fim_transform,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    kw = dict(buckets=3, k=3, n_hashes=16, bands=4, max_bucket_size=100,
+              pack_len=64, pack_groups=4, pack_pad=0)
+
+    out, ck = str(tmp_path / "out_fim"), str(tmp_path / "ck_fim")
+    RD.run_dedup_pipeline(spark, docs, out, ck, fim_rate_ppm=500_000, **kw)
+    packed = spark.read.parquet(f"{out}/packed").drop("part_key")
+    final = spark.read.parquet(f"{out}/deduped").drop(
+        "part_key", "cluster_id"
+    )
+
+    toks = final.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "token")
+    )
+    vocab = build_vocab(toks.select("token"), "token")
+    enc = encode_with_vocab(toks, vocab, "token")
+    arr = enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("vocab_id")))
+            ),
+            lambda s: s["vocab_id"].cast("int"),
+        ).alias("tokens")
+    )
+    fim = fim_transform(
+        arr, "tokens", rate_ppm=500_000, prefix_tok=-1, suffix_tok=-2,
+        middle_tok=-3, id_col="doc_id",
+    )
+    want_df = pack_sequences(
+        fim.select("doc_id", F.col("tokens_fim").alias("tokens")),
+        "doc_id", "tokens", seq_len=64, n_groups=4, pad_value=0,
+    )
+    want = sorted(
+        (r["grp"], r["chunk_id"], tuple(r["tokens"]), r["n_real"])
+        for r in want_df.collect()
+    )
+    got = sorted(
+        (r["grp"], r["chunk_id"], tuple(r["tokens"]), r["n_real"])
+        for r in packed.collect()
+    )
+    assert got == want
+
+    # sentinel accounting: negatives are exactly {-1,-2,-3}, and the real
+    # token total is the corpus total + 3 per transformed doc
+    n_fim = fim.filter("is_fim = 1").count()
+    assert n_fim > 0
+    neg = (
+        packed.select(F.explode("tokens").alias("t")).filter("t < 0")
+        .groupBy("t").count().collect()
+    )
+    assert {r["t"] for r in neg} == {-1, -2, -3}
+    assert all(r["count"] == n_fim for r in neg)
+    n_tok = final.select(F.sum(F.size(words(F.col("text"))))).collect()[0][0]
+    assert (
+        packed.select(F.sum("n_real")).collect()[0][0] == n_tok + 3 * n_fim
+    )
+
+    # rate change invalidates the export stages but not the corpus stages
+    st = RD.run_dedup_pipeline(
+        spark, docs, out, ck, fim_rate_ppm=250_000, **kw
+    )
+    sigs, clusters, output, voc, pck = st
+    assert all(r.skipped for r in sigs)
+    assert all(not r.skipped for r in pck)
+
+
+def test_fim_without_pack_raises(spark, tmp_path):
+    import jobs.run_dedup as RD
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    with pytest.raises(ValueError, match="fim_rate_ppm requires pack_len"):
+        RD.run_dedup_pipeline(
+            spark, docs, str(tmp_path / "o"), str(tmp_path / "c"),
+            buckets=2, fim_rate_ppm=100_000,
+        )
