@@ -3008,7 +3008,7 @@ GROUP BY 1, 2
         # both engines measure distance over the identical ascii_key form
         # (pure ASCII, so char edits count the same under Java and utf8)
         "edit_join": """
-WITH k AS (SELECT doc_id, substr(trim(regexp_replace(lower(regexp_replace(text,'[^A-Za-z0-9 ]','','g')),' +',' ','g')),1,24) AS key FROM documents),
+WITH k AS (SELECT doc_id, substr(trim(regexp_replace(lower(regexp_replace(substr(text,1,96),'[^A-Za-z0-9 ]','','g')),' +',' ','g')),1,24) AS key FROM documents),
 k2 AS (SELECT * FROM k WHERE len(key) >= 1)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.key, b.key)::INT AS dist
@@ -3016,7 +3016,7 @@ FROM k2 a JOIN k2 b ON a.doc_id < b.doc_id
 WHERE levenshtein(a.key, b.key) <= 1
 """,
         "edit_join_cross": """
-WITH k AS (SELECT doc_id, substr(trim(regexp_replace(lower(regexp_replace(text,'[^A-Za-z0-9 ]','','g')),' +',' ','g')),1,24) AS key FROM documents),
+WITH k AS (SELECT doc_id, substr(trim(regexp_replace(lower(regexp_replace(substr(text,1,96),'[^A-Za-z0-9 ]','','g')),' +',' ','g')),1,24) AS key FROM documents),
 k2 AS (SELECT * FROM k WHERE len(key) >= 1)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.key, b.key)::INT AS dist

@@ -160,3 +160,74 @@ def test_chunk_reassemble_roundtrip(spark, toks, seq_len):
     # even for an empty array (greatest(n_chunks, 1) — no doc silently
     # vanishes from the export) and the n_tok slice recovers []
     assert got == {i: arr for i, arr, _ in rows}
+
+
+# ------------------------------------------------------------- edit_join
+@settings(**SETTINGS)
+@given(
+    strs=st.lists(
+        st.text(alphabet="ab ", max_size=6), min_size=2, max_size=25
+    ),
+    d=st.integers(min_value=0, max_value=2),
+)
+def test_edit_join_matches_python_model(spark, strs, d):
+    """Pairs == the naive quadratic levenshtein join (completeness of the
+    symmetric-delete blocking) on arbitrary short keys incl. empties."""
+    import itertools
+
+    from geofeaturegeneration_spark.operators import edit_join
+
+    def lev(a, b):
+        dd = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dd[0] = dd[:], i
+            for j, cb in enumerate(b, 1):
+                dd[j] = min(prev[j] + 1, dd[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return dd[len(b)]
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "id LONG, key STRING"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_join(df, "id", "key", max_dist=d, min_len=0).collect()
+    }
+    want = {
+        (i, j, lev(strs[i], strs[j]))
+        for i, j in itertools.combinations(range(len(strs)), 2)
+        if lev(strs[i], strs[j]) <= d
+    }
+    assert got == want
+
+
+# --------------------------------------------------------- fim_transform
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=99), max_size=12),
+        min_size=1, max_size=20,
+    ),
+    rate=st.integers(min_value=0, max_value=1_000_000),
+)
+def test_fim_matches_python_model(spark, docs, rate):
+    """tokens_fim == the documented pure function of (id, salt, tokens):
+    md5 draw, md5 cut points, PSM permutation; untouched otherwise."""
+    from geofeaturegeneration_spark.operators import fim_transform
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id LONG, tokens ARRAY<INT>")
+    got = {
+        r["doc_id"]: (r["is_fim"], r["fim_lo"], r["fim_hi"], r["tokens_fim"])
+        for r in fim_transform(
+            df, "tokens", rate_ppm=rate, prefix_tok=-1, suffix_tok=-2,
+            middle_tok=-3,
+        ).collect()
+    }
+    for i, t in rows:
+        n = len(t)
+        sel = _md5_60(f"{i}#fim") % 1_000_000 < rate
+        a = _md5_60(f"{i}#fim-a") % (n + 1)
+        b = _md5_60(f"{i}#fim-b") % (n + 1)
+        lo, hi = min(a, b), max(a, b)
+        fim = [-1] + t[:lo] + [-2] + t[hi:] + [-3] + t[lo:hi] if sel else t
+        assert got[i] == (int(sel), lo, hi, fim)

@@ -257,6 +257,43 @@ def main() -> None:
             )
             out.write.format("noop").mode("overwrite").save()
             return n_tok, time.perf_counter() - t0
+    elif job == "edit":
+        import time
+
+        from pyspark.sql import functions as F
+
+        from geofeaturegeneration_spark.functions.text import ascii_key
+        from geofeaturegeneration_spark.operators import edit_join
+
+        # the variant explode + hash join are CPU-heavy per key byte —
+        # same split sizing rule as normalize/span so the first stage is
+        # wide at both levels
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 << 20))
+
+        def run_job(spark, path):
+            # key canonicalization is embarrassingly parallel scan work;
+            # what the scaling claim must cover is the operator's own
+            # machinery (variant explode + hash join + distinct + verify),
+            # so the keyed table is materialized once UNTIMED and the job
+            # times edit_join over it — the dedup-scaling corpus is the
+            # right stressor: every copy group collapses to identical or
+            # near-identical 24-char keys, so the variant join carries
+            # real dist-0/1 pair mass, not just candidate churn
+            key_path = path + "_edit_keys"
+            if not os.path.exists(os.path.join(key_path, "_SUCCESS")):
+                docs = spark.read.parquet(path).select("doc_id", "text")
+                docs.select(
+                    "doc_id", ascii_key(F.col("text"), 24).alias("key")
+                ).repartition(32).write.mode("overwrite").parquet(key_path)
+            keyed = spark.read.parquet(key_path)
+            # work metric = key count (a corpus property, identical at
+            # every level, NOT timed)
+            n_keys = keyed.count()
+            t0 = time.perf_counter()
+            edit_join(keyed, "doc_id", "key", max_dist=1).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return n_keys, time.perf_counter() - t0
     elif job == "sketch":
         import time
 
