@@ -1288,6 +1288,13 @@ def train_ivf_centroids(
     norms = np.array([r["_n"] for r in rows], dtype=np.float64)
     X = X / np.maximum(norms, 1e-300)[:, None]
     n = len(X)
+    if n == 0:
+        raise ValueError(
+            "train_ivf_centroids: the sample is empty (no rows with a "
+            "non-degenerate embedding) — nothing to train on. Callers "
+            "composing pipelines should skip quantizer training when the "
+            "surviving corpus is empty."
+        )
     k_eff = min(k, n)
     rng = np.random.default_rng(seed)
 

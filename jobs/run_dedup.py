@@ -787,7 +787,21 @@ def run_dedup_pipeline(
     r_sem = None
     if embeddings is not None:
         def sem_one(_key: str):
-            emb = restrict_global(embeddings)
+            # embeddings are an EXTERNAL id-carrying table: align them
+            # with the current doc universe first (docs is the cleaned
+            # corpus when --clean is on — without this, vectors of docs
+            # the page verdict already removed could elect themselves
+            # min-id exemplars and drop SURVIVING near-dups of content
+            # that no longer exists in the output), then through the
+            # novel/quality/ppl keeper joins like every global stage
+            emb = restrict_global(
+                embeddings.join(docs.select("doc_id"), "doc_id", "left_semi")
+            )
+            if emb.limit(1).count() == 0:
+                # nothing survived to here (or no embeddings align with
+                # the survivors): emit an empty drop table rather than
+                # asking the trainer to fit a quantizer on nothing
+                return spark.createDataFrame([], T.StructType([_id_field]))
             cents = train_ivf_centroids(
                 emb, "doc_id", "embedding", k=semantic_clusters
             )
