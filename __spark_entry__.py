@@ -589,6 +589,34 @@ def q_edit_join_cross(spark, sf_dir):
     return edit_join_cross(batch, corpus, "doc_id", "key", max_dist=1)
 
 
+def q_pagerank(spark, sf_dir):
+    """TextRank-shaped PageRank (round 4): the corpus word-adjacency graph
+    (distinct consecutive-word pairs, self-loops dropped) ranked by
+    integer-exact PageRank — keyword importance over the documents table
+    (Mihalcea & Tarau 2004 applied the same recurrence to exactly this
+    graph). Every arithmetic step is int64 floor-division/summation, so
+    the DuckDB oracle replays the 5 iterations as an unrolled CTE chain
+    bit-for-bit."""
+    from geofeaturegeneration_spark.operators import pagerank
+
+    docs = _docs_wide(spark, sf_dir)
+    w = docs.select(
+        F.posexplode(X.words(F.col("text"))).alias("pos", "w"), "doc_id"
+    )
+    from pyspark.sql import Window as W
+
+    nxt = w.select(
+        "doc_id", "pos", F.col("w").alias("src"),
+        F.lead("w").over(
+            W.partitionBy("doc_id").orderBy("pos")
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    edges = nxt.select("src", "dst").distinct()
+    return pagerank(edges, n_iter=5).select(
+        F.col("node").alias("word"), "rank"
+    )
+
+
 def q_fim_transform(spark, sf_dir):
     """Fill-in-middle training export (round 4, PSM order): a deterministic
     60% of docs rewritten to [PRE] prefix [SUF] suffix [MID] middle with
@@ -1137,8 +1165,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family keeps pivot_counts in-window, and the wide twin was
         # already in extras) into extra_queries()
         "fim_transform": q_fim_transform,
+        # round 4 (this session): integer-exact PageRank (new operator —
+        # TextRank keyword scoring over the corpus bigram graph; the
+        # link-graph quality-prior machinery for web-scale curation) —
+        # slot freed by folding `sessionize_gap` (driver-green r01-r03;
+        # the sessionization family keeps sessionize_state +
+        # stay_move_spliced + asof_salted in-window) into extra_queries()
+        "pagerank": q_pagerank,
         # --- the rest of the contract ---
-        "sessionize_gap": q_sessionize_gap,
         "sessionize_state": q_sessionize_state,
         "stay_move_spliced": q_stay_move_spliced,
         "asof_salted": q_asof_salted,
@@ -1982,6 +2016,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_merge": q_asof_merge,
         # same output as sessionize_state via the time-range-salted plan
         "sessionize_salted": q_sessionize_salted,
+        # round 4 (this session): folded out of the driver window
+        # (driver-green r01-r03) to give pagerank its first CORRECTNESS
+        # row; the gap-rule sessionizer stays value-exact here and its
+        # machinery stays in-window through sessionize_state
+        "sessionize_gap": q_sessionize_gap,
         # same output as asof_salted/asof_merge via the union-window plan
         "asof_union": q_asof_union,
         # standalone range-frame rolling (contract 'rolling' folds both)
@@ -2131,6 +2170,42 @@ _HLL_C10 = _HLL_A(1024) * 1024 * 1024 * (1 << 51)
 _SEC = "epoch_us({x})//1000000"
 _NORM_TEXT = "regexp_replace(trim(lower(text)),'\\s+',' ','g')"
 _STOP = "('the','a','of','and','to','in','is','it')"
+
+def _pagerank_sql(n_iter: int = 5, d: int = 850_000, scale: int = 10**12) -> str:
+    """Unrolled-CTE PageRank oracle: DuckDB has no loop, but the
+    operator's recurrence is exact integer arithmetic with a FIXED
+    iteration count, so the iterations unroll into a chain of CTEs that
+    reproduce the int64 ranks bit-for-bit (``//`` and Spark ``div`` agree
+    on non-negative ints; sums are exact)."""
+    base = f"((1000000-{d})*{scale})//1000000//(SELECT n FROM nn)"
+    ctes = [
+        "wd AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)",
+        "t AS (SELECT doc_id, unnest(ws) AS w,"
+        " unnest(generate_series(1, len(ws))) AS pos FROM wd)",
+        "e0 AS (SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS src,"
+        " w AS dst FROM t)",
+        "e AS (SELECT DISTINCT src, dst FROM e0"
+        " WHERE src IS NOT NULL AND src != dst)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS c FROM e GROUP BY 1)",
+        f"pr0 AS (SELECT node, {scale}//(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"pr{i + 1} AS (SELECT n2.node, {base} +"
+            f" ({d} * COALESCE(s.s, 0))//1000000 AS rank"
+            f" FROM nodes n2 LEFT JOIN"
+            f" (SELECT e.dst AS node, SUM(p.rank // d2.c) AS s"
+            f" FROM e JOIN pr{i} p ON e.src = p.node"
+            f" JOIN deg d2 ON d2.src = e.src GROUP BY 1) s"
+            f" ON s.node = n2.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node AS word, rank::BIGINT AS rank FROM pr{n_iter}"
+    )
+
 
 _TOKENS_CTE = f"""
 tok AS (
@@ -3003,6 +3078,9 @@ FROM allr, wins t
 WHERE i < nw AND pos > i*{SEQ_LEN // 2} AND pos <= i*{SEQ_LEN // 2} + {SEQ_LEN}
 GROUP BY 1, 2
 """,
+        # pagerank: 5 iterations unrolled into a CTE chain (see
+        # _pagerank_sql) — exact int64 recurrence, bit-identical ranks
+        "pagerank": _pagerank_sql(),
         # edit_join: the oracle IS the naive quadratic join — the operator's
         # symmetric-delete blocking is complete, so they agree exactly;
         # both engines measure distance over the identical ascii_key form

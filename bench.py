@@ -94,6 +94,7 @@ HEADLINE = [
     "edit_join",
     "leakage_split",
     "traj_graph",
+    "pagerank",
     "semantic_dedup",
     "importance_resample",
     "temperature_mix",

@@ -93,3 +93,74 @@ def test_plan_shape_single_window_plus_agg(spark):
     plan = edges._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Generate" not in plan
     assert plan.count("Window") == 1
+
+
+def _py_pagerank(edges, n_iter=5, d=850_000, scale=10**12):
+    from collections import defaultdict
+
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    deg = defaultdict(int)
+    for a, _ in edges:
+        deg[a] += 1
+    rank = {v: scale // n for v in nodes}
+    base = ((1_000_000 - d) * scale) // 1_000_000 // n
+    for _ in range(n_iter):
+        s = defaultdict(int)
+        for a, b in edges:
+            s[b] += rank[a] // deg[a]
+        rank = {v: base + d * s[v] // 1_000_000 for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_model(spark):
+    import random
+
+    from geofeaturegeneration_spark.operators.graph import pagerank
+
+    rng = random.Random(5)
+    edges = sorted(
+        {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {
+        r["node"]: r["rank"] for r in pagerank(df, n_iter=5).collect()
+    }
+    assert got == _py_pagerank(edges, n_iter=5)
+    # partitioning invariance: integer arithmetic is shuffle-order-proof
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(df.repartition(7, "dst"), n_iter=5).collect()
+    }
+    assert got2 == got
+
+
+def test_pagerank_hub_ranks_highest_and_dangling_gets_base(spark):
+    from geofeaturegeneration_spark.operators.graph import pagerank
+
+    # star: everyone points at 0; 0 points at 9 (so 9 is downstream of the
+    # hub); node 5 dangles (in-edge only)
+    edges = [(i, 0) for i in range(1, 9)] + [(0, 9), (0, 5)]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+    assert got[0] == max(got.values())
+    # sources 1..8 (except 5, which receives (0,5)) have no in-edges:
+    # exactly base after any iteration
+    base = ((1_000_000 - 850_000) * 10**12) // 1_000_000 // 10
+    pure_sources = [i for i in range(1, 9) if i != 5]
+    assert {i: got[i] for i in pure_sources} == {i: base for i in pure_sources}
+    # dangling node 5 still receives rank (its out-mass is dropped)
+    assert got[5] > base
+
+
+def test_pagerank_empty_and_validation(spark):
+    import pytest
+
+    from geofeaturegeneration_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert pagerank(empty).count() == 0
+    df = spark.createDataFrame([(1, 2)], "src BIGINT, dst BIGINT")
+    with pytest.raises(ValueError, match="damping_ppm"):
+        pagerank(df, damping_ppm=2_000_000)
