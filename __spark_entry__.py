@@ -617,6 +617,24 @@ def q_pagerank(spark, sf_dir):
     )
 
 
+def q_traj_pagerank(spark, sf_dir):
+    """Weighted PageRank over the trajectory transition graph (edge weight
+    = n_trips): location importance — the PoI-significance feature the
+    reference's declared graph output would feed. Same exact integer
+    recurrence as the in-window pagerank, weighted form."""
+    from geofeaturegeneration_spark.operators import pagerank, trajectory_graph
+
+    ev = _t(spark, sf_dir, "events")
+    stays = sessionize_state_change(
+        ev, ["user_id"], "ts", "event_type", min_duration_s=600.0,
+        order_cols=["event_id"],
+    )
+    edges = trajectory_graph(stays, ["user_id"], "stime", "event_type")
+    return pagerank(
+        edges, n_iter=5, weight_col="n_trips"
+    ).select(F.col("node"), "rank")
+
+
 def q_fim_transform(spark, sf_dir):
     """Fill-in-middle training export (round 4, PSM order): a deterministic
     60% of docs rewritten to [PRE] prefix [SUF] suffix [MID] middle with
@@ -2096,6 +2114,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # traj_graph edge table (union + groupBy of its output) — verified
         # transitively by the contract entry, value-exact here
         "graph_nodes": q_graph_nodes,
+        # weighted (n_trips) PageRank over the in-window traj_graph edge
+        # table — location importance; exact int64 recurrence, unrolled
+        # CTE oracle like the in-window pagerank
+        "traj_pagerank": q_traj_pagerank,
         # the sketch ESTIMATES themselves, oracle-pinned cross-engine (the
         # in-window heavy_hitters oracle checks only the exact final
         # answer, which the lossless screen guarantees regardless of the
@@ -2171,24 +2193,34 @@ _SEC = "epoch_us({x})//1000000"
 _NORM_TEXT = "regexp_replace(trim(lower(text)),'\\s+',' ','g')"
 _STOP = "('the','a','of','and','to','in','is','it')"
 
-def _pagerank_sql(n_iter: int = 5, d: int = 850_000, scale: int = 10**12) -> str:
+_WORD_EDGES_CTES = (
+    "wd AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)",
+    "t AS (SELECT doc_id, unnest(ws) AS tw,"
+    " unnest(generate_series(1, len(ws))) AS pos FROM wd)",
+    "e0 AS (SELECT lag(tw) OVER (PARTITION BY doc_id ORDER BY pos) AS src,"
+    " tw AS dst FROM t)",
+    "e AS (SELECT DISTINCT src, dst, 1 AS w FROM e0"
+    " WHERE src IS NOT NULL AND src != dst)",
+)
+
+
+def _pagerank_sql(
+    edges_ctes=_WORD_EDGES_CTES,
+    node_alias: str = "word",
+    n_iter: int = 5,
+    d: int = 850_000,
+    scale: int = 10**12,
+) -> str:
     """Unrolled-CTE PageRank oracle: DuckDB has no loop, but the
     operator's recurrence is exact integer arithmetic with a FIXED
     iteration count, so the iterations unroll into a chain of CTEs that
     reproduce the int64 ranks bit-for-bit (``//`` and Spark ``div`` agree
     on non-negative ints; sums are exact)."""
     base = f"((1000000-{d})*{scale})//1000000//(SELECT n FROM nn)"
-    ctes = [
-        "wd AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)",
-        "t AS (SELECT doc_id, unnest(ws) AS w,"
-        " unnest(generate_series(1, len(ws))) AS pos FROM wd)",
-        "e0 AS (SELECT lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS src,"
-        " w AS dst FROM t)",
-        "e AS (SELECT DISTINCT src, dst FROM e0"
-        " WHERE src IS NOT NULL AND src != dst)",
+    ctes = list(edges_ctes) + [
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT count(*) AS n FROM nodes)",
-        "deg AS (SELECT src, count(*) AS c FROM e GROUP BY 1)",
+        "deg AS (SELECT src, SUM(w)::BIGINT AS c FROM e GROUP BY 1)",
         f"pr0 AS (SELECT node, {scale}//(SELECT n FROM nn) AS rank FROM nodes)",
     ]
     for i in range(n_iter):
@@ -2196,14 +2228,15 @@ def _pagerank_sql(n_iter: int = 5, d: int = 850_000, scale: int = 10**12) -> str
             f"pr{i + 1} AS (SELECT n2.node, {base} +"
             f" ({d} * COALESCE(s.s, 0))//1000000 AS rank"
             f" FROM nodes n2 LEFT JOIN"
-            f" (SELECT e.dst AS node, SUM(p.rank // d2.c) AS s"
+            f" (SELECT e.dst AS node, SUM((p.rank * e.w) // d2.c) AS s"
             f" FROM e JOIN pr{i} p ON e.src = p.node"
             f" JOIN deg d2 ON d2.src = e.src GROUP BY 1) s"
             f" ON s.node = n2.node)"
         )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT node AS word, rank::BIGINT AS rank FROM pr{n_iter}"
+        + f"\nSELECT node AS {node_alias}, rank::BIGINT AS rank"
+        + f" FROM pr{n_iter}"
     )
 
 
@@ -3081,6 +3114,8 @@ GROUP BY 1, 2
         # pagerank: 5 iterations unrolled into a CTE chain (see
         # _pagerank_sql) — exact int64 recurrence, bit-identical ranks
         "pagerank": _pagerank_sql(),
+        # traj_pagerank: weighted unrolled chain over the traj edge CTEs
+        "traj_pagerank": _pagerank_sql(('r0 AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events)', 'f2 AS (SELECT *, CASE WHEN lag(event_type) OVER wx IS NULL OR lag(event_type) OVER wx != event_type THEN 1 ELSE 0 END AS new FROM r0 WINDOW wx AS (PARTITION BY user_id ORDER BY rn))', 's2 AS (SELECT *, SUM(new) OVER (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING) AS sid FROM f2)', 'g2 AS (SELECT user_id, sid, min(ts) AS stime, min(rn) AS ord, arg_min(event_type, rn) AS event_type FROM s2 GROUP BY 1,2)', 'le AS (SELECT *, lead(stime) OVER wy AS etime FROM g2 WINDOW wy AS (PARTITION BY user_id ORDER BY stime, ord))', 'stays2 AS (SELECT user_id, stime, event_type FROM le WHERE etime IS NOT NULL AND (epoch_us(etime)//1000000 - epoch_us(stime)//1000000) >= 600)', 'ed0 AS (SELECT user_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY stime) AS src, event_type AS dst FROM stays2)', 'e AS (SELECT src, dst, count(*)::BIGINT AS w FROM ed0 WHERE src IS NOT NULL AND src != dst GROUP BY 1,2)'), node_alias="node"),
         # edit_join: the oracle IS the naive quadratic join — the operator's
         # symmetric-delete blocking is complete, so they agree exactly;
         # both engines measure distance over the identical ascii_key form

@@ -115,6 +115,7 @@ def pagerank(
     damping_ppm: int = 850_000,
     scale: int = 10**12,
     n_nodes: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge table in EXACT integer arithmetic —
     the classic link-graph importance signal (Brin & Page 1998), applied
@@ -144,6 +145,14 @@ def pagerank(
     PRECONDITION: one row per directed edge (dedupe upstream — e.g.
     ``trajectory_graph`` output, or a DISTINCT bigram table).
 
+    ``weight_col`` (int64 edge weights, e.g. trajectory_graph's
+    ``n_trips``) switches to the weighted recurrence: with ``W(u)`` =
+    u's total out-weight, the contribution over edge (u,v,w) is
+    ``(rank_t(u) * w) // W(u)`` — still one exact floor division per
+    edge. Overflow bound: ``rank * w < 2^63`` requires
+    ``max_weight < 2^63 / scale`` (~9.2e6 at the default scale); shrink
+    ``scale`` for heavier edges.
+
     Scale shape: per iteration ONE equi-join of the edge table with the
     rank table on src + ONE (dst) sum aggregate + ONE left join back to
     the node list — all partial-aggregated, shuffle keys reused round to
@@ -155,8 +164,13 @@ def pagerank(
     """
     if not 0 <= damping_ppm <= 1_000_000:
         raise ValueError("damping_ppm must be in [0, 1e6]")
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
     fwd = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        w_expr.alias("_w"),
     ).localCheckpoint(eager=False)
     nodes = (
         fwd.select(F.col("src").alias("node"))
@@ -168,7 +182,7 @@ def pagerank(
         n_nodes = nodes.count()  # one scalar collect, O(1) driver state
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
-    outdeg = fwd.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    outdeg = fwd.groupBy("src").agg(F.sum("_w").alias("_deg"))
     esrc = fwd.join(outdeg, "src").localCheckpoint(eager=False)
     base = ((1_000_000 - damping_ppm) * scale) // 1_000_000 // n_nodes
     ranks = nodes.withColumn(
@@ -179,7 +193,7 @@ def pagerank(
     for _ in range(int(n_iter)):
         contribs = esrc.join(
             ranks.select(F.col("node").alias("src"), "rank"), "src"
-        ).select("dst", F.expr("rank div _deg").alias("_c"))
+        ).select("dst", F.expr("(rank * _w) div _deg").alias("_c"))
         sums = contribs.groupBy("dst").agg(F.sum("_c").alias("_s"))
         new_ranks = (
             nodes.join(

@@ -164,3 +164,41 @@ def test_pagerank_empty_and_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src BIGINT, dst BIGINT")
     with pytest.raises(ValueError, match="damping_ppm"):
         pagerank(df, damping_ppm=2_000_000)
+
+
+def test_pagerank_weighted_matches_python_model(spark):
+    import random
+    from collections import defaultdict
+
+    from geofeaturegeneration_spark.operators.graph import pagerank
+
+    rng = random.Random(11)
+    edges = sorted(
+        {(rng.randrange(20), rng.randrange(20)) for _ in range(80)}
+    )
+    edges = [(a, b, rng.randrange(1, 9)) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT, w BIGINT")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=5, weight_col="w").collect()
+    }
+    nodes = sorted({a for a, _, _ in edges} | {b for _, b, _ in edges})
+    n, d, scale = len(nodes), 850_000, 10**12
+    W = defaultdict(int)
+    for a, _, w in edges:
+        W[a] += w
+    rank = {v: scale // n for v in nodes}
+    base = ((1_000_000 - d) * scale) // 1_000_000 // n
+    for _ in range(5):
+        s = defaultdict(int)
+        for a, b, w in edges:
+            s[b] += (rank[a] * w) // W[a]
+        rank = {v: base + d * s[v] // 1_000_000 for v in nodes}
+    assert got == rank
+    # weight 1 everywhere == the unweighted path exactly
+    ones = spark.createDataFrame(
+        [(a, b, 1) for a, b, _ in edges], "src BIGINT, dst BIGINT, w BIGINT"
+    )
+    a1 = {r["node"]: r["rank"] for r in pagerank(ones, n_iter=3, weight_col="w").collect()}
+    a2 = {r["node"]: r["rank"] for r in pagerank(ones.drop("w"), n_iter=3).collect()}
+    assert a1 == a2
