@@ -635,6 +635,19 @@ def q_traj_pagerank(spark, sf_dir):
     ).select(F.col("node"), "rank")
 
 
+def q_edit_clusters(spark, sf_dir):
+    """Edit-distance pairs -> connected components -> one keeper per
+    cluster: the keeper-selection composition for the character-level
+    dedup family (same min-label fixpoint as the in-window
+    dedup_clusters, fed by edit_join instead of minhash)."""
+    from geofeaturegeneration_spark.operators import dedup_clusters
+
+    docs = _docs_wide(spark, sf_dir)
+    keyed = docs.select("doc_id", X.ascii_key(F.col("text"), 24).alias("key"))
+    pairs = edit_join(keyed, "doc_id", "key", max_dist=1)
+    return dedup_clusters(docs, "doc_id", pairs)
+
+
 def q_fim_transform(spark, sf_dir):
     """Fill-in-middle training export (round 4, PSM order): a deterministic
     60% of docs rewritten to [PRE] prefix [SUF] suffix [MID] middle with
@@ -2054,6 +2067,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the incremental-ingest (batch x corpus) form of the in-window
         # edit_join — same variant machinery, corpus side persistable
         "edit_join_cross": q_edit_join_cross,
+        # keeper-selection composition of the edit family: edit pairs ->
+        # the same connected-components fixpoint as dedup_clusters
+        "edit_clusters": q_edit_clusters,
         "interaction_wide": q_interaction_wide,
         # TakeOrdered top-k + broadcast enrich (same family as orders_enrich)
         "top_customers": q_top_customers,
@@ -3110,6 +3126,28 @@ SELECT doc_id, i::INT AS chunk_idx,
 FROM allr, wins t
 WHERE i < nw AND pos > i*{SEQ_LEN // 2} AND pos <= i*{SEQ_LEN // 2} + {SEQ_LEN}
 GROUP BY 1, 2
+""",
+        # edit_clusters: the dedup_clusters fixpoint over edit pairs
+        "edit_clusters": """
+WITH RECURSIVE k AS (SELECT doc_id, substr(trim(regexp_replace(lower(regexp_replace(substr(text,1,96),'[^A-Za-z0-9 ]','','g')),' +',' ','g')),1,24) AS key FROM documents),
+k2 AS (SELECT * FROM k WHERE len(key) >= 1),
+prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM k2 a JOIN k2 b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.key, b.key) <= 1),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+),
+cc AS (SELECT a AS id, min(b) AS component FROM reach GROUP BY a),
+asg AS (SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS comp
+        FROM documents d LEFT JOIN cc ON d.doc_id = cc.id),
+reps AS (SELECT comp, min(doc_id) AS cluster_id FROM asg GROUP BY 1)
+SELECT a.doc_id, r.cluster_id, (a.doc_id = r.cluster_id) AS is_keeper
+FROM asg a JOIN reps r ON a.comp = r.comp
 """,
         # pagerank: 5 iterations unrolled into a CTE chain (see
         # _pagerank_sql) — exact int64 recurrence, bit-identical ranks
