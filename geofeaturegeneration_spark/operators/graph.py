@@ -167,11 +167,17 @@ def pagerank(
     w_expr = (
         F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     )
+    # NOT checkpointed: fwd has exactly three one-time consumers (nodes,
+    # out-degrees, esrc) before esrc's own checkpoint takes over as the
+    # per-round input — for a scan-cheap upstream, three scans beat one
+    # 100%-of-the-edges block-store write (measured: the write is part of
+    # a parallelism-independent setup floor). Callers with an expensive
+    # edge QUERY should materialize it themselves before calling.
     fwd = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         w_expr.alias("_w"),
-    ).localCheckpoint(eager=False)
+    )
     nodes = (
         fwd.select(F.col("src").alias("node"))
         .union(fwd.select(F.col("dst").alias("node")))
@@ -185,25 +191,38 @@ def pagerank(
     outdeg = fwd.groupBy("src").agg(F.sum("_w").alias("_deg"))
     esrc = fwd.join(outdeg, "src").localCheckpoint(eager=False)
     base = ((1_000_000 - damping_ppm) * scale) // 1_000_000 // n_nodes
-    ranks = nodes.withColumn(
-        "rank", F.lit(scale // n_nodes).cast("long")
-    ).localCheckpoint(eager=False)
+    r0 = scale // n_nodes
+    # SPARSE rank state: a node with no in-edges has a CONSTANT rank
+    # (scale//N before the first round, `base` after every round), so the
+    # rank table only needs the in-edge nodes and each round is exactly
+    # one equi-join + one partial-agg sum — no per-round join back to the
+    # full node list. Absent sources read their constant via coalesce.
+    ranks = None  # None => every source is at the round's constant
     import gc
 
+    default = r0
     for _ in range(int(n_iter)):
-        contribs = esrc.join(
-            ranks.select(F.col("node").alias("src"), "rank"), "src"
-        ).select("dst", F.expr("(rank * _w) div _deg").alias("_c"))
-        sums = contribs.groupBy("dst").agg(F.sum("_c").alias("_s"))
-        new_ranks = (
-            nodes.join(
-                sums.select(F.col("dst").alias("node"), "_s"), "node", "left"
+        joined = (
+            esrc.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src", "left"
             )
+            if ranks is not None
+            else esrc.withColumn("rank", F.lit(None).cast("long"))
+        )
+        contribs = joined.select(
+            "dst",
+            F.expr(
+                f"(coalesce(rank, CAST({default} AS BIGINT)) * _w) div _deg"
+            ).alias("_c"),
+        )
+        new_ranks = (
+            contribs.groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
             .select(
-                "node",
+                F.col("dst").alias("node"),
                 F.expr(
-                    f"CAST({base} AS BIGINT) + ({damping_ppm} * "
-                    "coalesce(_s, CAST(0 AS BIGINT))) div 1000000"
+                    f"CAST({base} AS BIGINT) + ({damping_ppm} * _s)"
+                    " div 1000000"
                 ).alias("rank"),
             )
             .localCheckpoint(eager=False)
@@ -211,4 +230,11 @@ def pagerank(
         del ranks
         gc.collect()  # reclaim the superseded round's checkpoint blocks
         ranks = new_ranks
-    return ranks
+        default = base
+    if ranks is None:  # n_iter == 0: uniform initial ranks
+        return nodes.withColumn("rank", F.lit(r0).cast("long"))
+    # no-in-edge nodes re-enter with their constant rank
+    rest = nodes.join(
+        ranks.select(F.col("node")), "node", "left_anti"
+    ).withColumn("rank", F.lit(default).cast("long"))
+    return ranks.unionByName(rest)

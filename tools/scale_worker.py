@@ -294,6 +294,50 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             return n_keys, time.perf_counter() - t0
+    elif job == "pr":
+        import time
+
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from geofeaturegeneration_spark.operators import pagerank
+
+        def run_job(spark, path):
+            # the scaling claim targets the ITERATIVE join/agg rounds, so
+            # the edge table is synthesized once UNTIMED — a natural-text
+            # bigram graph off the zipf corpus has only ~2k distinct edges
+            # (vocab-bounded), which measures per-round job overhead, not
+            # the operator; a web-shaped random graph (4M edges, 250k
+            # nodes, md5-deterministic) gives the rounds real shuffle mass
+            n_edges = int(os.environ.get("PR_EDGES", 4_000_000))
+            pr_iters = int(os.environ.get("PR_ITERS", 5))
+            edge_path = f"/tmp/gfg_scale_pr_edges_{n_edges}"
+            if not os.path.exists(os.path.join(edge_path, "_SUCCESS")):
+                from geofeaturegeneration_spark.functions.text import (
+                    md5_long,
+                )
+
+                n_nodes = max(n_edges // 16, 1)
+                e = (
+                    spark.range(n_edges)
+                    .select(
+                        (md5_long(F.concat(F.lit("s"), F.col("id")))
+                         % n_nodes).alias("src"),
+                        (md5_long(F.concat(F.lit("d"), F.col("id")))
+                         % n_nodes).alias("dst"),
+                    )
+                    .filter(F.col("src") != F.col("dst"))
+                    .distinct()
+                )
+                e.repartition(32).write.mode("overwrite").parquet(edge_path)
+            edges = spark.read.parquet(edge_path)
+            # work metric = edge count x iterations (a corpus property)
+            n_real = edges.count()
+            t0 = time.perf_counter()
+            pagerank(edges, n_iter=pr_iters).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return n_real * pr_iters, time.perf_counter() - t0
     elif job == "sketch":
         import time
 

@@ -103,7 +103,7 @@ def main() -> None:
                    choices=["pipeline", "pack", "semdedup", "dsir",
                             "sketch", "bpe", "normalize", "span",
                             "span_intervals", "hll", "hist", "lloyd",
-                            "edit"],
+                            "edit", "pr"],
                    help="pipeline = token feature pipeline; pack = "
                         "pack_sequences over the same table; semdedup = "
                         "semantic_dedup over a synthetic embedding corpus "
@@ -125,7 +125,7 @@ def main() -> None:
     if args.job in ("semdedup", "lloyd"):
         seq_path = ensure_emb_input(args.n_vecs)
     elif args.job in ("dsir", "sketch", "bpe", "normalize", "span",
-                      "span_intervals", "hll", "hist", "edit"):
+                      "span_intervals", "hll", "hist", "edit", "pr"):
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from dedup_scaling import ensure_corpus
 
@@ -160,6 +160,7 @@ def main() -> None:
         "hist": "hist_quantile_values (word-length p50/p99, sub_bits=5)",
         "lloyd": "lloyd_refine (16 centroids, 2 full-corpus iterations)",
         "edit": "edit_join (24-char ascii keys, max_dist=1, symmetric-delete blocking)",
+        "pr": "pagerank (distinct bigram graph, 5 iterations, exact int64)",
     }[args.job]
     unit = {"semdedup": "vectors", "dsir": "grams", "sketch": "shingles",
             "bpe": "subword tokens", "normalize": "chars",
