@@ -648,6 +648,24 @@ def q_edit_clusters(spark, sf_dir):
     return dedup_clusters(docs, "doc_id", pairs)
 
 
+def q_bm25_negatives(spark, sf_dir):
+    """DPR-style hard-negative mining: the same every-83rd-doc queries as
+    the in-window bm25_topk, with each query's own source document (its
+    natural positive, always the #1 hit) anti-joined out and ranks
+    re-numbered — the top-k lexically-confusable-but-not-relevant docs
+    that make the hardest contrastive training negatives."""
+    from geofeaturegeneration_spark.operators import bm25_hard_negatives
+
+    docs = _docs_wide(spark, sf_dir).select("doc_id", "text")
+    qs = docs.filter(F.col("doc_id") % 83 == 5).select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    pos = qs.select("q_id", F.col("q_id").alias("doc_id"))
+    return bm25_hard_negatives(
+        docs, "doc_id", "text", qs, "q_id", "q_text", pos, k=10
+    )
+
+
 def q_fim_transform(spark, sf_dir):
     """Fill-in-middle training export (round 4, PSM order): a deterministic
     60% of docs rewritten to [PRE] prefix [SUF] suffix [MID] middle with
@@ -2012,6 +2030,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the stop-filtered (max_df_frac) form of the in-window bm25_topk —
         # the quadratic-safety knob, exercised non-vacuously
         "bm25_topk_maxdf": q_bm25_topk_maxdf,
+        # DPR hard-negative mining: bm25_scores minus the query's own
+        # positive, ranks re-numbered — the contrastive-training sibling
+        "bm25_negatives": q_bm25_negatives,
         # the >1.0-rate (multi-epoch repetition) complement of the
         # in-window source_sample / temperature_mix keep-or-drop draws
         "epoch_upsample": q_epoch_upsample,
@@ -2825,6 +2846,16 @@ SELECT q_id, doc_id, rank, n_terms, score_int,
 FROM (SELECT *, CAST(row_number() OVER
         (PARTITION BY q_id ORDER BY score_int DESC, doc_id ASC) AS INT)
         AS rank FROM s)
+WHERE rank <= 10
+""",
+        # bm25_negatives: the bm25 score table minus each query's own
+        # source doc (its positive), ranks re-numbered over the survivors
+        "bm25_negatives": _BM25_CTES + """
+SELECT q_id, doc_id, rank, n_terms, score_int,
+       score_int::DOUBLE / 10000.0 AS score
+FROM (SELECT *, CAST(row_number() OVER
+        (PARTITION BY q_id ORDER BY score_int DESC, doc_id ASC) AS INT)
+        AS rank FROM s WHERE doc_id != q_id)
 WHERE rank <= 10
 """,
         "top_customers": """

@@ -232,3 +232,44 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "rank", "n_terms", "score_int", "score")
     )
+
+
+def bm25_hard_negatives(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    q_id_col: str,
+    q_text_col: str,
+    positives: DataFrame,
+    k: int = 10,
+    **kwargs,
+) -> DataFrame:
+    """Hard-negative mining for retrieval / contrastive training — the
+    standard DPR recipe (Karpukhin et al. 2020 §3.2: the top BM25 hits
+    that are NOT the question's answer passage make the hardest training
+    negatives). Returns the ``k`` best-scoring docs per query AFTER
+    anti-joining the query's own positives, rank re-numbered densely
+    1..k over the survivors (ties on (score_int DESC, doc id ASC) like
+    ``bm25_topk``).
+
+    ``positives``: (q_id_col, id_col) known-relevant pairs — broadcast
+    (a labeled set is always small next to the corpus), so the exclusion
+    adds no shuffle to the score table; the rank window runs on the same
+    query-id partitioning the scores already carry. Determinism: the
+    exclusion is exact, the scores are the scaled-int64 contract of
+    ``bm25_scores``, so the negative set is byte-stable across engines
+    and runs — resampling a training epoch never churns it."""
+    pos = positives.select(q_id_col, id_col)
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("score_int").desc(), F.col(id_col).asc()
+    )
+    return (
+        bm25_scores(
+            docs, id_col, text_col, queries, q_id_col, q_text_col, **kwargs
+        )
+        .join(F.broadcast(pos), [q_id_col, id_col], "left_anti")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "rank", "n_terms", "score_int", "score")
+    )

@@ -238,3 +238,38 @@ def test_bm25_max_df_prunes_stopwords(spark):
     with pytest.raises(ValueError, match="not both"):
         bm25_scores(docs, "doc_id", "text", qs, "q_id", "q_text",
                     max_df=3, max_df_frac=0.5)
+
+
+def test_bm25_hard_negatives_excludes_positives_and_renumbers(spark):
+    from geofeaturegeneration_spark.operators import (
+        bm25_hard_negatives,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine joins data"),
+            (2, "spark engine joins data fast"),
+            (3, "spark data shuffles"),
+            (4, "gardening tips for spring"),
+            (5, "engine data spark joins"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    qs = docs.filter("doc_id = 1").select(
+        F.col("doc_id").alias("q_id"), F.col("text").alias("q_text")
+    )
+    pos = qs.select("q_id", F.col("q_id").alias("doc_id"))
+    top = bm25_topk(docs, "doc_id", "text", qs, "q_id", "q_text", k=10)
+    neg = bm25_hard_negatives(
+        docs, "doc_id", "text", qs, "q_id", "q_text", pos, k=10
+    )
+    t = {(r["doc_id"], r["rank"]) for r in top.collect()}
+    n = [(r["doc_id"], r["rank"]) for r in neg.orderBy("rank").collect()]
+    # the positive (doc 1, the query itself) was top's #1 and is gone
+    assert (1, 1) in t
+    assert all(d != 1 for d, _ in n)
+    # ranks are dense 1..k over the survivors, same relative order as top
+    assert [r for _, r in n] == list(range(1, len(n) + 1))
+    surv = [d for d, _ in sorted(t, key=lambda x: x[1]) if d != 1]
+    assert [d for d, _ in n] == surv
