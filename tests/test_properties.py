@@ -231,3 +231,47 @@ def test_fim_matches_python_model(spark, docs, rate):
         lo, hi = min(a, b), max(a, b)
         fim = [-1] + t[:lo] + [-2] + t[hi:] + [-3] + t[lo:hi] if sel else t
         assert got[i] == (int(sel), lo, hi, fim)
+
+
+# -------------------------------------------------------------- pagerank
+@settings(**SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1, max_size=40,
+    ),
+    d=st.integers(min_value=0, max_value=1_000_000),
+    iters=st.integers(min_value=0, max_value=4),
+)
+def test_pagerank_matches_python_model(spark, edges, d, iters):
+    """Ranks == the documented integer recurrence for any graph shape
+    (self-loop-free dedup applied), damping in [0, 1e6], and iteration
+    count — including n_iter=0 (uniform) and damping 0/1e6 extremes."""
+    from collections import defaultdict
+
+    from geofeaturegeneration_spark.operators import pagerank
+
+    es = sorted({(a, b) for a, b in edges if a != b})
+    if not es:
+        return
+    df = spark.createDataFrame(es, "src BIGINT, dst BIGINT")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, n_iter=iters, damping_ppm=d).collect()
+    }
+    nodes = sorted({a for a, _ in es} | {b for _, b in es})
+    n, scale = len(nodes), 10**12
+    deg = defaultdict(int)
+    for a, _ in es:
+        deg[a] += 1
+    rank = {v: scale // n for v in nodes}
+    base = ((1_000_000 - d) * scale) // 1_000_000 // n
+    for _ in range(iters):
+        s = defaultdict(int)
+        for a, b in es:
+            s[b] += rank[a] // deg[a]
+        rank = {v: base + d * s[v] // 1_000_000 for v in nodes}
+    assert got == rank
