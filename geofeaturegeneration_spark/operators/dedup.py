@@ -917,6 +917,7 @@ def edit_join_cross(
     min_len: int = 1,
     max_bucket_size: int | None = None,
     right_variants: DataFrame | None = None,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Cross-corpus edit-distance join (id_a from ``left``, id_b from
     ``right``, exact distance <= ``max_dist``) — the incremental-ingest
@@ -924,7 +925,17 @@ def edit_join_cross(
     accumulated corpus without the corpus ever meeting itself. Complete
     for the same reason as the self-join (each side contributes its own
     <=d-deletion neighborhood), so the result is exactly the quadratic
-    cross levenshtein join.
+    cross levenshtein join — UNDER the ``exclude_same_id`` default, minus
+    pairs whose two ids compare equal.
+
+    ``exclude_same_id=True`` (default) treats equal ids as "the same
+    document seen twice" and drops the pair — correct when the batch is a
+    re-ingest sharing the corpus id space (the screen's original use).
+    When the two corpora have INDEPENDENT id spaces (batch id 7 is
+    unrelated to corpus id 7), an equal-id pair is a legitimate match:
+    pass ``exclude_same_id=False`` to keep it, or guarantee disjoint id
+    spaces upstream. (Precondition surfaced by the round-4 advisor —
+    ADVICE.md r04 #1.)
 
     Pass ``right_variants`` (a stored ``edit_variant_table`` output) to
     skip recomputing the corpus side — at scale the corpus neighborhood
@@ -946,12 +957,10 @@ def edit_join_cross(
         sizes = rb.groupBy("_vh").count()
         keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
         rb = rb.join(keep, "_vh", "inner")
-    cand = (
-        la.join(rb, "_vh")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "key_a", "id_b", "key_b")
-        .distinct()
-    )
+    cand = la.join(rb, "_vh")
+    if exclude_same_id:
+        cand = cand.filter(F.col("id_a") != F.col("id_b"))
+    cand = cand.select("id_a", "key_a", "id_b", "key_b").distinct()
     return (
         cand.withColumn("dist", F.levenshtein("key_a", "key_b").cast("int"))
         .filter(F.col("dist") <= int(max_dist))

@@ -151,7 +151,12 @@ def pagerank(
     ``(rank_t(u) * w) // W(u)`` — still one exact floor division per
     edge. Overflow bound: ``rank * w < 2^63`` requires
     ``max_weight < 2^63 / scale`` (~9.2e6 at the default scale); shrink
-    ``scale`` for heavier edges.
+    ``scale`` for heavier edges. PRECONDITION (enforced): weights must be
+    POSITIVE int64 — a zero/negative weight would zero a source's total
+    out-weight ``W(u)`` (ANSI divide-by-zero) or flip contribution signs,
+    so the plan raises on the first non-positive weight it evaluates
+    (per-row codegen ``when``-guard, no extra scan or collect; ADVICE.md
+    r04 #2).
 
     Scale shape: per iteration ONE equi-join of the edge table with the
     rank table on src + ONE (dst) sum aggregate + ONE left join back to
@@ -164,9 +169,22 @@ def pagerank(
     """
     if not 0 <= damping_ppm <= 1_000_000:
         raise ValueError("damping_ppm must be in [0, 1e6]")
-    w_expr = (
-        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    )
+    if weight_col:
+        _w = F.col(weight_col).cast("long")
+        # raise at execution time on the first zero/negative/null weight:
+        # a when-guard inside codegen, so validation costs no extra scan
+        w_expr = F.when(_w > 0, _w).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pagerank: edge weights must be positive int64, got "
+                    ),
+                    F.coalesce(_w.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long")
+        )
+    else:
+        w_expr = F.lit(1).cast("long")
     # NOT checkpointed: fwd has exactly three one-time consumers (nodes,
     # out-degrees, esrc) before esrc's own checkpoint takes over as the
     # per-round input — for a scan-cheap upstream, three scans beat one

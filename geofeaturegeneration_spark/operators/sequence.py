@@ -420,8 +420,15 @@ def fim_transform(
     as source_sample's draw), so a mixing recipe can tune the FIM fraction
     without churning previously exported data.
 
+    NULL token arrays pass through untransformed (``is_fim = 0``, cut
+    points NULL, ``out_col`` NULL like the source): ``F.size(NULL)``
+    would otherwise propagate NULL through the cut draws and silently
+    corrupt the export column of a "selected" null doc (ADVICE.md r04
+    #4; regression-pinned in test_sequence.py).
+
     Adds columns: ``is_fim`` (int 0/1), ``fim_lo``/``fim_hi`` (the cut
-    points, computed for every row so audits can replay the draw), and
+    points, computed for every non-null row so audits can replay the
+    draw), and
     ``out_col`` (default ``<tokens_col>_fim``) — the PSM array for selected
     docs, the untouched source array otherwise. Tokens are only MOVED,
     never recomputed (the BASELINE per-row invariant); ``fim_restore``
@@ -438,7 +445,13 @@ def fim_transform(
     t = F.col(tokens_col)
     n = F.size(t)
     ids = F.col(id_col).cast("string")
-    sel = md5_long(F.concat(ids, F.lit(f"#{salt}"))) % 1_000_000 < int(rate_ppm)
+    # null-array guard: a null tokens row is never "selected" — without
+    # this, size(NULL) nulls the cut draws while the md5 draw still
+    # selects the row, leaving out_col NULL instead of a pass-through
+    sel = t.isNotNull() & (
+        md5_long(F.concat(ids, F.lit(f"#{salt}"))) % 1_000_000
+        < int(rate_ppm)
+    )
     a = md5_long(F.concat(ids, F.lit(f"#{salt}-a"))) % (n + 1).cast("long")
     b = md5_long(F.concat(ids, F.lit(f"#{salt}-b"))) % (n + 1).cast("long")
     lo = F.least(a, b).cast("int")

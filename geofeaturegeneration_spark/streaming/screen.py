@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from geofeaturegeneration_spark.operators.dedup import with_band_sigs
 from geofeaturegeneration_spark.operators.sketch import bloom_screen
@@ -165,8 +166,15 @@ def stream_edit_screen(
     ``levenshtein``. Blocking is complete (symmetric-delete, see
     ``deletion_variants``), so within a watermark window the emitted
     matches equal the batch cross join exactly (parity pinned in
-    test_streaming.py). ``max_bucket_size`` caps CORPUS variant buckets,
-    computed once on the static side — no streaming state."""
+    test_streaming.py). ``max_bucket_size`` caps CORPUS variant buckets —
+    no streaming state, but a stream-static join RE-EVALUATES its static
+    subtree every micro-batch, so the capped table is ``persist()``-ed
+    inside this function (MEMORY_AND_DISK, materialized lazily by the
+    first batch) rather than re-aggregating the full corpus per batch
+    (ADVICE.md r04 #3). The cache lives until the session ends or the
+    caller runs ``spark.catalog.clearCache()``; without the cap the
+    static side is the caller's own ``corpus_variants`` (persist the
+    parquet-backed table yourself if its query is expensive)."""
     from geofeaturegeneration_spark.operators.dedup import deletion_variants
     from geofeaturegeneration_spark.functions.text import md5_long
 
@@ -178,7 +186,12 @@ def stream_edit_screen(
     if max_bucket_size is not None:
         sizes = cv.groupBy("_vh").count()
         keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
-        cv = cv.join(keep, "_vh", "inner")
+        # persist: stream-static joins re-run the static plan per
+        # micro-batch — cache the capped table so the corpus groupBy
+        # aggregate runs once, not once per batch (ADVICE.md r04 #3)
+        cv = cv.join(keep, "_vh", "inner").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     keyed = stream_docs.withWatermark(time_col, watermark).filter(
         F.length(F.col(key_col)) >= int(min_len)
     )

@@ -1292,3 +1292,30 @@ def test_edit_join_cross_equals_bruteforce_and_persisted_variants(spark, tmp_pat
         ).collect()
     }
     assert got2 == want
+
+
+def test_edit_join_cross_same_id_semantics(spark):
+    """ADVICE r04 #1: equal ids across INDEPENDENT id spaces are a
+    legitimate match — exclude_same_id=False keeps them; the default
+    (shared-id-space re-ingest semantics) drops exactly those pairs."""
+    from geofeaturegeneration_spark.operators.dedup import edit_join_cross
+
+    batch = spark.createDataFrame(
+        [(7, "abc"), (9, "zzz")], "id BIGINT, key STRING"
+    )
+    corpus = spark.createDataFrame(
+        [(7, "abd"), (8, "abc")], "id BIGINT, key STRING"
+    )
+    dflt = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_join_cross(batch, corpus, "id", "key", max_dist=1).collect()
+    }
+    # default: the (7, 7) match is suppressed by the same-id rule
+    assert dflt == {(7, 8, 0)}
+    full = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_join_cross(
+            batch, corpus, "id", "key", max_dist=1, exclude_same_id=False
+        ).collect()
+    }
+    assert full == {(7, 8, 0), (7, 7, 1)}

@@ -202,3 +202,23 @@ def test_pagerank_weighted_matches_python_model(spark):
     a1 = {r["node"]: r["rank"] for r in pagerank(ones, n_iter=3, weight_col="w").collect()}
     a2 = {r["node"]: r["rank"] for r in pagerank(ones.drop("w"), n_iter=3).collect()}
     assert a1 == a2
+
+
+def test_pagerank_rejects_nonpositive_weights(spark):
+    """ADVICE r04 #2: a zero/negative/null edge weight must raise (the
+    per-row codegen guard), never silently divide by a zero out-weight."""
+    import pytest
+
+    from geofeaturegeneration_spark.operators.graph import pagerank
+
+    for bad in (0, -3):
+        df = spark.createDataFrame(
+            [(1, 2, 5), (1, 3, bad)], "src BIGINT, dst BIGINT, w BIGINT"
+        )
+        with pytest.raises(Exception, match="positive"):
+            pagerank(df, n_iter=2, weight_col="w").collect()
+    nul = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, None)], "src BIGINT, dst BIGINT, w BIGINT"
+    )
+    with pytest.raises(Exception, match="positive"):
+        pagerank(nul, n_iter=2, weight_col="w").collect()

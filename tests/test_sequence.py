@@ -440,3 +440,34 @@ def test_fim_empty_doc(spark):
     ).collect()[0]
     assert (r["fim_lo"], r["fim_hi"]) == (0, 0)
     assert r["tokens_fim"] == [-1, -2, -3]
+
+
+def test_fim_null_tokens_pass_through(spark):
+    """ADVICE r04 #4: a NULL tokens array must behave like an unselected
+    row (is_fim = 0, output NULL pass-through), never a half-transformed
+    row with NULL cut points corrupting the export column."""
+    from geofeaturegeneration_spark.operators.sequence import (
+        fim_restore,
+        fim_transform,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1, 2, 3, 4]), (1, None), (2, [])],
+        "doc_id BIGINT, tokens ARRAY<INT>",
+    )
+    out = fim_transform(
+        df, "tokens", rate_ppm=1_000_000, prefix_tok=-1, suffix_tok=-2,
+        middle_tok=-3,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # at rate 1e6 every NON-NULL row is selected; the null row is not
+    assert rows[0]["is_fim"] == 1 and rows[2]["is_fim"] == 1
+    assert rows[1]["is_fim"] == 0
+    assert rows[1]["tokens_fim"] is None
+    assert rows[1]["fim_lo"] is None and rows[1]["fim_hi"] is None
+    # restore still round-trips the whole frame (null passes through)
+    back = {
+        r["doc_id"]: r["tokens_restored"]
+        for r in fim_restore(out, "tokens_fim").collect()
+    }
+    assert back == {0: [1, 2, 3, 4], 1: None, 2: []}

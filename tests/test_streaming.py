@@ -629,3 +629,57 @@ def test_stream_edit_screen_matches_batch_cross(spark, tmp_path):
     want = sorted((r["id_a"], r["id_b"], r["dist"]) for r in batch.collect())
     assert got == want
     assert got == [(1, 100, 0), (2, 100, 1), (4, 101, 0)]
+
+
+def test_stream_edit_screen_capped_matches_batch(spark, tmp_path):
+    """ADVICE r04 #3 regression: the max_bucket_size path (whose capped
+    corpus table is now persisted inside the screen so micro-batches do
+    not re-aggregate the corpus) matches the batch capped cross join."""
+    from geofeaturegeneration_spark.operators import (
+        edit_join_cross,
+        edit_variant_table,
+    )
+    from geofeaturegeneration_spark.streaming import stream_edit_screen
+
+    # "aa" is a degenerate key shared by many corpus docs -> its variant
+    # buckets exceed the cap and must be dropped on BOTH paths
+    corpus = spark.createDataFrame(
+        [(100 + i, "aa") for i in range(5)] + [(200, "spark engine")],
+        "doc_id INT, key STRING",
+    )
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    arriving = [(1, "ab", t0), (2, "spork engine", t0)]
+    schema = "doc_id INT, key STRING, ts TIMESTAMP"
+    path = str(tmp_path / "edit_cap_in")
+    spark.createDataFrame(arriving, schema).coalesce(1).write.parquet(path)
+    vt_path = str(tmp_path / "edit_cap_variants")
+    edit_variant_table(corpus, "doc_id", "key", max_dist=1).write.parquet(
+        vt_path
+    )
+    out = stream_edit_screen(
+        spark.readStream.schema(schema).parquet(path),
+        "doc_id", "key", "ts",
+        spark.read.parquet(vt_path),
+        watermark="1 hour", max_dist=1, max_bucket_size=3,
+    )
+    name = f"editcap_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(180), "streaming query did not finish"
+    got = sorted(
+        (r["doc_id"], r["corpus_id"], r["dist"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    batch = edit_join_cross(
+        spark.createDataFrame(
+            [(i, k) for i, k, _ in arriving], "doc_id INT, key STRING"
+        ),
+        corpus, "doc_id", "key", max_dist=1, max_bucket_size=3,
+    )
+    want = sorted((r["id_a"], r["id_b"], r["dist"]) for r in batch.collect())
+    assert got == want
+    # the capped "aa" buckets were dropped: only the spark-engine hit
+    assert got == [(2, 200, 1)]
+    spark.catalog.clearCache()  # release the screen-internal persist
