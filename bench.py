@@ -110,6 +110,10 @@ HEADLINE = [
     "bm25_topk",
     "ivf_lloyd",
     "epoch_upsample",
+    # round 5: the remaining two queries promoted into the driver window
+    # by the rotation policy (the other four were already headline rows)
+    "edit_join_cross",
+    "chunk_strided",
 ]
 
 

@@ -35,7 +35,14 @@ META_SCHEMA = T.StructType(
 def decode_image(payload: bytes):  # pragma: no cover - intentional stub
     """STUB: real image decode requires PIL/opencv, absent in this
     environment. The Spark plumbing around it (binary column in, Arrow batch
-    through mapInPandas, typed struct out) is the real, tested part."""
+    through mapInPandas, typed struct out) is the real, tested part.
+
+    A real decoder drops in WITHOUT touching that plumbing: pass any
+    ``bytes -> (width, height, n_frames)`` callable as
+    ``extract_meta(df, decoder=...)``. Proven by
+    tests/test_dedup_similarity_text.py::test_extract_meta_real_codec_drops_in,
+    which routes a pure-Python PPM (P6) header parser through the same
+    interface and recovers the true pixel dimensions."""
     raise NotImplementedError(
         "media codecs are not available in this environment; "
         "extract_meta() uses a deterministic fake decode instead"
@@ -53,23 +60,38 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def extract_meta(df: DataFrame) -> DataFrame:
+def extract_meta(df: DataFrame, decoder=None) -> DataFrame:
     """Per-payload metadata via Arrow-batched mapInPandas.
 
-    The fake decode derives (width, height, n_frames) deterministically from
-    the byte length — stands in for a codec header parse; swap the lambda for
-    ``decode_image`` when codecs exist."""
+    ``decoder`` is the codec seam: any ``bytes -> (width, height,
+    n_frames)`` callable (a real header parse — PIL, a PPM reader, an
+    ffprobe wrapper) runs per payload inside the same Arrow batch loop.
+    Default ``None`` keeps the deterministic fake — (width, height,
+    n_frames) derived from the byte length — which stands in for a codec
+    header parse and is what the DuckDB oracle replays. The drop-in
+    property is pinned by test_extract_meta_real_codec_drops_in (a pure
+    PPM parser through this exact parameter)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             lens = pdf["payload"].map(len)
+            if decoder is None:
+                w = (lens % 640 + 1).astype("int32")
+                h = ((lens * 7) % 480 + 1).astype("int32")
+                nf = (lens % 16 + 1).astype("int32")
+            else:
+                decoded = [decoder(bytes(p)) for p in pdf["payload"]]
+                ix = pdf.index  # keep batch alignment with doc_id/lens
+                w = pd.Series([d[0] for d in decoded], dtype="int32", index=ix)
+                h = pd.Series([d[1] for d in decoded], dtype="int32", index=ix)
+                nf = pd.Series([d[2] for d in decoded], dtype="int32", index=ix)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "byte_len": lens.astype("int64"),
-                    "width": (lens % 640 + 1).astype("int32"),
-                    "height": ((lens * 7) % 480 + 1).astype("int32"),
-                    "n_frames": (lens % 16 + 1).astype("int32"),
+                    "width": w,
+                    "height": h,
+                    "n_frames": nf,
                 }
             )
 

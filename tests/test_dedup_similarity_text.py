@@ -1319,3 +1319,46 @@ def test_edit_join_cross_same_id_semantics(spark):
         ).collect()
     }
     assert full == {(7, 8, 0), (7, 7, 1)}
+
+
+def _ppm_decode(payload: bytes):
+    """Pure-Python P6 PPM header parse — the 'real codec' stand-in: three
+    whitespace-separated header tokens after the magic (width, height,
+    maxval), then raw pixel bytes. One frame per still image."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    fields = payload[2:].split(None, 3)
+    width, height = int(fields[0]), int(fields[1])
+    return width, height, 1
+
+
+def test_extract_meta_real_codec_drops_in(spark):
+    """VERDICT r04 ask #3: a real decoder drops into extract_meta's
+    ``decoder`` seam without touching the Arrow plumbing — a pure PPM
+    header parser recovers the TRUE pixel dimensions (not the byte-length
+    fake), schema and row set unchanged."""
+    from geofeaturegeneration_spark.operators.multimodal import extract_meta
+
+    def ppm(doc_id, w, h):
+        header = f"P6\n{w} {h}\n255\n".encode()
+        return (doc_id, header + bytes(3 * w * h), "image/x-portable-pixmap")
+
+    imgs = [ppm(1, 4, 3), ppm(2, 16, 2), ppm(3, 1, 1)]
+    df = spark.createDataFrame(
+        imgs, "doc_id BIGINT, payload BINARY, media_type STRING"
+    )
+    rows = {r["doc_id"]: r for r in extract_meta(df, decoder=_ppm_decode).collect()}
+    assert {(r["width"], r["height"], r["n_frames"]) for r in rows.values()} == {
+        (4, 3, 1), (16, 2, 1), (1, 1, 1)
+    }
+    for doc_id, w, h in [(1, 4, 3), (2, 16, 2), (3, 1, 1)]:
+        r = rows[doc_id]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["byte_len"] == len(ppm(doc_id, w, h)[1])
+    # default (no decoder) keeps the oracle-replayable fake: byte-len math
+    fake = {r["doc_id"]: r for r in extract_meta(df).collect()}
+    for doc_id in (1, 2, 3):
+        n = fake[doc_id]["byte_len"]
+        assert fake[doc_id]["width"] == n % 640 + 1
+        assert fake[doc_id]["height"] == (n * 7) % 480 + 1
+        assert fake[doc_id]["n_frames"] == n % 16 + 1

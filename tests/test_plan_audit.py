@@ -354,3 +354,44 @@ def test_sketch_lookups_scan_corpus_once(spark):
         assert n_scans == 1, f"{name}: {n_scans} parquet scans (want 1)\n{phys}"
         assert phys.count("ExistingRDD") == 4, name
         assert "CartesianProduct" not in phys and "NestedLoop" not in phys
+
+
+def test_rotation_policy_current():
+    """Round-5 rotation-as-policy gate: the planner (driver-verification
+    history x rotation_hints) must agree the current window needs no
+    further rotation — every registered query either has a driver
+    CORRECTNESS row or an in-registry carrier — and any future proposal
+    must keep the window within the driver's measured 50-entry limit."""
+    import sys as _sys
+    sys_path_added = False
+    import os as _os
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    tools = _os.path.join(root, "tools")
+    if tools not in _sys.path:
+        _sys.path.insert(0, tools)
+        sys_path_added = True
+    try:
+        import rotation
+
+        p = rotation.plan(E)
+        assert p["new_window_size"] <= 50
+        # every never-driver-verified registered query has a carrier whose
+        # plan exercises its machinery (else the planner would promote it)
+        hints = E.rotation_hints()
+        carrierless = [
+            k for k in p["never_driver_verified"]
+            if k not in hints["carriers"]
+        ]
+        assert not carrierless, (
+            f"queries with unverified standalone machinery: {carrierless} "
+            "— rotate them into the window or declare a carrier"
+        )
+        # carriers must reference registered queries (no dangling names)
+        registered = set(p["window"]) | set(p["extras"])
+        dangling = {
+            k: c for k, c in hints["carriers"].items() if c not in registered
+        }
+        assert not dangling, f"carrier names not registered: {dangling}"
+    finally:
+        if sys_path_added:
+            _sys.path.remove(tools)
