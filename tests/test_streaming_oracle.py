@@ -1,13 +1,18 @@
-"""Streaming screens replayed against the DuckDB oracle (round-4 verdict
-ask #4): for the three screens with persisted batch twins — minhash,
-bloom, edit — drive the STREAMING operator over the sf0.01 documents
-table shaped exactly like the batch contract query, then compare the
-micro-batch sink rows to the batch oracle SQL (``oracle_sql()`` keys
-``minhash_cross`` / ``bloom_screen`` / ``edit_join_cross``) executed by
+"""Streaming operators replayed against the DuckDB oracle (round-4
+verdict ask #4, extended): for the three screens with persisted batch
+twins — minhash, bloom, edit — and the two running-sketch streams — HLL
+registers, HDR histogram buckets — drive the STREAMING operator over the
+sf0.01 documents table shaped exactly like the batch contract query,
+then compare the micro-batch sink rows to the batch oracle SQL
+(``oracle_sql()`` keys ``minhash_cross`` / ``bloom_screen`` /
+``edit_join_cross`` / ``hll_registers`` / ``hist_buckets``) executed by
 DuckDB over the same parquet. This closes the one operator family whose
 correctness previously never touched an oracle: the stream's emitted set
 must equal the cross-engine-exact batch answer, not merely the batch
-operator's output.
+operator's output. The sketch streams additionally force MULTI-batch
+ingestion (maxFilesPerTrigger=1 over 4 files) so cross-micro-batch
+max/sum associativity is exercised against the oracle, not just within
+one batch.
 """
 
 from __future__ import annotations
@@ -155,3 +160,67 @@ def test_stream_edit_screen_matches_duckdb_oracle(spark, tmp_path):
     want = sorted((a, b, d) for a, b, d in _oracle_rows("edit_join_cross"))
     assert got == want
     assert got, "vacuous: no edit-distance matches at this SF"
+
+
+def _run_stream_complete(out, name_prefix: str):
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300), "streaming query did not finish"
+    return out.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_hll_registers_match_duckdb_oracle(spark, tmp_path):
+    """The running HLL register table over the streamed word corpus ==
+    the hll_registers batch oracle row-for-row (max is associative
+    across micro-batches; the oracle is the exact-integer artifact)."""
+    from geofeaturegeneration_spark.streaming import stream_hll_registers
+
+    docs = _docs(spark)
+    path = str(tmp_path / "hll_in")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    # several files -> several micro-batches under availableNow
+    tok.repartition(4).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    sink = _run_stream_complete(
+        stream_hll_registers(
+            spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", 1
+            ).parquet(path),
+            "w", p=8,
+        ),
+        "hll_oracle",
+    )
+    got = sorted(tuple(r) for r in sink.collect())
+    want = sorted(tuple(r) for r in _oracle_rows("hll_registers"))
+    assert got == want
+    assert got, "vacuous: empty register table"
+
+
+def test_stream_hist_buckets_match_duckdb_oracle(spark, tmp_path):
+    """The running HDR bucket table over the streamed n_chars column ==
+    the hist_buckets batch oracle row-for-row (sum is associative
+    across micro-batches)."""
+    from geofeaturegeneration_spark.streaming import stream_hist_buckets
+
+    docs = _docs(spark)
+    path = str(tmp_path / "hist_in")
+    docs.select(F.col("n_chars").cast("long").alias("n_chars")).repartition(
+        4
+    ).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    sink = _run_stream_complete(
+        stream_hist_buckets(
+            spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", 1
+            ).parquet(path),
+            "n_chars", sub_bits=5,
+        ),
+        "hist_oracle",
+    )
+    got = sorted(tuple(r) for r in sink.collect())
+    want = sorted(tuple(r) for r in _oracle_rows("hist_buckets"))
+    assert got == want
+    assert got, "vacuous: empty bucket table"
