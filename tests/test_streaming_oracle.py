@@ -12,7 +12,9 @@ must equal the cross-engine-exact batch answer, not merely the batch
 operator's output. The sketch streams additionally force MULTI-batch
 ingestion (maxFilesPerTrigger=1 over 4 files) so cross-micro-batch
 max/sum associativity is exercised against the oracle, not just within
-one batch.
+one batch. The stateful as-of stream is replayed too: finalized probes
+over the sf events table must equal DuckDB's ASOF LEFT JOIN
+(``asof_salted``'s oracle) exactly.
 """
 
 from __future__ import annotations
@@ -224,3 +226,65 @@ def test_stream_hist_buckets_match_duckdb_oracle(spark, tmp_path):
     want = sorted(tuple(r) for r in _oracle_rows("hist_buckets"))
     assert got == want
     assert got, "vacuous: empty bucket table"
+
+
+def test_stream_asof_join_matches_duckdb_oracle(spark, tmp_path):
+    """The stateful streaming as-of join over the sf events table == the
+    DuckDB ASOF LEFT JOIN oracle that carries the batch asof_* contract
+    queries: every finalized probe row (watermark pushed past all real
+    data by far-future sentinel rows on both streams) must carry exactly
+    the oracle's click_value, including NULL for probes before any
+    reference."""
+    from datetime import timedelta
+
+    from geofeaturegeneration_spark.streaming import stream_asof_join
+
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    far = ev.agg(F.max("ts")).collect()[0][0] + timedelta(days=10)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, -1, far)], "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
+        )
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(-1, far, 0.0)],
+            "user_id BIGINT, click_ts TIMESTAMP, click_value DOUBLE",
+        )
+    )
+    lpath, rpath = str(tmp_path / "asof_l"), str(tmp_path / "asof_r")
+    left.write.parquet(lpath)
+    right.write.parquet(rpath)
+    out = stream_asof_join(
+        spark.readStream.schema(left.schema).parquet(lpath),
+        spark.readStream.schema(right.schema).parquet(rpath),
+        ["user_id"], "event_id", "ts", "click_ts", ["click_value"],
+        watermark="1 second",
+    )
+    sink = _run_stream(out, "asof_oracle")
+    got = {
+        r["event_id"]: (r["user_id"], r["ts"], r["click_value"])
+        for r in sink.collect()
+        if r["event_id"] != -1
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(SF_DIR, 'events.parquet')}'"
+    )
+    want = {
+        eid: (uid, ts, cv)
+        for eid, uid, ts, _val, cv in con.execute(
+            E.oracle_sql()["asof_salted"]
+        ).fetchall()
+    }
+    assert got == want
+    # both branches exercised: backfilled probes AND pre-reference nulls
+    vals = [v[2] for v in want.values()]
+    assert any(v is None for v in vals) and any(v is not None for v in vals)
