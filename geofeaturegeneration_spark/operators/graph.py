@@ -156,7 +156,11 @@ def pagerank(
     out-weight ``W(u)`` (ANSI divide-by-zero) or flip contribution signs,
     so the plan raises on the first non-positive weight it evaluates
     (per-row codegen ``when``-guard, no extra scan or collect; ADVICE.md
-    r04 #2).
+    r04 #2). Enforcement scope: the guard lives on the weight expression,
+    so it fires on any ``n_iter >= 1`` run (the out-degree aggregate
+    consumes every weight); a degenerate ``n_iter=0`` call returns the
+    uniform initial ranks without reading weights at all (column pruning
+    strips them) and therefore without validating them.
 
     Scale shape: per iteration ONE equi-join of the edge table with the
     rank table on src + ONE (dst) sum aggregate + ONE left join back to

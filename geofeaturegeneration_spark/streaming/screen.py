@@ -149,6 +149,8 @@ def stream_edit_screen(
     max_dist: int = 1,
     min_len: int = 1,
     max_bucket_size: int | None = None,
+    exclude_same_id: bool = True,
+    cache_capped: bool = True,
 ) -> DataFrame:
     """Edit-distance ingest screen: matches (id_col, time_col, corpus_id,
     dist) for arriving keys within Levenshtein distance ``max_dist`` of an
@@ -166,15 +168,25 @@ def stream_edit_screen(
     ``levenshtein``. Blocking is complete (symmetric-delete, see
     ``deletion_variants``), so within a watermark window the emitted
     matches equal the batch cross join exactly (parity pinned in
-    test_streaming.py). ``max_bucket_size`` caps CORPUS variant buckets —
-    no streaming state, but a stream-static join RE-EVALUATES its static
-    subtree every micro-batch, so the capped table is ``persist()``-ed
-    inside this function (MEMORY_AND_DISK, materialized lazily by the
+    test_streaming.py). ``exclude_same_id`` mirrors the batch analog's
+    flag AND default — a re-ingested doc sharing the corpus id space does
+    not self-match; pass ``False`` for independent id spaces where an
+    equal-id pair is a legitimate match — so the batch-parity promise
+    holds in BOTH id-space regimes, not just on disjoint ids.
+
+    ``max_bucket_size`` caps CORPUS variant buckets — no streaming state,
+    but a stream-static join RE-EVALUATES its static subtree every
+    micro-batch, so the capped table is ``persist()``-ed inside this
+    function by default (MEMORY_AND_DISK, materialized lazily by the
     first batch) rather than re-aggregating the full corpus per batch
-    (ADVICE.md r04 #3). The cache lives until the session ends or the
-    caller runs ``spark.catalog.clearCache()``; without the cap the
-    static side is the caller's own ``corpus_variants`` (persist the
-    parquet-backed table yourself if its query is expensive)."""
+    (ADVICE.md r04 #3). One cache per call, alive until the session ends
+    or ``spark.catalog.clearCache()`` — a session constructing MANY
+    capped screens should pass ``cache_capped=False`` and manage its own
+    persisted pre-capped table (build the cap once, persist, pass it as
+    ``corpus_variants`` with ``max_bucket_size=None``, unpersist on query
+    stop). Without the cap the static side is the caller's own
+    ``corpus_variants`` (persist the parquet-backed table yourself if its
+    query is expensive)."""
     from geofeaturegeneration_spark.operators.dedup import deletion_variants
     from geofeaturegeneration_spark.functions.text import md5_long
 
@@ -186,12 +198,12 @@ def stream_edit_screen(
     if max_bucket_size is not None:
         sizes = cv.groupBy("_vh").count()
         keep = sizes.filter(F.col("count") <= max_bucket_size).drop("count")
-        # persist: stream-static joins re-run the static plan per
-        # micro-batch — cache the capped table so the corpus groupBy
-        # aggregate runs once, not once per batch (ADVICE.md r04 #3)
-        cv = cv.join(keep, "_vh", "inner").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        cv = cv.join(keep, "_vh", "inner")
+        if cache_capped:
+            # persist: stream-static joins re-run the static plan per
+            # micro-batch — cache the capped table so the corpus groupBy
+            # aggregate runs once, not once per batch (ADVICE.md r04 #3)
+            cv = cv.persist(StorageLevel.MEMORY_AND_DISK)
     keyed = stream_docs.withWatermark(time_col, watermark).filter(
         F.length(F.col(key_col)) >= int(min_len)
     )
@@ -209,9 +221,11 @@ def stream_edit_screen(
             id_col, time_col, key_col, md5_long(F.col("_v")).alias("_vh")
         )
     )
+    joined = vr.join(cv, "_vh")
+    if exclude_same_id:
+        joined = joined.filter(F.col(id_col) != F.col("corpus_id"))
     return (
-        vr.join(cv, "_vh")
-        .withColumn(
+        joined.withColumn(
             "dist", F.levenshtein(F.col(key_col), F.col("_corpus_key")).cast("int")
         )
         .filter(F.col("dist") <= int(max_dist))

@@ -392,6 +392,13 @@ def test_rotation_policy_current():
             k: c for k, c in hints["carriers"].items() if c not in registered
         }
         assert not dangling, f"carrier names not registered: {dangling}"
+        # coverage must bottom out in a real driver row: a never-verified
+        # query's carrier must be in-window (earning fresh rows) or have
+        # at least one green CORRECTNESS round of its own
+        assert not p["weak_carriers"], (
+            f"carrier chains with no driver row anywhere: "
+            f"{p['weak_carriers']}"
+        )
     finally:
         if sys_path_added:
             _sys.path.remove(tools)

@@ -683,3 +683,60 @@ def test_stream_edit_screen_capped_matches_batch(spark, tmp_path):
     # the capped "aa" buckets were dropped: only the spark-engine hit
     assert got == [(2, 200, 1)]
     spark.catalog.clearCache()  # release the screen-internal persist
+
+
+def test_stream_edit_screen_same_id_matches_batch(spark, tmp_path):
+    """The screen's exclude_same_id mirrors the batch analog in BOTH
+    id-space regimes: a re-ingested doc sharing the corpus id space does
+    not self-match under the default; with exclude_same_id=False the
+    equal-id pair is a legitimate cross-corpus match — each mode equal to
+    edit_join_cross under the same flag."""
+    from geofeaturegeneration_spark.operators import (
+        edit_join_cross,
+        edit_variant_table,
+    )
+    from geofeaturegeneration_spark.streaming import stream_edit_screen
+
+    corpus = spark.createDataFrame(
+        [(7, "abd"), (8, "abc")], "doc_id INT, key STRING"
+    )
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    arriving = [(7, "abc", t0), (9, "zzz", t0)]
+    schema = "doc_id INT, key STRING, ts TIMESTAMP"
+    path = str(tmp_path / "edit_sameid_in")
+    spark.createDataFrame(arriving, schema).coalesce(1).write.parquet(path)
+    vt_path = str(tmp_path / "edit_sameid_variants")
+    edit_variant_table(corpus, "doc_id", "key", max_dist=1).write.parquet(
+        vt_path
+    )
+    batch_arriving = spark.createDataFrame(
+        [(i, k) for i, k, _ in arriving], "doc_id INT, key STRING"
+    )
+    for flag in (True, False):
+        out = stream_edit_screen(
+            spark.readStream.schema(schema).parquet(path),
+            "doc_id", "key", "ts",
+            spark.read.parquet(vt_path),
+            watermark="1 hour", max_dist=1, exclude_same_id=flag,
+        )
+        name = f"editsame_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(180), "streaming query did not finish"
+        got = sorted(
+            (r["doc_id"], r["corpus_id"], r["dist"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        want = sorted(
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in edit_join_cross(
+                batch_arriving, corpus, "doc_id", "key", max_dist=1,
+                exclude_same_id=flag,
+            ).collect()
+        )
+        assert got == want
+        assert got == (
+            [(7, 8, 0)] if flag else [(7, 7, 1), (7, 8, 0)]
+        )

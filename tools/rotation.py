@@ -84,6 +84,20 @@ def plan(entry_module=None) -> dict:
     n = min(len(promote), len(folds))
     chosen_in, chosen_out = promote[:n], folds[:n]
     new_window = chosen_in + [k for k in window if k not in set(chosen_out)]
+    # coverage soundness: a never-driver-verified query leaning on a
+    # carrier needs that carrier to be either IN the driver window (so
+    # its machinery keeps earning fresh driver rows) or itself
+    # driver-verified at least once (so the chain bottoms out in a real
+    # CORRECTNESS row) — otherwise the "covered by carrier" claim is
+    # circular and the gate must fail
+    weak_carriers = {
+        k: carriers[k]
+        for k in extras
+        if not hist.get(k)
+        and k in carriers
+        and carriers[k] not in new_window
+        and not hist.get(carriers[k])
+    }
     return {
         "window": window,
         "extras": extras,
@@ -94,6 +108,7 @@ def plan(entry_module=None) -> dict:
         "fold_reasons": {k: foldable[k] for k in chosen_out},
         "new_window": new_window,
         "new_window_size": len(new_window),
+        "weak_carriers": weak_carriers,
     }
 
 
@@ -104,19 +119,23 @@ def main(argv: list[str]) -> int:
         f"never driver-verified ({len(p['never_driver_verified'])}):"
         f" {', '.join(p['never_driver_verified']) or '(none)'}"
     )
+    if p["weak_carriers"]:
+        print(f"WEAK CARRIERS (never-verified query -> carrier that is"
+              f" neither in-window nor driver-verified): {p['weak_carriers']}")
     if not p["promote"]:
         print("proposal: no rotation needed (nothing promotable or no"
               " foldable slot)")
-        return 0
-    print("\nproposed rotation:")
-    for k in p["promote"]:
-        print(f"  IN  {k}")
-    for k in p["fold"]:
-        print(f"  OUT {k}  ({p['fold_reasons'][k]})")
-    print(f"\nresulting window: {p['new_window_size']} entries"
-          f" (must be <= 50: {'OK' if p['new_window_size'] <= 50 else 'OVER'})")
+    else:
+        print("\nproposed rotation:")
+        for k in p["promote"]:
+            print(f"  IN  {k}")
+        for k in p["fold"]:
+            print(f"  OUT {k}  ({p['fold_reasons'][k]})")
+        print(f"\nresulting window: {p['new_window_size']} entries"
+              f" (must be <= 50:"
+              f" {'OK' if p['new_window_size'] <= 50 else 'OVER'})")
     if "--check" in argv:
-        overdue = bool(p["promote"])
+        overdue = bool(p["promote"]) or bool(p["weak_carriers"])
         print(f"--check: rotation {'OVERDUE' if overdue else 'current'}")
         return 1 if overdue else 0
     return 0
