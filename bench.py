@@ -114,6 +114,13 @@ HEADLINE = [
     # by the rotation policy (the other four were already headline rows)
     "edit_join_cross",
     "chunk_strided",
+    # round 5: the five contract-window queries that had never been
+    # headline rows — with these the bench covers the ENTIRE driver window
+    "dedup_clusters",
+    "embedding_neardup_multi",
+    "negative_samples",
+    "quality_filter",
+    "stay_move_spliced",
 ]
 
 
